@@ -1,0 +1,183 @@
+"""Batched byte-stream markup scanners.
+
+These replace the reference's libxml2 SAX parsers (reference:
+src/libswish3/parser.c:2454-2535 ``xml_parser``, parser.c:2537-2597
+``html_parser``) with precompiled-regex event scanners. One compiled
+master pattern finds every markup construct; the per-document loop is
+bounded by *tag count*, not byte count — text between tags is sliced in
+bulk, which is what makes this viable inside an Arrow batch without
+per-character Python.
+
+Event tuples:
+    ("start", name, attrs: list[(k, v)], prefix, selfclosing: bool)
+    ("end", name, prefix)
+    ("text", s)
+    ("comment", s)
+
+XML scanning is *literal*: events fire in document order exactly as
+written, which matches libxml2's error-recovering SAX stream on the
+reference's malformed fixtures (badxml.xml; parser.c:2505-2507 ignores
+parse errors and keeps the events already delivered).
+
+HTML scanning adds the lenient-parser behaviors the reference inherits
+from libxml2's HTML mode: void elements, implied end tags, bogus end
+tags dropped, unclosed elements closed at EOF, raw-text (script/style)
+contents treated as character data.
+"""
+
+from __future__ import annotations
+
+import re
+from html import unescape as html_unescape
+
+from libswish3_spark.htmltags import AUTO_CLOSE, RAWTEXT_TAGS, VOID_TAGS
+
+MARKUP_RE = re.compile(
+    r"""
+    <!--(?P<comment>.*?)(?:-->|\Z)
+  | <!\[CDATA\[(?P<cdata>.*?)(?:\]\]>|\Z)
+  | <!(?P<decl>[^>]*)>
+  | <\?(?P<pi>.*?)(?:\?>|\Z)
+  | <(?P<close>/)?(?P<name>[^\s<>/!?][^\s<>/]*)
+      (?P<attrs>(?:"[^"]*"|'[^']*'|[^<>"'])*?)
+      (?P<selfclose>/)?>
+    """,
+    re.DOTALL | re.VERBOSE,
+)
+
+ATTR_RE = re.compile(
+    r"""([^\s=/'"<>]+)(?:\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]*)))?""",
+)
+
+_XML_ENT = {"amp": "&", "lt": "<", "gt": ">", "quot": '"', "apos": "'"}
+_ENT_RE = re.compile(r"&(#x?[0-9a-fA-F]+|\w+);")
+
+
+def xml_unescape(s: str) -> str:
+    """Resolve the five XML entities + numeric refs.
+
+    Matches xmlSubstituteEntitiesDefault(1) (reference: parser.c:288)
+    for well-formed predefined/numeric entities; unknown entities are
+    left literal (libxml2 recovery drops/keeps them — the fixture corpus
+    contains only predefined ones in XML mode).
+    """
+    if "&" not in s:
+        return s
+
+    def sub(m: re.Match) -> str:
+        e = m.group(1)
+        if e.startswith("#"):
+            try:
+                cp = int(e[2:], 16) if e[1] in "xX" else int(e[1:])
+                return chr(cp)
+            except (ValueError, OverflowError):
+                return m.group(0)
+        return _XML_ENT.get(e, m.group(0))
+
+    return _ENT_RE.sub(sub, s)
+
+
+def _parse_attrs(raw: str, unescape) -> list[tuple[str, str]]:
+    if not raw or "=" not in raw and not raw.strip():
+        return []
+    out = []
+    for m in ATTR_RE.finditer(raw):
+        k = m.group(1)
+        v = m.group(2) or m.group(3) or m.group(4) or ""
+        out.append((k, unescape(v)))
+    return out
+
+
+def _split_prefix(name: str) -> tuple[str | None, str]:
+    if ":" in name:
+        p, _, local = name.partition(":")
+        return p, local
+    return None, name
+
+
+def xml_events(text: str):
+    """Literal SAX-like event stream for XML (recovering)."""
+    pos = 0
+    for m in MARKUP_RE.finditer(text):
+        if m.start() > pos:
+            yield ("text", xml_unescape(text[pos : m.start()]))
+        pos = m.end()
+        if m.group("comment") is not None:
+            yield ("comment", m.group("comment"))
+        elif m.group("cdata") is not None:
+            yield ("text", m.group("cdata"))
+        elif m.group("decl") is not None or m.group("pi") is not None:
+            continue
+        else:
+            name = m.group("name")
+            prefix, local = _split_prefix(name)
+            if m.group("close"):
+                yield ("end", local, prefix)
+            else:
+                attrs = _parse_attrs(m.group("attrs") or "", xml_unescape)
+                yield ("start", local, attrs, prefix, bool(m.group("selfclose")))
+                if m.group("selfclose"):
+                    yield ("end", local, prefix)
+    if pos < len(text):
+        yield ("text", xml_unescape(text[pos:]))
+
+
+def html_events(text: str):
+    """Lenient HTML event stream (libxml2 htmlParser equivalents)."""
+    stack: list[str] = []
+    pos = 0
+    n = len(text)
+    rawtext_until: str | None = None
+    while pos < n:
+        if rawtext_until is not None:
+            # scan for the matching close tag only
+            m = re.compile(rf"</{rawtext_until}[\s>]", re.IGNORECASE).search(
+                text, pos
+            )
+            end = m.start() if m else n
+            if end > pos:
+                yield ("text", text[pos:end])
+            pos = end
+            rawtext_until = None
+            continue
+        m = MARKUP_RE.search(text, pos)
+        if m is None:
+            yield ("text", html_unescape(text[pos:]))
+            break
+        if m.start() > pos:
+            yield ("text", html_unescape(text[pos : m.start()]))
+        pos = m.end()
+        if m.group("comment") is not None:
+            yield ("comment", m.group("comment"))
+            continue
+        if m.group("cdata") is not None:
+            yield ("text", m.group("cdata"))
+            continue
+        if m.group("decl") is not None or m.group("pi") is not None:
+            continue
+        name = m.group("name").lower()
+        if m.group("close"):
+            if name in stack:
+                # pop everything above, then the element itself
+                while stack:
+                    top = stack.pop()
+                    yield ("end", top, None)
+                    if top == name:
+                        break
+            # bogus end tag: dropped (libxml2 html behavior)
+            continue
+        # implied end tags
+        closers = AUTO_CLOSE.get(name)
+        if closers:
+            while stack and stack[-1] in closers:
+                yield ("end", stack.pop(), None)
+        attrs = _parse_attrs(m.group("attrs") or "", html_unescape)
+        yield ("start", name, attrs, None, name in VOID_TAGS)
+        if name in VOID_TAGS or m.group("selfclose"):
+            yield ("end", name, None)
+        else:
+            stack.append(name)
+            if name in RAWTEXT_TAGS:
+                rawtext_until = name
+    while stack:
+        yield ("end", stack.pop(), None)

@@ -1,0 +1,636 @@
+"""Per-document extraction state machine.
+
+Re-implements the semantics of the reference's SAX callback layer
+(reference: src/libswish3/parser.c) as a plain-Python event consumer.
+Each function below names its C counterpart:
+
+* ``bake_tag``           — parser.c:323-754 (tag normalization, HTML
+  <meta> synthesis, XML attribute metanames, undef-tag policies, alias
+  rewrite on bare tag then DOM path)
+* ``open_tag/close_tag`` — parser.c:1095-1250 (dom/meta/prop stacks)
+* ``buffer_characters``  — parser.c:1255-1296 (bumper-byte word gaps)
+* ``flush_buffer``       — parser.c:756-808 (metaname bucketing +
+  tokenize)
+* ``add_stack_to_prop_buf`` — parser.c:2868-2916 (Swish-e 2.x nested
+  property accumulation, alias redirect, verbatim)
+* ``comments``           — parser.c:1321-1388 (noindex/index toggles)
+* ``txt_parser``         — parser.c:2599-2710 (body → swishdefault,
+  uri → swishtitle)
+* end-of-document flush  — parser.c:831-846
+
+One DocState is built per document inside the Arrow batch loop; all
+markup scanning and tokenization is regex-vectorized per text segment
+(see ``events`` and ``tokenizer``). Media spans: where the reference
+only bumps the token position at ``<img>``/media boundaries
+(parser.c:388-397), we additionally emit a ``kind='media'`` span whose
+``order`` equals the bumper gap position, so the span sequence carries
+the media reference without disturbing reference token positions.
+"""
+
+from __future__ import annotations
+
+from libswish3_spark.config import (
+    CLASS_ATTRIBUTES,
+    DEFAULT_METANAME,
+    DOM_STR,
+    SwishConfig,
+    TITLE_METANAME,
+    TOKENPOS_BUMPER,
+    UNDEF_AUTO,
+    UNDEF_AUTOALL,
+    UNDEF_ERROR,
+    UNDEF_IGNORE,
+    UNDEF_INDEX,
+    MetaName,
+    Property,
+    default_config,
+)
+from libswish3_spark.events import html_events, xml_events
+from libswish3_spark.htmltags import INLINE_TAGS, KNOWN_TAGS
+from libswish3_spark.tokenizer import split_tokens
+
+_BUMPER = TOKENPOS_BUMPER
+_WS = " \t\n\r\f\v"
+_CTRL_TO_WS = {i: 0x20 for i in range(32)}  # reference: string.c:593-607
+
+
+class _Tag:
+    __slots__ = ("raw", "baked", "context")
+
+    def __init__(self, raw: str, baked: str, context: str):
+        self.raw = raw
+        self.baked = baked
+        self.context = context
+
+
+def _all_ws(s: str) -> bool:
+    # reference: string.c:570-589 (byte-wise C isspace; \x03 is NOT ws)
+    return s.strip(_WS) == ""
+
+
+class DocState:
+    """swish_ParserData equivalent (reference: libswish3.h:427-445)."""
+
+    def __init__(self, config: SwishConfig, is_html: bool, uri: str = ""):
+        self.config = config
+        self.is_html = is_html
+        self.uri = uri
+        # runtime-extensible overlays for undef auto/autoall policies
+        # (the C code mutates shared config at parser.c:694-706; we keep
+        # growth per-document so the broadcast config stays immutable)
+        self.extra_metanames: dict[str, MetaName] = {}
+        self.extra_properties: dict[str, Property] = {}
+        # buffers: meta_buf is a piece list so media markers can be
+        # interleaved without perturbing the text-emptiness checks
+        self.meta_pieces: list[tuple[str, str]] = []  # ('t', text)|('m', ref)
+        self.meta_len = 0
+        self.prop_parts: list[str] = []
+        self.prop_len = 0
+        # stacks (reference: init_parser_data parser.c:1594-1614)
+        self.metastack = [_Tag(DEFAULT_METANAME, DEFAULT_METANAME, DEFAULT_METANAME)]
+        self.propstack = [_Tag(DOM_STR, DOM_STR, DOM_STR)]
+        self.domstack: list[_Tag] = []
+        self.bump_word = True
+        self.ignore_content = 0
+        # outputs
+        self.metanames: dict[str, str] = {}
+        self.properties: dict[str, str] = {}
+        self.spans: list[tuple[str, str, str, int]] = []  # kind,text,ref,order
+        self.pos = 0
+        self.nwords = 0
+        self.error: str | None = None
+
+    # -- config lookups with per-doc overlay --------------------------------
+    def meta_defined(self, name: str) -> bool:
+        return name in self.config.metanames or name in self.extra_metanames
+
+    def meta_def(self, name: str) -> MetaName | None:
+        return self.config.metanames.get(name) or self.extra_metanames.get(name)
+
+    def prop_defined(self, name: str) -> bool:
+        return name in self.config.properties or name in self.extra_properties
+
+    def prop_def(self, name: str) -> Property | None:
+        return self.config.properties.get(name) or self.extra_properties.get(name)
+
+    # -- named buffers (reference: namedbuffer.c:179-240) -------------------
+    def _nb_add(self, nb: dict[str, str], name: str, s: str, cleanwsp: bool) -> None:
+        if _all_ws(s):
+            return
+        if cleanwsp:
+            if s.isascii():
+                s = s.translate(_CTRL_TO_WS)  # ctrl → space (ascii only)
+            s = s.strip(_WS)
+        cur = nb.get(name)
+        nb[name] = (cur + _BUMPER + s) if cur else s
+
+    # -- character buffering (reference: parser.c:1255-1296) ----------------
+    def buffer_characters(self, text: str) -> None:
+        if self.ignore_content:
+            return
+        if not text:
+            return
+        if self.bump_word and self.meta_len:
+            self.meta_pieces.append(("t", _BUMPER))
+            self.meta_len += 1
+        self.meta_pieces.append(("t", text))
+        self.meta_len += len(text)
+        if self.bump_word and self.prop_len:
+            self.prop_parts.append(_BUMPER)
+            self.prop_len += 1
+        self.prop_parts.append(text)
+        self.prop_len += len(text)
+        self.bump_word = False
+
+    def add_media(self, ref: str) -> None:
+        """Interleave a media marker at the current buffer point."""
+        self.meta_pieces.append(("m", ref))
+
+    # -- tokenize + span emission -------------------------------------------
+    def _tokenize_pieces(self, meta: str, context: str) -> None:
+        """Walk buffered pieces emitting word + media spans in order.
+
+        Equivalent to ``tokenize`` (parser.c:2761-2788) over the flushed
+        buffer, with media markers resolved to ``kind='media'`` spans at
+        the position gap their bump creates.
+        """
+        blob: list[str] = []
+        ordered: list[tuple[str, str]] = []  # ('t', text-blob) | ('m', ref)
+        for kind, val in self.meta_pieces:
+            if kind == "t":
+                blob.append(val)
+            else:
+                if blob:
+                    ordered.append(("t", "".join(blob)))
+                    blob = []
+                ordered.append(("m", val))
+        if blob:
+            ordered.append(("t", "".join(blob)))
+
+        for kind, val in ordered:
+            if kind == "m":
+                self.spans.append(("media", "", val, self.pos + 1))
+                continue
+            segments = val.split(_BUMPER)
+            last = len(segments) - 1
+            for i, seg in enumerate(segments):
+                if seg:
+                    for tok in split_tokens(seg):
+                        self.pos += 1
+                        self.nwords += 1
+                        self.spans.append(("word", tok, "", self.pos))
+                if i != last:
+                    self.pos += 1  # bumper gap (tokenizer.c:693-697)
+
+    # -- flush (reference: parser.c:756-808) ---------------------------------
+    def flush_buffer(self, metaname: str, context: str) -> None:
+        meta = self.meta_def(metaname)
+        stored = meta.alias_for if (meta and meta.alias_for) else metaname
+        buf_text = "".join(v for k, v in self.meta_pieces if k == "t")
+        # metanames NamedBuffer: raw append, autovivify (namedbuffer.c:165-177)
+        self._nb_add(self.metanames, stored, buf_text, cleanwsp=False)
+        if self.config.cascade_meta_context:
+            for t in self.metastack:
+                if t.baked != stored:
+                    self._nb_add(self.metanames, t.baked, buf_text, cleanwsp=False)
+        if self.config.tokenize:
+            self._tokenize_pieces(stored, context)
+        else:
+            # still surface media markers even when not tokenizing
+            for kind, val in self.meta_pieces:
+                if kind == "m":
+                    self.spans.append(("media", "", val, self.pos + 1))
+        self.meta_pieces = []
+        self.meta_len = 0
+
+    # -- properties (reference: parser.c:2868-2916) --------------------------
+    def add_stack_to_prop_buf(self, baked: str | None) -> None:
+        s = "".join(self.prop_parts)
+        cleanwsp = True
+        if baked is not None:
+            prop = self.prop_def(baked)
+            store = prop.alias_for if (prop and prop.alias_for) else baked
+            if prop is not None and prop.verbatim:
+                cleanwsp = False
+            self._nb_add(self.properties, store, s, cleanwsp)
+        for t in self.propstack:
+            if t.baked == DOM_STR:
+                continue
+            self._nb_add(self.properties, t.baked, s, cleanwsp)
+
+    def _clear_prop_buf(self) -> None:
+        self.prop_parts = []
+        self.prop_len = 0
+
+    # -- tag stacks (reference: parser.c:2939-3031) ---------------------------
+    @staticmethod
+    def _push(stack: list[_Tag], raw: str, baked: str, joiner: str) -> None:
+        ctx = joiner.join([t.baked for t in stack] + [baked])
+        stack.append(_Tag(raw, baked, ctx))
+
+    @staticmethod
+    def _pop_on_match(stack: list[_Tag], raw: str) -> _Tag | None:
+        if stack and stack[-1].raw == raw and len(stack) > 1:
+            return stack.pop()
+        if stack and stack[-1].raw == raw and len(stack) == 1:
+            return None  # reference keeps the last member (parser.c:3075-3080)
+        return None
+
+    # -- bake_tag (reference: parser.c:323-754) -------------------------------
+    def bake_tag(
+        self,
+        tag: str,
+        attrs: list[tuple[str, str]] | None,
+        prefix: str | None,
+    ) -> str | None:
+        cfg = self.config
+        t = tag.lower()
+        if prefix is not None and not cfg.ignore_xmlns:
+            t = prefix.lower() + ":" + t  # parser.c:366-378
+
+        if self.is_html:
+            if t in ("br", "img"):
+                self.bump_word = True  # parser.c:388-397
+                if t == "img" and attrs:
+                    src = next((v for k, v in attrs if k.lower() == "src"), None)
+                    if src:
+                        self.add_media(src)
+            elif t in KNOWN_TAGS:
+                self.bump_word = t not in INLINE_TAGS  # parser.c:399-424
+            # unknown tag: bump_word unchanged (parser.c:404-406)
+
+            if t == "meta" and attrs:
+                metaname = next((v for k, v in attrs if k == "name"), None)
+                metacontent = next((v for k, v in attrs if k == "content"), None)
+                if metaname is not None:
+                    prev_ignore = self.ignore_content
+                    if not self.meta_defined(metaname) and metaname not in cfg.tag_aliases:
+                        self._apply_undef_meta_policy(metaname)
+                    if metacontent is not None:
+                        prev_bump = self.bump_word
+                        self.bump_word = True  # parser.c:509-513
+                        self.open_tag(metaname, None, prefix)
+                        self.buffer_characters(metacontent)
+                        self.close_tag(metaname, prefix)
+                        self.bump_word = prev_bump
+                        return None  # parser.c:536 — fully handled
+                    self.ignore_content = prev_ignore
+        else:
+            self.bump_word = True  # parser.c:543-549: every XML tag bumps
+            if attrs:
+                classattrs = cfg.stringlists.get(CLASS_ATTRIBUTES)
+                for k, v in attrs:
+                    attr_lower = k.lower()
+                    val_lower = v.lower()
+                    if classattrs and attr_lower in classattrs:
+                        # composite tag.<attrval> (parser.c:580-597)
+                        t = t + "." + val_lower
+                    mfa = t + "." + attr_lower  # parser.c:599-607
+                    if not self.meta_defined(mfa):
+                        self._apply_undef_attr_policy(mfa, val_lower)
+                    if self.meta_defined(mfa):
+                        # attr value becomes content (parser.c:650-668)
+                        self.bump_word = True
+                        self.open_tag(mfa, None, prefix)
+                        self.buffer_characters(val_lower)
+                        self.close_tag(mfa, prefix)
+            if not self.meta_defined(t) and t not in cfg.tag_aliases:
+                self._apply_undef_meta_policy(t, is_xml_tag=True)
+
+        # alias rewrite: bare tag, then flattened DOM path (parser.c:728-747)
+        alias = cfg.tag_aliases.get(t)
+        if alias:
+            t = alias
+        else:
+            domtag = ".".join([d.baked for d in self.domstack] + [t])
+            alias = cfg.tag_aliases.get(domtag)
+            if alias:
+                t = alias
+        return t
+
+    def _apply_undef_meta_policy(self, name: str, is_xml_tag: bool = False) -> None:
+        pol = self.config.undef_metas
+        if pol == UNDEF_ERROR:
+            raise ValueError(
+                f"tag '{name}' is not a defined MetaName and UndefinedMetaTags == error"
+            )
+        if pol == UNDEF_IGNORE:
+            self.ignore_content += 1  # parser.c:470-476
+        elif pol in (UNDEF_AUTO, UNDEF_AUTOALL):
+            self.extra_metanames[name] = MetaName(name)
+            if pol == UNDEF_AUTOALL and not self.prop_defined(name):
+                self.extra_properties[name] = Property(name)
+        elif pol == UNDEF_INDEX and is_xml_tag:
+            # default: any defined-or-undefined XML tag resets ignore
+            # (parser.c:708-717)
+            if self.ignore_content:
+                self.ignore_content = 0
+
+    def _apply_undef_attr_policy(self, mfa: str, val_lower: str) -> None:
+        pol = self.config.undef_attrs
+        if pol == UNDEF_ERROR:
+            raise ValueError(
+                f"XML attr metaname '{mfa}' undefined and UndefinedXMLAttributes == error"
+            )
+        if pol in (UNDEF_AUTO, UNDEF_AUTOALL):
+            self.extra_metanames[mfa] = MetaName(mfa)
+            if pol == UNDEF_AUTOALL and not self.prop_defined(mfa):
+                self.extra_properties[mfa] = Property(mfa)
+        elif pol == UNDEF_INDEX:
+            # index attr value under current context (parser.c:636-643)
+            prev = self.bump_word
+            self.bump_word = True
+            self.buffer_characters(val_lower)
+            self.bump_word = prev
+
+    # -- open/close (reference: parser.c:1095-1250) ---------------------------
+    def open_tag(
+        self,
+        tag: str,
+        attrs: list[tuple[str, str]] | None,
+        prefix: str | None = None,
+    ) -> None:
+        baked = self.bake_tag(tag, attrs, prefix)
+        if baked is None:
+            # HTML <meta name content> handled recursively; raw tag still
+            # tracked on domstack (parser.c:1132-1134)
+            self._push(self.domstack, tag, tag, ".")
+            return
+        self._push(self.domstack, tag, baked, ".")
+        dom_ctx = self.domstack[-1].context
+
+        if self.prop_defined(baked) or self.prop_defined(dom_ctx):
+            self.add_stack_to_prop_buf(None)  # dump to open props (parser.c:1152)
+            self._clear_prop_buf()
+            push_baked = dom_ctx if self.prop_defined(dom_ctx) else baked
+            self._push(self.propstack, tag, push_baked, "/")
+
+        if self.meta_defined(baked) or self.meta_defined(dom_ctx):
+            head = self.metastack[-1]
+            self.flush_buffer(head.baked, head.context)
+            # NB: the reference checks the *properties* hash here too
+            # (parser.c:1181-1186) — replicated verbatim
+            push_baked = dom_ctx if self.prop_defined(dom_ctx) else baked
+            self._push(self.metastack, tag, push_baked, "/")
+
+    def close_tag(self, tag: str, prefix: str | None = None) -> None:
+        baked = self.bake_tag(tag, None, prefix)
+        if baked is None:
+            return
+        st = self._pop_on_match(self.propstack, tag)
+        if st is not None:
+            self.add_stack_to_prop_buf(st.baked)
+            self._clear_prop_buf()
+        st = self._pop_on_match(self.metastack, tag)
+        if st is not None:
+            self.flush_buffer(st.baked, st.context)
+        if self.domstack:
+            self.domstack.pop()
+
+    # -- comments (reference: parser.c:1321-1388) ------------------------------
+    def comment(self, text: str) -> None:
+        t = text.strip(_WS)
+        if not t:
+            return
+        if t.lower().startswith("swishcommand"):
+            t = t[len("swishcommand") :].strip(_WS)
+            cmd_found = True
+        else:
+            cmd_found = False
+        if t.lower() == "noindex":
+            self.ignore_content += 1
+            return
+        if t.lower() == "index":
+            if self.ignore_content > 0:
+                self.ignore_content -= 1
+            return
+        if cmd_found:
+            return
+        self.bump_word = True  # parser.c:1380-1381
+
+    # -- document drivers ------------------------------------------------------
+    def end_document(self) -> None:
+        # reference: parser.c:831-846
+        self.flush_buffer(DEFAULT_METANAME, DEFAULT_METANAME)
+
+    def consume(self, events) -> None:
+        for ev in events:
+            k = ev[0]
+            if k == "text":
+                self.buffer_characters(ev[1])
+            elif k == "start":
+                self.open_tag(ev[1], ev[2], ev[3])
+            elif k == "end":
+                self.close_tag(ev[1], ev[2])
+            elif k == "comment":
+                self.comment(ev[1])
+
+
+def _txt_parse(state: DocState, text: str) -> None:
+    """reference: parser.c:2599-2710 (txt_parser)."""
+    state._push(state.metastack, DEFAULT_METANAME, DEFAULT_METANAME, "/")
+    state.buffer_characters(text)
+    state.flush_buffer(DEFAULT_METANAME, DEFAULT_METANAME)
+    if state.uri:
+        state._push(state.metastack, TITLE_METANAME, TITLE_METANAME, "/")
+        state.buffer_characters(state.uri)
+        state.flush_buffer(TITLE_METANAME, TITLE_METANAME)
+
+
+def parse_document(
+    doc_id: str,
+    spans: list,
+    parser: str | None = None,
+    mime: str | None = None,
+    config: SwishConfig | None = None,
+    include_resolver=None,
+    error: str | None = None,
+) -> dict:
+    """Parse one interleaved (text|media) span document.
+
+    ``spans`` elements are mappings/tuples with fields
+    (kind, text, media_ref, offset). Markup documents usually arrive as
+    a single text span carrying the full markup; pre-split documents
+    with interleaved media spans are concatenated in offset order, media
+    spans becoming media events at their interleave points.
+
+    Returns the extracted row dict. ``include_resolver`` (optional)
+    maps an XInclude href to resolved (text, parser) for P10 support.
+    """
+    cfg = config or default_config()
+    if parser is None:
+        parser = cfg.parser_for_mime(mime) if mime else _guess_parser(doc_id, cfg)
+    parser = (parser or "HTML").upper()
+
+    if error:
+        # ingest-level failure (e.g. undecodable bytes): the reference
+        # aborts the whole document parse (parser.c:2505 error path), so
+        # no spans — not even the TXT title-from-path — are emitted.
+        return {
+            "doc_id": doc_id,
+            "spans": [],
+            "metanames": {},
+            "properties": {},
+            "nwords": 0,
+            "parser": parser,
+            "error": error,
+        }
+
+    state = DocState(cfg, is_html=parser.startswith("H"), uri=doc_id)
+
+    try:
+        if parser.startswith("T"):
+            # TXT path: concatenate text, media spans become media markers
+            state._push(state.metastack, DEFAULT_METANAME, DEFAULT_METANAME, "/")
+            for sp in spans:
+                kind, text, ref = _span_fields(sp)
+                if kind == "media":
+                    state.bump_word = True
+                    state.add_media(ref)
+                else:
+                    state.buffer_characters(text)
+            state.flush_buffer(DEFAULT_METANAME, DEFAULT_METANAME)
+            if state.uri:
+                state._push(state.metastack, TITLE_METANAME, TITLE_METANAME, "/")
+                state.buffer_characters(state.uri)
+                state.flush_buffer(TITLE_METANAME, TITLE_METANAME)
+        else:
+            scanner = html_events if state.is_html else xml_events
+            for sp in spans:
+                kind, text, ref = _span_fields(sp)
+                if kind == "media":
+                    state.bump_word = True
+                    state.add_media(ref)
+                else:
+                    _consume_markup(state, scanner, text, include_resolver)
+            state.end_document()
+    except ValueError as e:
+        state.error = str(e)
+
+    return {
+        "doc_id": doc_id,
+        "spans": [
+            {"kind": k, "text": t, "media_ref": r, "order": o}
+            for (k, t, r, o) in state.spans
+        ],
+        "metanames": state.metanames,
+        "properties": state.properties,
+        "nwords": state.nwords,
+        "parser": parser,
+        "error": state.error,
+    }
+
+
+_XINCLUDE_NS_URIS = frozenset(
+    (
+        "http://www.w3.org/2001/XInclude",
+        "http://www.w3.org/2003/XInclude",  # the OLD_NS the reference accepts
+    )
+)
+
+
+def _consume_markup(state: DocState, scanner, text: str, include_resolver) -> None:
+    """Event loop with XInclude expansion (reference: parser.c:919-951).
+
+    An ``<xi:include href=...>`` element whose prefix is bound to either
+    XInclude namespace triggers ``process_xinclude`` semantics
+    (parser.c:990-1079): flush the parent buffer, parse the referenced
+    document as a *fresh* child document (``parse="text"`` forces the
+    TXT parser), then merge child tokens/metanames/properties into the
+    parent with renumbered positions (parser.c:963-988).
+    """
+    follow = state.config.follow_xinclude and include_resolver is not None
+    ns_bindings: dict[str, str] = {}
+    for ev in scanner(text):
+        k = ev[0]
+        if k == "text":
+            state.buffer_characters(ev[1])
+        elif k == "start":
+            if follow:
+                for ak, av in ev[2] or ():
+                    if ak.startswith("xmlns:"):
+                        ns_bindings[ak[6:]] = av
+                if (
+                    ev[1] == "include"
+                    and ev[3]
+                    and ns_bindings.get(ev[3]) in _XINCLUDE_NS_URIS
+                ):
+                    _process_xinclude(state, ev[2] or [], include_resolver)
+            state.open_tag(ev[1], ev[2], ev[3])
+        elif k == "end":
+            state.close_tag(ev[1], ev[2])
+        elif k == "comment":
+            state.comment(ev[1])
+
+
+def _process_xinclude(state: DocState, attrs, include_resolver) -> None:
+    href = next((v for k, v in attrs if k.lower() == "href"), None)
+    parse_mode = next((v for k, v in attrs if k.lower() == "parse"), "xml")
+    if not href:
+        return
+    head = state.metastack[-1]
+    state.flush_buffer(head.baked, head.context)  # parser.c:1040-1043
+    resolved = include_resolver(href, state.uri)
+    if resolved is None:
+        return  # missing file: skipped with a warning (parser.c:1052-1054)
+    child_uri, child_text, child_parser = resolved
+    if parse_mode == "text":
+        child_parser = "TXT"  # parser.c:1056-1059
+    child = parse_document(
+        child_uri,
+        [{"kind": "text", "text": child_text, "media_ref": "", "offset": 0}],
+        parser=child_parser,
+        config=state.config,
+        include_resolver=include_resolver,
+    )
+    # merge (xinclude_handler, parser.c:963-988): child tokens appended
+    # with fresh parent positions; nwords summed; named buffers concat'd
+    for sp in child["spans"]:
+        if sp["kind"] == "word":
+            state.pos += 1
+            state.nwords += 1
+            state.spans.append(("word", sp["text"], "", state.pos))
+        else:
+            state.spans.append(("media", "", sp["media_ref"], state.pos + 1))
+    for name, val in child["metanames"].items():
+        if state.meta_defined(name):
+            state._nb_add(state.metanames, name, val, cleanwsp=False)
+    for name, val in child["properties"].items():
+        if state.prop_defined(name):
+            state._nb_add(state.properties, name, val, cleanwsp=False)
+
+
+def make_include_resolver(include_map: dict):
+    """Resolver over a doc_id-keyed map (the Spark-side XInclude join
+    collects referenced docs into this map; reference resolves hrefs
+    against the parent URI's directory, parser.c:1005-1027)."""
+    import posixpath
+
+    def resolver(href: str, parent_uri: str):
+        if href.startswith("/"):
+            key = href
+        else:
+            key = posixpath.normpath(posixpath.join(posixpath.dirname(parent_uri), href))
+        hit = include_map.get(key)
+        if hit is None:
+            return None
+        text, parser = hit
+        return key, text, parser
+
+    return resolver
+
+
+def _span_fields(sp) -> tuple[str, str, str]:
+    if isinstance(sp, dict):
+        return sp.get("kind") or "text", sp.get("text") or "", sp.get("media_ref") or ""
+    # pyspark Row / tuple
+    kind = getattr(sp, "kind", None) or (sp[0] if len(sp) > 0 else "text")
+    text = getattr(sp, "text", None) or (sp[1] if len(sp) > 1 else "")
+    ref = getattr(sp, "media_ref", None) or (sp[2] if len(sp) > 2 else "")
+    return kind or "text", text or "", ref or ""
+
+
+def _guess_parser(doc_id: str, cfg: SwishConfig) -> str:
+    # reference: docinfo.c:202-258 (ext → mime → parser)
+    ext = doc_id.rsplit(".", 1)[-1].lower() if "." in doc_id else ""
+    return cfg.parser_for_mime(cfg.mime_for_ext(ext))

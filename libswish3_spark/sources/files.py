@@ -1,0 +1,186 @@
+"""Byte-level document ingest: S1/S2/S6/S7/D1/D2/D3/D5.
+
+Turns raw document bytes into rows of the interleaved ``docs`` table.
+Replicates the reference's slurp-side behaviors:
+
+* gzip transparency      — reference: src/libswish3/io.c:155-196,
+  detection docinfo.c:213-222
+* NUL/bumper scrub       — io.c:43-72 (``\\0`` and ``\\x03`` → ``\\n``)
+* MIME by extension      — mime_types.c:236-251
+* parser by MIME         — mime_types.c:253-273, config.c:341-351
+* encoding detection     — parser.c:2712-2759 (txt set_encoding,
+  html latin-1 default parser.c:2572-2581, xml declaration)
+
+At cluster scale the Spark path is ``spark.read.format("binaryFile")``
+(recursive lookup = the reference's directory walker
+parser.c:2355-2447, dot-file skip via ``pathGlobFilter``), followed by
+``mapInPandas(ingest_batch)`` — decode is CPU-bound and embarrassingly
+parallel, no shuffle.
+"""
+
+from __future__ import annotations
+
+import gzip
+import re
+
+from libswish3_spark.config import LATIN1_ENCODING, SwishConfig, default_config
+
+_XML_DECL_ENC = re.compile(rb'<\?xml[^>]*encoding=["\']([^"\']+)["\']', re.I)
+_HTML_META_CHARSET = re.compile(
+    rb'<meta[^>]+charset\s*=\s*["\']?([A-Za-z0-9_\-]+)', re.I
+)
+
+
+def _scrub_nuls(data: bytes) -> bytes:
+    # reference: io.c:43-72 — embedded NUL and \x03 become newlines
+    if b"\x00" in data or b"\x03" in data:
+        data = data.replace(b"\x00", b"\n").replace(b"\x03", b"\n")
+    return data
+
+
+def _is_gzip(data: bytes, uri: str) -> bool:
+    return uri.lower().endswith(".gz") or data[:2] == b"\x1f\x8b"
+
+
+def _valid_utf8(data: bytes) -> bool:
+    try:
+        data.decode("utf-8", errors="strict")
+        return True
+    except UnicodeDecodeError:
+        return False
+
+
+def ingest_bytes(
+    data: bytes,
+    uri: str,
+    config: SwishConfig | None = None,
+    declared_mime: str | None = None,
+    declared_parser: str | None = None,
+    declared_encoding: str | None = None,
+) -> dict:
+    """One document's bytes → a ``docs`` row dict.
+
+    Resolution order per ``swish_docinfo_check`` (reference:
+    docinfo.c:123-199): declared header values win, then extension
+    lookups; gz is stripped before extension resolution.
+    """
+    cfg = config or default_config()
+    if _is_gzip(data, uri):
+        data = gzip.decompress(data)
+        uri_for_ext = uri[: -len(".gz")] if uri.lower().endswith(".gz") else uri
+    else:
+        uri_for_ext = uri
+    data = _scrub_nuls(data)
+
+    ext = uri_for_ext.rsplit(".", 1)[-1].lower() if "." in uri_for_ext else ""
+    mime = declared_mime or cfg.mime_for_ext(ext)
+    parser = (declared_parser or cfg.parser_for_mime(mime)).upper()
+
+    text, encoding, error = _decode(data, parser, declared_encoding, cfg)
+
+    row = {
+        "doc_id": uri,
+        "spans": [
+            {"kind": "text", "text": text, "media_ref": "", "offset": 0}
+        ],
+        "mime": mime,
+        "parser": parser,
+        "encoding": encoding,
+        "size": len(data),
+        "error": error,
+    }
+    return row
+
+
+def _decode(
+    data: bytes, parser: str, declared: str | None, cfg: SwishConfig
+) -> tuple[str, str, str | None]:
+    """Returns (text, encoding, error)."""
+    declared_norm = (declared or "").replace("-", "").replace("_", "").lower()
+
+    if parser.startswith("X"):
+        m = _XML_DECL_ENC.search(data[:1024])
+        enc = (m.group(1).decode("ascii", "ignore") if m else declared) or None
+        if enc and enc.replace("-", "").replace("_", "").lower() in (
+            "iso88591",
+            "latin1",
+        ):
+            return data.decode("latin-1"), LATIN1_ENCODING, None
+        if enc:
+            try:
+                return data.decode(enc), enc.upper(), None
+            except (LookupError, UnicodeDecodeError):
+                pass
+        if _valid_utf8(data):
+            return data.decode("utf-8"), "UTF-8", None
+        return data.decode("latin-1"), LATIN1_ENCODING, None
+
+    if parser.startswith("H"):
+        m = _HTML_META_CHARSET.search(data[:4096])
+        enc = m.group(1).decode("ascii", "ignore").lower() if m else None
+        if enc in ("utf-8", "utf8"):
+            return data.decode("utf-8", errors="replace"), "UTF-8", None
+        if enc:
+            try:
+                return data.decode(enc), enc.upper(), None
+            except (LookupError, UnicodeDecodeError):
+                pass
+        # libxml2 HTML default is latin-1 (reference: parser.c:2572-2581)
+        # but pure-ASCII and valid-UTF-8 bodies decode as UTF-8 identically
+        # only for ASCII; prefer reference behavior: latin-1 unless declared.
+        if data.isascii():
+            return data.decode("ascii"), "UTF-8", None
+        return data.decode("latin-1"), LATIN1_ENCODING, None
+
+    # TXT: set_encoding (reference: parser.c:2712-2731)
+    if _valid_utf8(data):
+        return data.decode("utf-8"), "UTF-8", None
+    env = declared or cfg.default_encoding
+    if env.replace("-", "").replace("_", "").lower() in ("iso88591", "latin1"):
+        # isolat1ToUTF8 transcode path (parser.c:2626-2642)
+        return data.decode("latin-1"), LATIN1_ENCODING, None
+    # undecodable under the default locale: the reference's UTF-8
+    # tokenizer fails and the doc yields nothing (golden: latin1.txt → 0,
+    # reference: src/t/001-wordcount.t:42)
+    return "", env, "undecodable bytes under encoding " + env
+
+
+def ingest_batches(iterator, config: SwishConfig):
+    """mapInPandas adapter: batches of (path, content[, modificationTime])
+    from ``binaryFile`` → ``docs`` rows."""
+    import pandas as pd
+
+    for pdf in iterator:
+        rows = [
+            ingest_bytes(content, path, config)
+            for path, content in zip(pdf["path"], pdf["content"])
+        ]
+        yield pd.DataFrame(rows)
+
+
+def read_directory(spark, path: str, config: SwishConfig | None = None, glob: str = "*"):
+    """Directory scan → docs DataFrame (reference: parser.c:2355-2447).
+
+    Dot-files are skipped like the reference's walker; symlink policy is
+    delegated to the filesystem listing.
+    """
+    from libswish3_spark.pipeline import DOCS_FULL_SCHEMA
+
+    cfg = config or default_config()
+    bin_df = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select("path", "content")
+        .where(~_dotfile_expr())
+    )
+    return bin_df.mapInPandas(
+        lambda it: ingest_batches(it, cfg), schema=DOCS_FULL_SCHEMA
+    )
+
+
+def _dotfile_expr():
+    from pyspark.sql import functions as F
+
+    return F.element_at(F.split(F.col("path"), "/"), -1).startswith(".")

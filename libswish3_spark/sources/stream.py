@@ -1,0 +1,92 @@
+"""Aggregator-stream source (S3/S4): the Swish-e ``-S prog`` protocol.
+
+Parses the framed document stream the reference reads on stdin
+(reference: src/libswish3/parser.c:2050-2216 ``swish_parse_fh``,
+parser.c:1767-1846 ``buf_to_head``, parser.c:1848-2030
+``head_to_docinfo``):
+
+    Content-Length: <bytes>     (required)
+    Content-Location: <uri>     (required)
+    Content-Type: <mime>
+    Parser-Type: <HTML|XML|TXT>
+    Last-Modified: <time>
+    Encoding|Charset: <enc>
+    Action: <...>
+    <blank line>
+    <body of exactly Content-Length bytes>
+
+Each framed doc becomes one ``docs`` row; header fields map to the
+optional metadata columns. In production this shape arrives as rows of
+an Iceberg/Kafka-backed table and is consumed with Structured Streaming
+(see ``libswish3_spark.streaming``); this byte-parser exists for
+protocol compatibility and tests.
+"""
+
+from __future__ import annotations
+
+from libswish3_spark.config import SwishConfig, default_config
+from libswish3_spark.sources.files import ingest_bytes
+
+MAX_HEADERS = 6  # reference: libswish3.h:40
+
+_HEADER_ALIASES = {
+    "content-length": "length",
+    "content-location": "uri",
+    "content-type": "mime",
+    "parser-type": "parser",
+    "last-modified": "mtime",
+    "update": "mtime",
+    "encoding": "encoding",
+    "charset": "encoding",
+    "action": "action",
+}
+
+
+def parse_framed_stream(data: bytes, config: SwishConfig | None = None) -> list[dict]:
+    """Split a framed byte stream into ingested ``docs`` rows."""
+    cfg = config or default_config()
+    rows: list[dict] = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        # collect header lines until blank line
+        headers: dict[str, str] = {}
+        nheaders = 0
+        while pos < n:
+            eol = data.find(b"\n", pos)
+            if eol == -1:
+                pos = n
+                break
+            line = data[pos:eol].strip()
+            pos = eol + 1
+            if not line:
+                if headers:
+                    break
+                continue  # leading blank lines between docs
+            key, _, val = line.partition(b":")
+            k = key.decode("ascii", "ignore").strip().lower()
+            if k in _HEADER_ALIASES:
+                headers[_HEADER_ALIASES[k]] = val.decode("utf-8", "ignore").strip()
+                nheaders += 1
+                if nheaders > MAX_HEADERS:
+                    raise ValueError("too many stream headers")  # parser.c:1795
+        if not headers:
+            break
+        if "length" not in headers or "uri" not in headers:
+            # parser.c:1906-1918: Content-Length and Content-Location required
+            raise ValueError("stream doc missing Content-Length or Content-Location")
+        length = int(headers["length"])
+        body = data[pos : pos + length]
+        pos += length
+        row = ingest_bytes(
+            body,
+            headers["uri"],
+            cfg,
+            declared_mime=headers.get("mime"),
+            declared_parser=headers.get("parser"),
+            declared_encoding=headers.get("encoding"),
+        )
+        if "mtime" in headers:
+            row["mtime"] = headers["mtime"]
+        rows.append(row)
+    return rows

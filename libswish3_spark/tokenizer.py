@@ -1,0 +1,131 @@
+"""UTF-8-aware word tokenizer with exact reference position semantics.
+
+Re-expresses ``swish_tokenize`` / ``swish_tokenize_ascii`` /
+``swish_tokenize_utf8`` (reference: src/libswish3/tokenizer.c:590-970)
+as regex scans over whole text segments instead of a per-character C
+loop:
+
+* the buffer is lowercased first (tokenizer.c:624-625);
+* tokens are maximal runs of word characters (see ``charclasses``);
+* each run is edge-stripped of ignorable start/end characters — among
+  run characters only ``'`` and ``_`` are strippable, since they are
+  word chars *inside* a token but punct at its edges
+  (tokenizer.c:181-317);
+* runs longer than ``maxwordlen`` = 256 are force-split
+  (tokenizer.c:718-743 utf8 byte-based / 872-905 ascii char-based);
+* every emitted token gets ``pos = ++tl.pos`` (tokenizer.c:387) and
+  every TOKENPOS_BUMPER byte (``\\x03``) in the stream also increments
+  ``pos`` — the word-boundary-across-tags gap (tokenizer.c:693-697 et
+  al.);
+* tokens shorter than ``minwordlen`` = 1 after strip are dropped with
+  no position increment (tokenizer.c:680-689).
+"""
+
+from __future__ import annotations
+
+import re
+
+from libswish3_spark.charclasses import ASCII_WORD_RUN, word_run_re
+from libswish3_spark.config import MAX_WORD_LEN, MIN_WORD_LEN, TOKENPOS_BUMPER
+
+_BUMPER = TOKENPOS_BUMPER
+_EDGE_STRIP = "'_"
+
+
+def _split_maxlen_ascii(run: str, maxlen: int) -> list[str]:
+    # reference: tokenizer.c:872-905 — append char, force end at >= maxlen
+    return [run[i : i + maxlen] for i in range(0, len(run), maxlen)]
+
+
+def _split_maxlen_utf8(run: str, maxlen: int) -> list[str]:
+    """Byte-based split replicating tokenizer.c:718-743.
+
+    A char whose bytes would push the token past ``maxlen`` is *dropped*
+    (the C code ``continue``s without appending); the token force-ends
+    when it reaches exactly ``maxlen`` bytes.
+    """
+    out: list[str] = []
+    cur: list[str] = []
+    cur_len = 0
+    for ch in run:
+        blen = len(ch.encode("utf-8"))
+        if cur_len and cur_len + blen > maxlen:
+            # skip this char entirely (reference keeps inside_token=1)
+            continue
+        if blen > maxlen:
+            continue
+        cur.append(ch)
+        cur_len += blen
+        if cur_len >= maxlen:
+            out.append("".join(cur))
+            cur = []
+            cur_len = 0
+    if cur:
+        out.append("".join(cur))
+    return out
+
+
+def split_tokens(segment: str) -> list[str]:
+    """Tokenize one bumper-free text segment. Returns final token values."""
+    low = segment.lower()
+    if low.isascii():
+        runs = ASCII_WORD_RUN.findall(low)
+        splitter = _split_maxlen_ascii
+    else:
+        runs = word_run_re().findall(low)
+        splitter = _split_maxlen_utf8
+    out: list[str] = []
+    for run in runs:
+        if len(run) > MAX_WORD_LEN // 4 and (
+            len(run) > MAX_WORD_LEN or len(run.encode("utf-8")) > MAX_WORD_LEN
+        ):
+            pieces = splitter(run, MAX_WORD_LEN)
+        else:
+            pieces = (run,)
+        for tok in pieces:
+            tok = tok.strip(_EDGE_STRIP)
+            if len(tok) >= MIN_WORD_LEN:
+                out.append(tok)
+    return out
+
+
+def tokenize_with_positions(
+    text: str, pos: int, meta: str = "swishdefault", context: str = "swishdefault"
+) -> tuple[list[tuple[str, int, str, str]], int]:
+    """Tokenize ``text`` (which may contain ``\\x03`` bumper bytes).
+
+    Returns ``([(value, pos, meta, context), ...], new_pos)``. Token
+    positions and bumper gaps exactly follow tokenizer.c:387,693-697:
+    each token takes ``++pos``; each bumper byte takes one ``pos``
+    increment wherever it occurs in the stream.
+    """
+    out: list[tuple[str, int, str, str]] = []
+    if not text:
+        return out, pos
+    segments = text.split(_BUMPER)
+    last = len(segments) - 1
+    for i, seg in enumerate(segments):
+        if seg:
+            for tok in split_tokens(seg):
+                pos += 1
+                out.append((tok, pos, meta, context))
+        if i != last:
+            pos += 1  # the bumper byte's own position gap
+    return out, pos
+
+
+def count_tokens(text: str) -> int:
+    """Fast count-only variant (no position bookkeeping)."""
+    n = 0
+    for seg in text.split(_BUMPER):
+        if seg:
+            n += len(split_tokens(seg))
+    return n
+
+
+# Convenience: a token pattern string usable by *both* Spark SQL
+# (Java regex) and DuckDB (RE2) for ASCII-only corpora — used by the
+# oracle-checked queries so the two engines tokenize identically.
+ASCII_TOKEN_PATTERN_SQL = "[a-z0-9'_]+"
+
+_ws_re = re.compile(r"\s+")
