@@ -281,7 +281,10 @@ def load_config_xml(
                 if t.text:
                     mimes[t.tag.lower()] = t.text.strip()
         elif tag == "xmlclassattributes":
-            vals = tuple((node.text or "").split())
+            # repeated elements accumulate (header.c:795-828 stringlist merge)
+            vals = stringlists.get(CLASS_ATTRIBUTES, ()) + tuple(
+                (node.text or "").split()
+            )
             stringlists[CLASS_ATTRIBUTES] = vals
         elif tag == "undefinedmetatags":
             flags["undef_metas"] = (node.text or UNDEF_INDEX).strip().lower()
