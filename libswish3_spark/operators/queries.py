@@ -1,0 +1,609 @@
+"""Oracle-checked query registry.
+
+Each entry pairs a Spark implementation (DataFrame API, JVM-side
+wherever possible; the extraction engine via mapInPandas where the
+semantics demand it) with an equivalent DuckDB SQL oracle over the same
+parquet tables. Column names and integer-only numeric outputs are kept
+identical on both sides so the driver's order-insensitive value-hash
+matches bit-for-bit.
+
+Token pattern note: ``[a-z0-9'_]+`` is the engine tokenizer's ASCII
+fast path (reference: tokenizer.c:104-137) and behaves identically in
+Java regex (Spark) and RE2 (DuckDB) — the synthetic ``documents`` table
+is ASCII, so the oracle tokenizes exactly like the engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from libswish3_spark.functions import dedup as D
+from libswish3_spark.functions import similarity as S
+from libswish3_spark.functions import text as T
+from libswish3_spark.pipeline import extract
+
+PAT = T.TOKEN_PATTERN
+PAT_SQL = PAT.replace("'", "''")  # escaped for single-quoted SQL literals
+TOKS_SQL = f"regexp_extract_all(lower(text), '{PAT_SQL}')"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _html_wrap(df: DataFrame) -> DataFrame:
+    """Deterministic HTML synthesis: documents → interleaved docs rows."""
+    html = F.concat(
+        F.lit("<html><head><title>doc "),
+        F.col("doc_id").cast("string"),
+        F.lit(" from "),
+        F.col("source"),
+        F.lit("</title></head><body>"),
+        F.col("text"),
+        F.lit("</body></html>"),
+    )
+    return df.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                html.alias("text"),
+                F.lit("").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+        F.lit("HTML").alias("parser"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Extraction-engine queries (the actual mapInPandas pipeline, oracled)
+# --------------------------------------------------------------------------
+
+
+def q_extract_html(spark, sf_dir):
+    """Flagship: full engine over synthesized HTML docs.
+
+    nwords = tokens(title) + tokens(body); title/description come from
+    the swishtitle/swishdescription property buckets (tag aliases
+    title→swishtitle, body→swishdescription; reference config.c:366-371).
+    """
+    docs = _html_wrap(_docs(spark, sf_dir))
+    out = extract(docs)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("nwords"),
+        F.element_at("properties", "swishtitle").alias("title"),
+        F.element_at("properties", "swishdescription").alias("description"),
+    )
+
+
+ORACLE_EXTRACT_HTML = f"""
+SELECT doc_id,
+       len(regexp_extract_all(lower('doc ' || doc_id || ' from ' || source), '{PAT_SQL}'))
+     + len({TOKS_SQL}) AS nwords,
+       'doc ' || doc_id || ' from ' || source AS title,
+       text AS description
+FROM documents
+"""
+
+
+def q_extract_media(spark, sf_dir):
+    """Engine media path: one interleaved <img> per doc → media span at
+    the bumper gap; media_ref surfaces in the span sequence."""
+    base = _docs(spark, sf_dir)
+    html = F.concat(
+        F.lit("<body>"),
+        F.col("text"),
+        F.lit('<img src="img://'),
+        F.col("doc_id").cast("string"),
+        F.lit('"/></body>'),
+    )
+    docs = base.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                html.alias("text"),
+                F.lit("").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+        F.lit("HTML").alias("parser"),
+    )
+    out = extract(docs)
+    media = F.filter("spans", lambda s: s["kind"] == F.lit("media"))
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("nwords"),
+        F.size(media).alias("n_media"),
+        F.element_at(media, 1)["media_ref"].alias("media_ref"),
+    )
+
+
+ORACLE_EXTRACT_MEDIA = f"""
+SELECT doc_id,
+       len({TOKS_SQL}) AS nwords,
+       1 AS n_media,
+       'img://' || doc_id AS media_ref
+FROM documents
+"""
+
+
+def q_extract_txt(spark, sf_dir):
+    """Engine TXT path: body → swishdefault, doc_id-as-uri → swishtitle
+    (reference: parser.c:2690-2699 title-from-path)."""
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.col("text").alias("text"),
+                F.lit("").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+        F.lit("TXT").alias("parser"),
+    )
+    out = extract(docs)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("nwords"),
+        F.element_at("metanames", "swishtitle").alias("title"),
+    )
+
+
+ORACLE_EXTRACT_TXT = f"""
+SELECT doc_id,
+       len({TOKS_SQL}) + 1 AS nwords,   -- +1: numeric doc_id is one token
+       CAST(doc_id AS VARCHAR) AS title
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# JVM-side text analysis (T-layer re-expressed in codegen)
+# --------------------------------------------------------------------------
+
+
+def q_tokenize_count(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", T.token_count(F.col("text")).alias("n_tokens")
+    )
+
+
+ORACLE_TOKENIZE_COUNT = f"SELECT doc_id, len({TOKS_SQL}) AS n_tokens FROM documents"
+
+
+def q_word_totals(spark, sf_dir):
+    return _docs(spark, sf_dir).agg(
+        F.count("*").alias("files"),
+        F.sum(T.token_count(F.col("text"))).alias("total_words"),
+    )
+
+
+ORACLE_WORD_TOTALS = (
+    f"SELECT count(*) AS files, sum(len({TOKS_SQL})) AS total_words FROM documents"
+)
+
+
+def q_term_frequencies(spark, sf_dir):
+    return (
+        _docs(spark, sf_dir)
+        .select(F.explode(T.tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.col("token"))
+        .limit(50)
+    )
+
+
+ORACLE_TERM_FREQUENCIES = f"""
+SELECT token, count(*) AS cnt
+FROM (SELECT unnest({TOKS_SQL}) AS token FROM documents)
+GROUP BY token ORDER BY cnt DESC, token LIMIT 50
+"""
+
+
+def q_named_buffer_concat(spark, sf_dir):
+    """A1 named-buffer group-concat: per source, ordered doc_id list."""
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("source")
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_list(F.col("doc_id").cast("string"))), ","
+            ).alias("doc_ids"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+
+
+ORACLE_NAMED_BUFFER_CONCAT = """
+SELECT source,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY CAST(doc_id AS VARCHAR)) AS doc_ids,
+       count(*) AS n_docs
+FROM documents GROUP BY source
+"""
+
+
+def q_parser_dispatch(spark, sf_dir):
+    """D1/D2: broadcast dim lookup lang → parser family, like the
+    reference's 152-row MIME table (mime_types.c:35-234)."""
+    dim = spark.createDataFrame(
+        [("en", "HTML"), ("de", "XML"), ("fr", "XML"), ("es", "TXT"), ("zh", "TXT")],
+        ["lang", "parser"],
+    )
+    return (
+        _docs(spark, sf_dir)
+        .join(F.broadcast(dim), "lang", "left")
+        .groupBy(F.coalesce("parser", F.lit("HTML")).alias("parser"))
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+ORACLE_PARSER_DISPATCH = """
+SELECT coalesce(p.parser, 'HTML') AS parser, count(*) AS n_docs
+FROM documents d
+LEFT JOIN (VALUES ('en','HTML'),('de','XML'),('fr','XML'),('es','TXT'),('zh','TXT'))
+       AS p(lang, parser) ON d.lang = p.lang
+GROUP BY 1
+"""
+
+
+def q_doc_quality(spark, sf_dir):
+    feats = T.quality_features(F.col("text"))
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        feats["n_chars"].alias("n_chars"),
+        feats["n_tokens"].alias("n_tokens"),
+        feats["alpha_bp"].alias("alpha_bp"),
+        feats["stopword_bp"].alias("stopword_bp"),
+    )
+
+
+_STOP_SQL = ",".join(f"'{w}'" for w in T.STOPWORDS)
+ORACLE_DOC_QUALITY = f"""
+SELECT doc_id,
+       length(text) AS n_chars,
+       len({TOKS_SQL}) AS n_tokens,
+       CASE WHEN length(text) > 0 THEN
+         CAST(floor(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 10000 / length(text)) AS BIGINT)
+       ELSE 0 END AS alpha_bp,
+       CASE WHEN len({TOKS_SQL}) > 0 THEN
+         CAST(floor(len(list_filter({TOKS_SQL}, t -> t IN ({_STOP_SQL}))) * 10000 / len({TOKS_SQL})) AS BIGINT)
+       ELSE 0 END AS stopword_bp
+FROM documents
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    toks = T.tokens(F.col("text"))
+    scores = T.lang_scores(toks)
+    guess = F.lit("und")
+    best = F.lit(-1)
+    # deterministic argmax: iterate langs in fixed order, strict >
+    for lang in sorted(T.LANG_MARKERS):
+        sc = scores[lang]
+        guess = F.when(sc > best, F.lit(lang)).otherwise(guess)
+        best = F.when(sc > best, sc).otherwise(best)
+    return _docs(spark, sf_dir).select(
+        "doc_id", guess.alias("guess_lang"), best.cast("long").alias("marker_hits")
+    )
+
+
+def _lang_score_sql(lang):
+    markers = ",".join(f"'{m}'" for m in T.LANG_MARKERS[lang])
+    return f"len(list_filter({TOKS_SQL}, t -> t IN ({markers})))"
+
+
+def _build_lang_id_oracle():
+    langs = sorted(T.LANG_MARKERS)
+    guess = "'und'"
+    best = "-1"
+    for lang in langs:
+        sc = _lang_score_sql(lang)
+        guess = f"CASE WHEN {sc} > {best} THEN '{lang}' ELSE {guess} END"
+        best = f"CASE WHEN {sc} > {best} THEN {sc} ELSE {best} END"
+    return f"SELECT doc_id, {guess} AS guess_lang, CAST({best} AS BIGINT) AS marker_hits FROM documents"
+
+
+ORACLE_LANG_ID = _build_lang_id_oracle()
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", T.fingerprint(F.col("text")).alias("fp")
+    )
+
+
+ORACLE_DOC_FINGERPRINT = "SELECT doc_id, md5(lower(text)) AS fp FROM documents"
+
+
+# --------------------------------------------------------------------------
+# Deduplication
+# --------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    return D.exact_duplicates(_docs(spark, sf_dir), "doc_id", "text")
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT md5(lower(text)) AS fp, min(doc_id) AS keeper, count(*) AS n_dups
+FROM documents GROUP BY 1
+"""
+
+_SHINGLE_SQL = f"""list_distinct(list_transform(
+    range(1, greatest(len({TOKS_SQL}) - 2, 0) + 1),
+    i -> {TOKS_SQL}[i] || ' ' || {TOKS_SQL}[i+1] || ' ' || {TOKS_SQL}[i+2]))"""
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    return D.minhash_candidates(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def _minhash_sql(seed):
+    return f"list_min(list_transform(sh, s -> md5(s || '#{seed}')))"
+
+
+def _build_minhash_oracle():
+    r = D.MINHASH_K // D.MINHASH_BANDS
+    buckets = []
+    for b in range(D.MINHASH_BANDS):
+        parts = " || '|' || ".join(_minhash_sql(b * r + j) for j in range(r))
+        buckets.append(f"md5('{b}' || '|' || {parts})")
+    bucket_list = "[" + ", ".join(buckets) + "]"
+    return f"""
+WITH sh AS (
+  SELECT doc_id AS id, {_SHINGLE_SQL} AS sh FROM documents
+),
+bk AS (
+  SELECT id, unnest({bucket_list}) AS bucket FROM sh
+)
+SELECT DISTINCT l.id AS a, r.id AS b
+FROM bk l JOIN bk r ON l.bucket = r.bucket AND l.id < r.id
+"""
+
+
+ORACLE_DEDUP_MINHASH = _build_minhash_oracle()
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    return D.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", threshold=0.2
+    )
+
+
+ORACLE_DEDUP_NGRAM_JACCARD = f"""
+WITH sh AS (
+  SELECT doc_id AS id, {_SHINGLE_SQL} AS sh FROM documents
+),
+ex AS (
+  SELECT id, len(sh) AS n_sh, unnest(sh) AS shingle FROM sh
+),
+pairs AS (
+  SELECT l.id AS a, r.id AS b, l.n_sh AS na, r.n_sh AS nb, count(*) AS common
+  FROM ex l JOIN ex r ON l.shingle = r.shingle AND l.id < r.id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT a, b, CAST(floor(common * 10000 / (na + nb - common)) AS BIGINT) AS jaccard_bp
+FROM pairs WHERE CAST(floor(common * 10000 / (na + nb - common)) AS BIGINT) >= 2000
+"""
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", D.simhash(T.tokens(F.col("text"))).alias("simhash")
+    )
+
+
+def _build_simhash_oracle():
+    acc = []
+    for i in range(D.SIMHASH_BITS):
+        nib = i // 4
+        shift = 2 ** (i % 4)
+        bit_sum = (
+            f"list_sum(list_transform({TOKS_SQL}, t -> "
+            f"(CAST(floor((instr('0123456789abcdef', substr(md5(t), {nib + 1}, 1)) - 1) / {shift}) AS BIGINT) % 2) * 2 - 1))"
+        )
+        acc.append(f"CASE WHEN coalesce({bit_sum}, 0) >= 0 THEN {2**i} ELSE 0 END")
+    return f"SELECT doc_id, CAST({' + '.join(acc)} AS BIGINT) AS simhash FROM documents"
+
+
+ORACLE_DEDUP_SIMHASH = _build_simhash_oracle()
+
+
+# --------------------------------------------------------------------------
+# Similarity search over embeddings
+# --------------------------------------------------------------------------
+
+
+def _query_vec(spark, sf_dir):
+    row = (
+        _read(spark, sf_dir, "embeddings")
+        .orderBy("vec_id")
+        .limit(1)
+        .collect()[0]
+    )
+    return list(row["embedding"])
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings")
+    return S.brute_force_topk(emb, "vec_id", "embedding", _query_vec(spark, sf_dir))
+
+
+ORACLE_ANN_COSINE_TOPK = """
+WITH q AS (SELECT embedding AS qv FROM embeddings ORDER BY vec_id LIMIT 1)
+SELECT vec_id,
+       CAST(floor(
+         list_sum(list_transform(range(1, len(embedding)+1),
+                  i -> CAST(embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+          * sqrt(list_sum(list_transform(range(1, len(q.qv)+1),     i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))))
+         * 10000) AS BIGINT) AS score_bp
+FROM embeddings, q
+ORDER BY score_bp DESC, vec_id LIMIT 10
+"""
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings")
+    return S.lsh_bucketed_topk(emb, "vec_id", "embedding", _query_vec(spark, sf_dir))
+
+
+def _build_ann_lsh_oracle(dims=8):
+    sig = " + ".join(
+        f"CASE WHEN embedding[{i+1}] >= 0 THEN {2**i} ELSE 0 END" for i in range(dims)
+    )
+    qsig = " + ".join(
+        f"CASE WHEN q.qv[{i+1}] >= 0 THEN {2**i} ELSE 0 END" for i in range(dims)
+    )
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings ORDER BY vec_id LIMIT 1)
+SELECT vec_id,
+       CAST(floor(
+         list_sum(list_transform(range(1, len(embedding)+1),
+                  i -> CAST(embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+          * sqrt(list_sum(list_transform(range(1, len(q.qv)+1),     i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))))
+         * 10000) AS BIGINT) AS score_bp
+FROM embeddings, q
+WHERE ({sig}) = ({qsig})
+ORDER BY score_bp DESC, vec_id LIMIT 10
+"""
+
+
+ORACLE_ANN_LSH_TOPK = _build_ann_lsh_oracle()
+
+
+# --------------------------------------------------------------------------
+# Stream-table analytics + relational coverage
+# --------------------------------------------------------------------------
+
+
+def q_events_windowed(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("cnt"),
+        F.floor(F.sum("value") * 100).cast("long").alias("sum_value_c"),
+    )
+
+
+ORACLE_EVENTS_WINDOWED = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS cnt, CAST(floor(sum(value) * 100) AS BIGINT) AS sum_value_c
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_lineitem_metrics(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.floor(F.sum("l_quantity")).cast("long").alias("sum_qty"),
+            F.floor(F.sum("l_extendedprice") * 100).cast("long").alias("sum_base_c"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+ORACLE_LINEITEM_METRICS = """
+SELECT l_returnflag, l_linestatus,
+       CAST(floor(sum(l_quantity)) AS BIGINT) AS sum_qty,
+       CAST(floor(sum(l_extendedprice) * 100) AS BIGINT) AS sum_base_c,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY 1, 2
+"""
+
+
+def q_region_order_counts(spark, sf_dir):
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    nation = _read(spark, sf_dir, "nation")
+    region = _read(spark, sf_dir, "region")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.floor(F.sum("o_totalprice")).cast("long").alias("revenue_floor"),
+        )
+    )
+
+
+ORACLE_REGION_ORDER_COUNTS = """
+SELECT r_name AS region, count(*) AS n_orders,
+       CAST(floor(sum(o_totalprice)) AS BIGINT) AS revenue_floor
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Rows-only entries (no SQL-expressible oracle)
+# --------------------------------------------------------------------------
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing: synthesize binary media from document text,
+    run the Arrow-batched (stub) feature extractor."""
+    from libswish3_spark.functions.media import extract_media_features
+
+    media = _docs(spark, sf_dir).select(
+        F.concat(F.lit("img://"), F.col("doc_id").cast("string")).alias("media_ref"),
+        F.lit("image").alias("media_type"),
+        F.encode("text", "utf-8").alias("content"),
+    )
+    feats = extract_media_features(media)
+    return feats.select(
+        "media_ref",
+        F.size("feature").alias("dim"),
+        F.floor(F.element_at("feature", 1) * 10000).cast("long").alias("f0_bp"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, tuple] = {
+    # (spark_fn, oracle_sql | None)
+    "extract_html": (q_extract_html, ORACLE_EXTRACT_HTML),
+    "extract_media": (q_extract_media, ORACLE_EXTRACT_MEDIA),
+    "extract_txt": (q_extract_txt, ORACLE_EXTRACT_TXT),
+    "tokenize_count": (q_tokenize_count, ORACLE_TOKENIZE_COUNT),
+    "word_totals": (q_word_totals, ORACLE_WORD_TOTALS),
+    "term_frequencies": (q_term_frequencies, ORACLE_TERM_FREQUENCIES),
+    "named_buffer_concat": (q_named_buffer_concat, ORACLE_NAMED_BUFFER_CONCAT),
+    "parser_dispatch": (q_parser_dispatch, ORACLE_PARSER_DISPATCH),
+    "doc_quality": (q_doc_quality, ORACLE_DOC_QUALITY),
+    "lang_id": (q_lang_id, ORACLE_LANG_ID),
+    "doc_fingerprint": (q_doc_fingerprint, ORACLE_DOC_FINGERPRINT),
+    "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
+    "dedup_minhash_lsh": (q_dedup_minhash_lsh, ORACLE_DEDUP_MINHASH),
+    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, ORACLE_DEDUP_NGRAM_JACCARD),
+    "dedup_simhash": (q_dedup_simhash, ORACLE_DEDUP_SIMHASH),
+    "ann_cosine_topk": (q_ann_cosine_topk, ORACLE_ANN_COSINE_TOPK),
+    "ann_lsh_topk": (q_ann_lsh_topk, ORACLE_ANN_LSH_TOPK),
+    "events_windowed": (q_events_windowed, ORACLE_EVENTS_WINDOWED),
+    "lineitem_metrics": (q_lineitem_metrics, ORACLE_LINEITEM_METRICS),
+    "region_order_counts": (q_region_order_counts, ORACLE_REGION_ORDER_COUNTS),
+    "media_features": (q_media_features, None),  # binary path: rows-only
+}
