@@ -78,13 +78,41 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, k: int = MINHASH_K
+) -> DataFrame:
+    """id → k minhash columns via explode + partial min-aggregate.
+
+    Shingling/tokenization run exactly once per document (project
+    collapse would otherwise inline them into every minhash transform);
+    the k mins combine map-side, so the shuffle carries one row per
+    (doc, k-signature) — this is the formulation that holds at 100 TB.
+    """
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(tokens(F.col(text_col)))).alias("shingle"),
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{j}")))).alias(f"mh{j}")
+        for j in range(k)
+    ]
+    return exploded.groupBy("id").agg(*aggs)
+
+
 def minhash_candidates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """LSH candidate pairs (a < b) sharing at least one band bucket."""
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        band_buckets(shingles(tokens(F.col(text_col)))).alias("buckets"),
-    )
-    exploded = sh.select("id", F.explode("buckets").alias("bucket"))
+    k, bands = MINHASH_K, MINHASH_BANDS
+    r = k // bands
+    minh = minhash_signatures(df, id_col, text_col, k)
+    bucket_cols = [
+        F.md5(
+            F.concat_ws(
+                "|", F.lit(str(b)), *[F.col(f"mh{b * r + j}") for j in range(r)]
+            )
+        )
+        for b in range(bands)
+    ]
+    exploded = minh.select("id", F.explode(F.array(*bucket_cols)).alias("bucket"))
     left = exploded.alias("l")
     right = exploded.alias("r")
     return (

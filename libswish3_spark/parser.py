@@ -476,6 +476,31 @@ def parse_document(
             "error": error,
         }
 
+    state = parse_to_state(doc_id, spans, parser, cfg, include_resolver)
+
+    return {
+        "doc_id": doc_id,
+        "spans": [
+            {"kind": k, "text": t, "media_ref": r, "order": o}
+            for (k, t, r, o) in state.spans
+        ],
+        "metanames": state.metanames,
+        "properties": state.properties,
+        "nwords": state.nwords,
+        "parser": parser,
+        "error": state.error,
+    }
+
+
+def parse_to_state(
+    doc_id: str,
+    spans: list,
+    parser: str,
+    cfg: SwishConfig,
+    include_resolver=None,
+) -> DocState:
+    """Core parse returning the raw DocState (span tuples, not dicts) —
+    the Arrow fast path builds columnar output from this directly."""
     state = DocState(cfg, is_html=parser.startswith("H"), uri=doc_id)
 
     try:
@@ -506,19 +531,7 @@ def parse_document(
             state.end_document()
     except ValueError as e:
         state.error = str(e)
-
-    return {
-        "doc_id": doc_id,
-        "spans": [
-            {"kind": k, "text": t, "media_ref": r, "order": o}
-            for (k, t, r, o) in state.spans
-        ],
-        "metanames": state.metanames,
-        "properties": state.properties,
-        "nwords": state.nwords,
-        "parser": parser,
-        "error": state.error,
-    }
+    return state
 
 
 _XINCLUDE_NS_URIS = frozenset(

@@ -82,49 +82,146 @@ EXTRACTED_SCHEMA = StructType(
 _EXTRACT_COLS = ["doc_id", "spans", "parser", "mime", "error"]
 
 
+def _arrow_out_schema():
+    import pyarrow as pa
+
+    span = pa.struct(
+        [
+            ("kind", pa.string()),
+            ("text", pa.string()),
+            ("media_ref", pa.string()),
+            ("order", pa.int32()),
+        ]
+    )
+    return pa.schema(
+        [
+            ("doc_id", pa.string()),
+            ("spans", pa.list_(span)),
+            ("metanames", pa.map_(pa.string(), pa.string())),
+            ("properties", pa.map_(pa.string(), pa.string())),
+            ("nwords", pa.int64()),
+            ("parser", pa.string()),
+            ("error", pa.string()),
+        ]
+    )
+
+
 def extract_batch_fn(config: SwishConfig, include_map: dict | None = None):
-    """Build the mapInPandas function (config captured by closure —
-    Spark pickles it into the task, the moral equivalent of a broadcast
-    for this small object; pass ``include_map`` for XInclude joins)."""
+    """Build the mapInArrow kernel.
 
-    def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        import pandas as pd
+    Output is constructed as flat Arrow arrays + offset vectors
+    (ListArray/MapArray.from_arrays) — the per-span/py-dict path through
+    pandas object columns costs more than the parse itself, so the
+    columnar build is what keeps the pipeline Python-light outside the
+    parser proper. Config rides the closure (small, broadcast-like).
+    """
 
-        from libswish3_spark.parser import make_include_resolver, parse_document
+    def fn(batches):
+        import pyarrow as pa
 
+        from libswish3_spark.config import default_config
+        from libswish3_spark.parser import make_include_resolver, parse_to_state
+
+        cfg = config or default_config()
         resolver = make_include_resolver(include_map) if include_map else None
-        for pdf in batches:
-            has_parser = "parser" in pdf.columns
-            has_mime = "mime" in pdf.columns
-            has_error = "error" in pdf.columns
-            out = []
-            for i in range(len(pdf)):
-                row = pdf.iloc[i]
-                out.append(
-                    parse_document(
-                        row["doc_id"],
-                        row["spans"] if row["spans"] is not None else [],
-                        parser=row["parser"] if has_parser else None,
-                        mime=row["mime"] if has_mime else None,
-                        config=config,
-                        include_resolver=resolver,
-                        error=row["error"] if has_error else None,
+        out_schema = _arrow_out_schema()
+
+        for batch in batches:
+            names = set(batch.schema.names)
+            n = batch.num_rows
+            doc_ids = batch.column("doc_id").to_pylist()
+            spans_in = batch.column("spans").to_pylist()
+            parsers = batch.column("parser").to_pylist() if "parser" in names else [None] * n
+            mimes = batch.column("mime").to_pylist() if "mime" in names else [None] * n
+            errors = batch.column("error").to_pylist() if "error" in names else [None] * n
+
+            s_kind: list[str] = []
+            s_text: list[str] = []
+            s_ref: list[str] = []
+            s_ord: list[int] = []
+            s_off = [0]
+            m_keys: list[str] = []
+            m_vals: list[str] = []
+            m_off = [0]
+            p_keys: list[str] = []
+            p_vals: list[str] = []
+            p_off = [0]
+            nwords: list[int] = []
+            out_parser: list[str] = []
+            out_error: list[str | None] = []
+
+            for i in range(n):
+                parser = parsers[i]
+                if parser is None:
+                    parser = (
+                        cfg.parser_for_mime(mimes[i])
+                        if mimes[i]
+                        else _guess_parser_cached(doc_ids[i], cfg)
                     )
-                )
-            yield pd.DataFrame(
-                out,
-                columns=[
-                    "doc_id",
-                    "spans",
-                    "metanames",
-                    "properties",
-                    "nwords",
-                    "parser",
-                    "error",
+                parser = (parser or "HTML").upper()
+                if errors[i]:
+                    nwords.append(0)
+                    out_parser.append(parser)
+                    out_error.append(errors[i])
+                else:
+                    st = parse_to_state(
+                        doc_ids[i], spans_in[i] or [], parser, cfg, resolver
+                    )
+                    for (k, t, r, o) in st.spans:
+                        s_kind.append(k)
+                        s_text.append(t)
+                        s_ref.append(r)
+                        s_ord.append(o)
+                    for k, v in st.metanames.items():
+                        m_keys.append(k)
+                        m_vals.append(v)
+                    for k, v in st.properties.items():
+                        p_keys.append(k)
+                        p_vals.append(v)
+                    nwords.append(st.nwords)
+                    out_parser.append(parser)
+                    out_error.append(st.error)
+                s_off.append(len(s_kind))
+                m_off.append(len(m_keys))
+                p_off.append(len(p_keys))
+
+            span_struct = pa.StructArray.from_arrays(
+                [
+                    pa.array(s_kind, pa.string()),
+                    pa.array(s_text, pa.string()),
+                    pa.array(s_ref, pa.string()),
+                    pa.array(s_ord, pa.int32()),
                 ],
+                names=["kind", "text", "media_ref", "order"],
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(doc_ids, pa.string()),
+                    pa.ListArray.from_arrays(pa.array(s_off, pa.int32()), span_struct),
+                    pa.MapArray.from_arrays(
+                        pa.array(m_off, pa.int32()),
+                        pa.array(m_keys, pa.string()),
+                        pa.array(m_vals, pa.string()),
+                    ),
+                    pa.MapArray.from_arrays(
+                        pa.array(p_off, pa.int32()),
+                        pa.array(p_keys, pa.string()),
+                        pa.array(p_vals, pa.string()),
+                    ),
+                    pa.array(nwords, pa.int64()),
+                    pa.array(out_parser, pa.string()),
+                    pa.array(out_error, pa.string()),
+                ],
+                schema=out_schema,
             )
 
     return fn
+
+
+def _guess_parser_cached(doc_id: str, cfg: SwishConfig) -> str:
+    from libswish3_spark.parser import _guess_parser
+
+    return _guess_parser(doc_id, cfg)
 
 
 def extract(
@@ -146,7 +243,7 @@ def extract(
     pruned = docs.select(*cols)  # column pruning reaches the scan
     if salt_partitions:
         pruned = salt_by_size(pruned, salt_partitions)
-    return pruned.mapInPandas(
+    return pruned.mapInArrow(
         extract_batch_fn(cfg, include_map), schema=EXTRACTED_SCHEMA
     )
 

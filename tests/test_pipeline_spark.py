@@ -47,7 +47,7 @@ def test_plan_is_narrow(spark):
     docs = spark.createDataFrame(fx.load_fixture_rows(), schema=DOCS_FULL_SCHEMA)
     plan = lsw.extract(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # extraction must not shuffle
-    assert "MapInPandas" in plan
+    assert "MapInArrow" in plan
 
 
 def test_metrics(extracted):
