@@ -587,15 +587,32 @@ def _process_xinclude(state: DocState, attrs, include_resolver) -> None:
     if resolved is None:
         return  # missing file: skipped with a warning (parser.c:1052-1054)
     child_uri, child_text, child_parser = resolved
+    # cycle guard: the reference would recurse into the filesystem until
+    # it blew the stack on a self-include; bounded data can't be allowed
+    # to do that to an executor. In-flight URIs are tracked on the
+    # resolver (sequential per-document parse, so a plain set suffices).
+    active = getattr(include_resolver, "_active", None)
+    if active is None:
+        active = set()
+        try:
+            include_resolver._active = active
+        except AttributeError:
+            return
+    if child_uri == state.uri or child_uri in active or len(active) >= 8:
+        return
     if parse_mode == "text":
         child_parser = "TXT"  # parser.c:1056-1059
-    child = parse_document(
-        child_uri,
-        [{"kind": "text", "text": child_text, "media_ref": "", "offset": 0}],
-        parser=child_parser,
-        config=state.config,
-        include_resolver=include_resolver,
-    )
+    active.add(state.uri)
+    try:
+        child = parse_document(
+            child_uri,
+            [{"kind": "text", "text": child_text, "media_ref": "", "offset": 0}],
+            parser=child_parser,
+            config=state.config,
+            include_resolver=include_resolver,
+        )
+    finally:
+        active.discard(state.uri)
     # merge (xinclude_handler, parser.c:963-988): child tokens appended
     # with fresh parent positions; nwords summed; named buffers concat'd
     for sp in child["spans"]:
@@ -614,9 +631,14 @@ def _process_xinclude(state: DocState, attrs, include_resolver) -> None:
 
 
 def make_include_resolver(include_map: dict):
-    """Resolver over a doc_id-keyed map (the Spark-side XInclude join
-    collects referenced docs into this map; reference resolves hrefs
-    against the parent URI's directory, parser.c:1005-1027)."""
+    """Resolver over a resolved-path-keyed map (the Spark-side XInclude
+    join collects referenced docs into this map; the reference resolves
+    hrefs against the parent URI's directory, parser.c:1005-1027).
+
+    Values may be ``(text, parser)`` tuples (driver-side maps) or
+    ``{"text":…, "parser":…}`` mappings (the per-row ``includes`` map
+    column produced by ``operators.xinclude.with_includes``).
+    """
     import posixpath
 
     def resolver(href: str, parent_uri: str):
@@ -627,6 +649,8 @@ def make_include_resolver(include_map: dict):
         hit = include_map.get(key)
         if hit is None:
             return None
+        if isinstance(hit, dict):
+            return key, hit.get("text") or "", hit.get("parser")
         text, parser = hit
         return key, text, parser
 

@@ -79,7 +79,7 @@ EXTRACTED_SCHEMA = StructType(
     ]
 )
 
-_EXTRACT_COLS = ["doc_id", "spans", "parser", "mime", "error"]
+_EXTRACT_COLS = ["doc_id", "spans", "parser", "mime", "error", "includes"]
 
 
 def _arrow_out_schema():
@@ -134,6 +134,9 @@ def extract_batch_fn(config: SwishConfig, include_map: dict | None = None):
             parsers = batch.column("parser").to_pylist() if "parser" in names else [None] * n
             mimes = batch.column("mime").to_pylist() if "mime" in names else [None] * n
             errors = batch.column("error").to_pylist() if "error" in names else [None] * n
+            includes = (
+                batch.column("includes").to_pylist() if "includes" in names else [None] * n
+            )
 
             s_kind: list[str] = []
             s_text: list[str] = []
@@ -164,8 +167,12 @@ def extract_batch_fn(config: SwishConfig, include_map: dict | None = None):
                     out_parser.append(parser)
                     out_error.append(errors[i])
                 else:
+                    row_resolver = resolver
+                    if includes[i]:
+                        # per-row include map from the distributed join
+                        row_resolver = make_include_resolver(dict(includes[i]))
                     st = parse_to_state(
-                        doc_ids[i], spans_in[i] or [], parser, cfg, resolver
+                        doc_ids[i], spans_in[i] or [], parser, cfg, row_resolver
                     )
                     for (k, t, r, o) in st.spans:
                         s_kind.append(k)

@@ -85,7 +85,8 @@ def reference_available() -> bool:
 
 
 def fixture_names() -> list[str]:
-    return sorted(GOLDEN_NWORDS)
+    # include-target docs ride along so the XInclude join has rows to hit
+    return sorted(set(GOLDEN_NWORDS) | set(XINCLUDE_SOURCES))
 
 
 def load_fixture_rows(

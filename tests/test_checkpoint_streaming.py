@@ -1,0 +1,91 @@
+"""Checkpoint resume (batch manifest) + Structured Streaming tests."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from libswish3_spark.pipeline import DOCS_FULL_SCHEMA
+from libswish3_spark.plans import checkpoint as cp
+from libswish3_spark.sources import fixtures as fx
+from libswish3_spark.streaming import start_extraction_stream
+
+pytestmark = pytest.mark.skipif(
+    not fx.reference_available(), reason="reference corpus not present"
+)
+
+
+def _docs(spark):
+    return spark.createDataFrame(fx.load_fixture_rows(), schema=DOCS_FULL_SCHEMA)
+
+
+def test_checkpoint_resume(spark, tmp_path):
+    out = str(tmp_path / "extracted")
+    docs = _docs(spark)
+    n_total = docs.count()
+
+    # first pass: process only 3 of 8 buckets, as if the run died
+    r1 = cp.run_extraction(spark, docs, out, num_buckets=8, buckets_per_pass=3)
+    assert len(r1["processed"]) == 3 and r1["skipped"] == []
+
+    # resume: remaining buckets only
+    r2 = cp.run_extraction(spark, docs, out, num_buckets=8)
+    assert sorted(r2["skipped"]) == sorted(r1["processed"])
+    assert len(r2["processed"]) == 5
+
+    # a third run is a no-op
+    r3 = cp.run_extraction(spark, docs, out, num_buckets=8)
+    assert r3["processed"] == []
+
+    result = cp.read_extracted(spark, out)
+    assert result.count() == n_total
+    assert result.select("doc_id").distinct().count() == n_total
+
+    manifest = cp.read_manifest(spark, out)
+    m = manifest.agg(F.sum("docs"), F.sum("words")).collect()[0]
+    assert m[0] == n_total
+    assert m[1] == result.agg(F.sum("nwords")).collect()[0][0]
+
+
+def test_rerun_bucket_is_idempotent(spark, tmp_path):
+    out = str(tmp_path / "x2")
+    docs = _docs(spark).limit(6)
+    cp.run_extraction(spark, docs, out, num_buckets=2)
+    before = cp.read_extracted(spark, out).count()
+    # simulate a manifest loss for bucket 0 → reprocess overwrites, not dups
+    import shutil
+
+    man = os.path.join(out, "_manifest")
+    spark.read.parquet(man).where("bucket != 0").write.mode("overwrite").parquet(
+        man + "_new"
+    )
+    shutil.rmtree(man)
+    shutil.move(man + "_new", man)
+    cp.run_extraction(spark, docs, out, num_buckets=2)
+    assert cp.read_extracted(spark, out).count() == before
+
+
+def test_streaming_extraction_and_restart(spark, tmp_path):
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    docs = _docs(spark)
+    first, second = docs.limit(10), docs.subtract(docs.limit(10))
+
+    first.write.mode("append").parquet(src)
+    q = start_extraction_stream(spark, src, out, ckpt)
+    q.awaitTermination(120)
+    got1 = spark.read.parquet(out).count()
+    assert got1 == 10
+
+    # new files arrive; a restarted stream picks up ONLY the new ones
+    second.write.mode("append").parquet(src)
+    q = start_extraction_stream(spark, src, out, ckpt)
+    q.awaitTermination(120)
+    result = spark.read.parquet(out)
+    assert result.count() == docs.count()
+    # goldens hold through the streaming path
+    got = {r["doc_id"]: r["nwords"] for r in result.collect()}
+    for name, exp in fx.GOLDEN_NWORDS.items():
+        if exp is not None and name != "xinclude.xml":  # no include map in stream
+            assert got[f"test_docs/{name}"] == exp, name
