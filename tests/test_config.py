@@ -1,0 +1,99 @@
+"""Config loader / merge / flag tests (C1-C4, A5, A3)."""
+
+import pytest
+
+from libswish3_spark.config import (
+    CLASS_ATTRIBUTES,
+    default_config,
+    load_config_xml,
+)
+from libswish3_spark.parser import parse_document
+
+
+def test_defaults_match_reference():
+    cfg = default_config()
+    # config.c:268-373
+    assert set(cfg.metanames) == {"swishdefault", "swishtitle"}
+    assert set(cfg.properties) == {"swishdescription", "swishtitle"}
+    assert cfg.tag_aliases == {"title": "swishtitle", "body": "swishdescription"}
+    assert cfg.parsers["text/html"] == "HTML"
+    assert cfg.parsers["default"] == "HTML"
+    # config.c:189-194 flag defaults
+    assert cfg.tokenize and not cfg.cascade_meta_context
+    assert cfg.ignore_xmlns and cfg.follow_xinclude
+    assert cfg.undef_metas == "index" and cfg.undef_attrs == "disable"
+
+
+def test_loader_sections_and_flags():
+    cfg = load_config_xml(
+        """
+        <swish>
+          <MetaNames><foo bias="5"/><bar id="9">baz qux</bar></MetaNames>
+          <PropertyNames><myprop verbatim="1" type="int"/></PropertyNames>
+          <TagAlias><foo>oldfoo</foo></TagAlias>
+          <Parsers><TXT>application/x-custom</TXT></Parsers>
+          <MIME><weird>application/x-weird</weird></MIME>
+          <XMLClassAttributes>class</XMLClassAttributes>
+          <UndefinedMetaTags>auto</UndefinedMetaTags>
+          <CascadeMetaContext>1</CascadeMetaContext>
+          <FollowXInclude>no</FollowXInclude>
+        </swish>
+        """
+    )
+    assert cfg.metanames["foo"].bias == 5
+    assert cfg.metanames["bar"].id == 9
+    assert cfg.tag_aliases["baz"] == "bar" and cfg.tag_aliases["qux"] == "bar"
+    assert cfg.properties["myprop"].verbatim and cfg.properties["myprop"].type == 3
+    assert cfg.tag_aliases["oldfoo"] == "foo"
+    assert cfg.parsers["application/x-custom"] == "TXT"
+    assert cfg.mimes["weird"] == "application/x-weird"
+    assert cfg.stringlists[CLASS_ATTRIBUTES] == ("class",)
+    assert cfg.undef_metas == "auto"
+    assert cfg.cascade_meta_context is True
+    assert cfg.follow_xinclude is False
+
+
+def test_include_config_file_recursion():
+    inner = "<swish><MetaNames><deep/></MetaNames></swish>"
+    cfg = load_config_xml(
+        "<swish><IncludeConfigFile>inner.xml</IncludeConfigFile></swish>",
+        _resolver=lambda name: inner if name == "inner.xml" else None,
+    )
+    assert "deep" in cfg.metanames
+
+
+def test_alias_integrity_validation():
+    with pytest.raises(ValueError):
+        load_config_xml(
+            '<swish><MetaNames><foo alias_for="missing"/></MetaNames></swish>'
+        )
+
+
+def test_cascade_meta_context():
+    """A3 (reference: parser.c:786-799): with the flag on, flushed text
+    lands in every metaname on the stack, not just the head."""
+    cfg = load_config_xml(
+        "<swish><MetaNames><outer/><inner/></MetaNames>"
+        "<CascadeMetaContext>1</CascadeMetaContext></swish>"
+    )
+    r = parse_document(
+        "c.xml",
+        [{"kind": "text", "text": "<doc><outer>a <inner>b</inner></outer></doc>",
+          "media_ref": "", "offset": 0}],
+        parser="XML",
+        config=cfg,
+    )
+    # 'b' flushed under inner AND cascaded to outer + swishdefault
+    assert "b" in r["metanames"]["inner"]
+    assert "b" in r["metanames"]["outer"]
+    assert "b" in r["metanames"]["swishdefault"]
+    # without the flag, 'b' stays only under inner
+    r2 = parse_document(
+        "c.xml",
+        [{"kind": "text", "text": "<doc><outer>a <inner>b</inner></outer></doc>",
+          "media_ref": "", "offset": 0}],
+        parser="XML",
+        config=cfg.with_overrides(cascade_meta_context=False),
+    )
+    assert "b" in r2["metanames"]["inner"]
+    assert "b" not in r2["metanames"].get("outer", "")

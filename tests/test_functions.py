@@ -1,0 +1,133 @@
+"""Unit tests for the training-data function layer (JVM-side columns)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from libswish3_spark.functions import dedup as D
+from libswish3_spark.functions import similarity as S
+from libswish3_spark.functions import text as T
+from libswish3_spark.functions.media import (
+    FEATURE_DIM,
+    extract_media_features,
+    fake_decode,
+    real_decode,
+)
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat on the mat"),  # exact dup of 1
+        (3, "the cat sat on the red mat today"),  # near dup
+        (4, "completely different words entirely here now"),
+        (5, ""),
+        (6, "tiny"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_tokens_and_quality(spark, docs):
+    r = {
+        x["doc_id"]: x
+        for x in docs.select(
+            "doc_id",
+            T.token_count(F.col("text")).alias("n"),
+            *[v.alias(k) for k, v in T.quality_features(F.col("text")).items()],
+        ).collect()
+    }
+    assert r[1]["n"] == 6 and r[5]["n"] == 0 and r[6]["n"] == 1
+    assert r[5]["alpha_bp"] == 0  # empty text guarded
+    assert r[1]["stopword_bp"] == 3333  # 'the' x2 of 6 tokens → floor(10000/3)
+
+
+def test_shingles_short_doc_empty(spark, docs):
+    out = {
+        x["doc_id"]: x["sh"]
+        for x in docs.select(
+            "doc_id", D.shingles(T.tokens(F.col("text"))).alias("sh")
+        ).collect()
+    }
+    assert out[5] == [] and out[6] == []  # < n tokens → empty, not [0,-1] junk
+    assert "the cat sat" in out[1]
+
+
+def test_exact_dedup_groups(spark, docs):
+    groups = {r["keeper"]: r["n_dups"] for r in D.exact_duplicates(docs, "doc_id", "text").collect()}
+    assert groups[1] == 2  # docs 1 and 2 share a fingerprint
+    assert groups[3] == 1
+
+
+def test_minhash_finds_near_dups(spark, docs):
+    pairs = {(r["a"], r["b"]) for r in D.minhash_candidates(docs, "doc_id", "text").collect()}
+    assert (1, 2) in pairs  # exact dups always collide on every band
+    assert (1, 4) not in pairs and (2, 4) not in pairs
+
+
+def test_jaccard_scores(spark, docs):
+    rows = {(r["a"], r["b"]): r["jaccard_bp"] for r in D.ngram_jaccard_pairs(docs, "doc_id", "text", 0.1).collect()}
+    assert rows[(1, 2)] == 10000  # identical shingle sets
+    assert 0 < rows[(1, 3)] < 10000
+
+
+def test_simhash_identical_for_dups(spark, docs):
+    sh = {
+        r["doc_id"]: r["s"]
+        for r in docs.select("doc_id", D.simhash(T.tokens(F.col("text"))).alias("s")).collect()
+    }
+    assert sh[1] == sh[2]
+    assert 0 <= sh[1] < 2**16
+    assert sh[1] != sh[4]
+
+
+def test_cosine_topk_self_first(spark):
+    rows = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    top = S.brute_force_topk(emb, "vec_id", "embedding", [1.0, 0.0, 0.0, 0.0], k=2).collect()
+    assert top[0]["vec_id"] == 0 and top[0]["score_bp"] == 10000
+    assert top[1]["score_bp"] == 0
+
+
+def test_lsh_bucket_restricts(spark):
+    rows = [
+        (0, [1.0] * 8),
+        (1, [1.0] * 8),
+        (2, [-1.0] * 8),  # opposite orthant — excluded from the bucket
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {r["vec_id"] for r in S.lsh_bucketed_topk(emb, "vec_id", "embedding", [1.0] * 8).collect()}
+    assert got == {0, 1}
+
+
+def test_media_features_shapes(spark):
+    media = spark.createDataFrame(
+        [("m1", "image", b"somebytes"), ("m2", "audio", None)],
+        ["media_ref", "media_type", "content"],
+    )
+    out = {r["media_ref"]: r for r in extract_media_features(media).collect()}
+    assert len(out["m1"]["feature"]) == FEATURE_DIM
+    assert all(0.0 <= v <= 1.0 for v in out["m1"]["feature"])
+    assert out["m2"]["feature"] is not None  # None content → md5(b"")
+    # determinism
+    assert fake_decode(b"somebytes", "image") == fake_decode(b"somebytes", "image")
+
+
+def test_real_decode_is_marked_stub():
+    with pytest.raises(NotImplementedError):
+        real_decode(b"x", "image")
+
+
+def test_media_decode_error_isolated(spark):
+    def angry(content, mtype):
+        if content == b"poison":
+            raise RuntimeError("bad blob")
+        return fake_decode(content, mtype)
+
+    media = spark.createDataFrame(
+        [("ok", "image", b"fine"), ("bad", "image", b"poison")],
+        ["media_ref", "media_type", "content"],
+    )
+    out = {r["media_ref"]: r for r in extract_media_features(media, decoder=angry).collect()}
+    assert out["ok"]["decode_error"] is None
+    assert "bad blob" in out["bad"]["decode_error"]
+    assert out["bad"]["feature"] is None
