@@ -316,6 +316,64 @@ def load_config_xml(
     )
 
 
+def config_to_xml(cfg: SwishConfig) -> str:
+    """Serialize a config back to swish.xml form (reference:
+    header.c:1386+ swish_header_write). Round-trips through
+    ``load_config_xml``."""
+    from xml.sax.saxutils import escape
+
+    parts = ["<swish>"]
+    parts.append(" <MetaNames>")
+    for name, m in sorted(cfg.metanames.items()):
+        attrs = f' bias="{m.bias}" id="{m.id}"'
+        if m.alias_for:
+            attrs += f' alias_for="{escape(m.alias_for)}"'
+        parts.append(f"  <{name}{attrs} />")
+    parts.append(" </MetaNames>")
+    parts.append(" <PropertyNames>")
+    for name, p in sorted(cfg.properties.items()):
+        attrs = (
+            f' id="{p.id}" ignore_case="{int(p.ignore_case)}"'
+            f' verbatim="{int(p.verbatim)}" sort="{int(p.sort)}" max="{p.max}"'
+            f' type="{ {PROP_STRING: "string", PROP_DATE: "date", PROP_INT: "int"}[p.type] }"'
+        )
+        if p.alias_for:
+            attrs += f' alias_for="{escape(p.alias_for)}"'
+        parts.append(f"  <{name}{attrs} />")
+    parts.append(" </PropertyNames>")
+    parts.append(" <TagAlias>")
+    targets: dict[str, list[str]] = {}
+    for alias, target in sorted(cfg.tag_aliases.items()):
+        targets.setdefault(target, []).append(alias)
+    for target, aliases in sorted(targets.items()):
+        parts.append(f"  <{target}>{escape(' '.join(aliases))}</{target}>")
+    parts.append(" </TagAlias>")
+    parts.append(" <Parsers>")
+    by_parser: dict[str, list[str]] = {}
+    for mime, parser in sorted(cfg.parsers.items()):
+        by_parser.setdefault(parser, []).append(mime)
+    for parser, mimes in sorted(by_parser.items()):
+        parts.append(f"  <{parser}>{escape(' '.join(mimes))}</{parser}>")
+    parts.append(" </Parsers>")
+    if cfg.stringlists.get(CLASS_ATTRIBUTES):
+        vals = escape(" ".join(cfg.stringlists[CLASS_ATTRIBUTES]))
+        parts.append(f" <XMLClassAttributes>{vals}</XMLClassAttributes>")
+    parts.append(f" <Tokenize>{int(cfg.tokenize)}</Tokenize>")
+    parts.append(
+        f" <CascadeMetaContext>{int(cfg.cascade_meta_context)}</CascadeMetaContext>"
+    )
+    parts.append(
+        f" <IgnoreXMLNameSpaces>{int(cfg.ignore_xmlns)}</IgnoreXMLNameSpaces>"
+    )
+    parts.append(f" <FollowXInclude>{int(cfg.follow_xinclude)}</FollowXInclude>")
+    parts.append(f" <UndefinedMetaTags>{cfg.undef_metas}</UndefinedMetaTags>")
+    parts.append(
+        f" <UndefinedXMLAttributes>{cfg.undef_attrs}</UndefinedXMLAttributes>"
+    )
+    parts.append("</swish>")
+    return "\n".join(parts)
+
+
 def validate_config_names(metanames, properties, aliases) -> None:
     """Alias/id integrity (reference: header.c:1003 test_alias_fors)."""
     for m in metanames.values():

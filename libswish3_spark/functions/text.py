@@ -81,6 +81,43 @@ def fingerprint(text_col) -> Column:
     return F.md5(F.lower(text_col))
 
 
+def s_stem(tok) -> Column:
+    """Harman S-stemmer — the pluggable ``analyzer->stemmer`` hook
+    (reference: libswish3.h:411-412; default none, consumers may set).
+
+    Rules: -ies→-y (unless -eies/-aies), -es→-e drop s (unless
+    -aes/-ees/-oes), -s dropped (unless -us/-ss). Pure CASE/regexp —
+    identical in Spark and DuckDB, so stemmed operators stay
+    oracle-checkable.
+    """
+    return (
+        F.when(
+            tok.rlike("ies$") & ~tok.rlike("(eies|aies)$"),
+            F.concat(tok.substr(F.lit(1), F.length(tok) - 3), F.lit("y")),
+        )
+        .when(
+            tok.rlike("es$") & ~tok.rlike("(aes|ees|oes)$"),
+            tok.substr(F.lit(1), F.length(tok) - 1),
+        )
+        .when(
+            tok.rlike("s$") & ~tok.rlike("(us|ss)$"),
+            tok.substr(F.lit(1), F.length(tok) - 1),
+        )
+        .otherwise(tok)
+    )
+
+
+S_STEM_SQL = (
+    "CASE WHEN regexp_matches({t}, 'ies$') AND NOT regexp_matches({t}, '(eies|aies)$')"
+    " THEN substr({t}, 1, length({t}) - 3) || 'y'"
+    " WHEN regexp_matches({t}, 'es$') AND NOT regexp_matches({t}, '(aes|ees|oes)$')"
+    " THEN substr({t}, 1, length({t}) - 1)"
+    " WHEN regexp_matches({t}, 's$') AND NOT regexp_matches({t}, '(us|ss)$')"
+    " THEN substr({t}, 1, length({t}) - 1)"
+    " ELSE {t} END"
+)
+
+
 def bpe_ish_token_count(text_col) -> Column:
     """Sub-word-ish token estimate: words + digit runs + punct islands.
 

@@ -556,6 +556,83 @@ GROUP BY 1
 """
 
 
+def q_stemmed_terms(spark, sf_dir):
+    """T10 pluggable stemmer hook, applied over the token stream."""
+    return (
+        _docs(spark, sf_dir)
+        .select(F.explode(T.tokens(F.col("text"))).alias("token"))
+        .select(T.s_stem(F.col("token")).alias("stem"))
+        .groupBy("stem")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.col("stem"))
+        .limit(40)
+    )
+
+
+ORACLE_STEMMED_TERMS = f"""
+SELECT {T.S_STEM_SQL.format(t='token')} AS stem, count(*) AS cnt
+FROM (SELECT unnest({TOKS_SQL}) AS token FROM documents)
+GROUP BY 1 ORDER BY cnt DESC, stem LIMIT 40
+"""
+
+
+def q_bpe_token_count(spark, sf_dir):
+    """Sub-word-ish token estimate for packing/billing at corpus scale."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", T.bpe_ish_token_count(F.col("text")).alias("n_bpe")
+    )
+
+
+ORACLE_BPE_TOKEN_COUNT = """
+SELECT doc_id,
+       len(regexp_extract_all(lower(text), '[a-z]{1,4}|[0-9]+|[^a-z0-9\\s]')) AS n_bpe
+FROM documents
+"""
+
+
+def q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup pairs within sign-signature buckets."""
+    emb = _read(spark, sf_dir, "embeddings")
+    sig = S.sign_signature(F.col("embedding"), 8)
+    bucketed = emb.select(F.col("vec_id"), F.col("embedding"), sig.alias("sig"))
+    l, r = bucketed.alias("l"), bucketed.alias("r")
+    pairs = l.join(
+        r,
+        (F.col("l.sig") == F.col("r.sig")) & (F.col("l.vec_id") < F.col("r.vec_id")),
+    )
+    score = S.cosine_bp(F.col("l.embedding"), F.col("r.embedding"))
+    return pairs.select(
+        F.col("l.vec_id").alias("a"),
+        F.col("r.vec_id").alias("b"),
+        score.alias("score_bp"),
+    ).where(F.col("score_bp") >= 3000)
+
+
+def _build_dedup_embedding_oracle(dims=8):
+    sig = lambda side: " + ".join(
+        f"CASE WHEN {side}.embedding[{i+1}] >= 0 THEN {2**i} ELSE 0 END"
+        for i in range(dims)
+    )
+    dot = (
+        "list_sum(list_transform(range(1, len(l.embedding)+1),"
+        " i -> CAST(l.embedding[i] AS DOUBLE) * CAST(r.embedding[i] AS DOUBLE)))"
+    )
+    nrm = lambda side: (
+        f"sqrt(list_sum(list_transform(range(1, len({side}.embedding)+1),"
+        f" i -> CAST({side}.embedding[i] AS DOUBLE) * CAST({side}.embedding[i] AS DOUBLE))))"
+    )
+    return f"""
+SELECT l.vec_id AS a, r.vec_id AS b,
+       CAST(floor({dot} / ({nrm('l')} * {nrm('r')}) * 10000) AS BIGINT) AS score_bp
+FROM embeddings l JOIN embeddings r
+  ON ({sig('l')}) = ({sig('r')}) AND l.vec_id < r.vec_id
+WHERE CAST(floor({dot} / ({nrm('l')} * {nrm('r')}) * 10000) AS BIGINT) >= 3000
+"""
+
+
+ORACLE_DEDUP_EMBEDDING = _build_dedup_embedding_oracle()
+
+
 # --------------------------------------------------------------------------
 # Rows-only entries (no SQL-expressible oracle)
 # --------------------------------------------------------------------------
@@ -600,6 +677,9 @@ QUERIES: dict[str, tuple] = {
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, ORACLE_DEDUP_MINHASH),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, ORACLE_DEDUP_NGRAM_JACCARD),
     "dedup_simhash": (q_dedup_simhash, ORACLE_DEDUP_SIMHASH),
+    "stemmed_terms": (q_stemmed_terms, ORACLE_STEMMED_TERMS),
+    "bpe_token_count": (q_bpe_token_count, ORACLE_BPE_TOKEN_COUNT),
+    "dedup_embedding": (q_dedup_embedding, ORACLE_DEDUP_EMBEDDING),
     "ann_cosine_topk": (q_ann_cosine_topk, ORACLE_ANN_COSINE_TOPK),
     "ann_lsh_topk": (q_ann_lsh_topk, ORACLE_ANN_LSH_TOPK),
     "events_windowed": (q_events_windowed, ORACLE_EVENTS_WINDOWED),
