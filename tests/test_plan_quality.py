@@ -1,0 +1,79 @@
+"""Physical-plan quality gates: the plans we'd want at 100 TB, asserted.
+
+These catch regressions where a code change silently degrades the plan
+(broadcast lost, pushdown broken, extra shuffle introduced).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+import libswish3_spark as lsw
+from libswish3_spark.operators.queries import QUERIES
+
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_dim_joins_broadcast(spark):
+    plan = _plan(QUERIES["region_order_counts"][0](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # small dims must never sort-merge
+
+
+def test_parser_dispatch_broadcasts(spark):
+    plan = _plan(QUERIES["parser_dispatch"][0](spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_filter_pushdown_reaches_scan(spark, tmp_path):
+    """A filter before extract() must reach the parquet scan, not sit
+    above the mapInArrow."""
+    path = str(tmp_path / "docs")
+    QUERIES["extract_txt"][0].__globals__  # noqa: B018 (documentation only)
+    from libswish3_spark.operators.queries import _html_wrap, _docs
+
+    _html_wrap(_docs(spark, SF)).write.parquet(path)
+    docs = spark.read.parquet(path)
+    filtered = docs.where(F.col("doc_id") < "100")
+    plan = _plan(lsw.extract(filtered))
+    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,100)" in plan
+
+
+def test_column_pruning_reaches_scan(spark, tmp_path):
+    """extract() must not read columns the parser doesn't need."""
+    path = str(tmp_path / "docs2")
+    from libswish3_spark.operators.queries import _docs, _html_wrap
+
+    wide = _html_wrap(_docs(spark, SF)).withColumn("junk", F.lit("x" * 10))
+    wide.write.parquet(path)
+    plan = _plan(lsw.extract(spark.read.parquet(path)))
+    assert "junk" not in plan.split("ReadSchema")[1][:400]
+
+
+def test_extraction_has_no_exchange(spark):
+    plan = _plan(QUERIES["extract_html"][0](spark, SF))
+    # one narrow map over the scan; aggregations downstream may shuffle,
+    # but the extraction query itself must not
+    assert "Exchange" not in plan.split("MapInArrow")[0]
+
+
+def test_dedup_exact_partial_agg(spark):
+    """Map-side combine before the exchange (two HashAggregate levels)."""
+    plan = _plan(QUERIES["dedup_exact"][0](spark, SF))
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange") == 1
+
+
+def test_topk_uses_takeordered(spark):
+    """ann_cosine_topk must not global-sort: TakeOrderedAndProject."""
+    plan = _plan(QUERIES["ann_cosine_topk"][0](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan.replace("TakeOrderedAndProject", "")
+
+
+def test_aqe_enabled(spark):
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"

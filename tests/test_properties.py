@@ -1,0 +1,110 @@
+"""Property-based invariants (hypothesis) for tokenizer + parser.
+
+These guard the invariants the goldens can't cover exhaustively:
+arbitrary input never crashes the scanners, token/positions invariants
+hold for any text, and framing round-trips.
+"""
+
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from libswish3_spark.charclasses import word_run_re
+from libswish3_spark.events import html_events, xml_events
+from libswish3_spark.parser import parse_document
+from libswish3_spark.sources.stream import parse_framed_stream
+from libswish3_spark.tokenizer import split_tokens, tokenize_with_positions
+
+WORDS = st.lists(
+    st.text(alphabet=string.ascii_lowercase + string.digits, min_size=1, max_size=12),
+    min_size=0,
+    max_size=30,
+)
+
+
+@given(st.text(max_size=500))
+@settings(max_examples=200, deadline=None)
+def test_tokenizer_never_crashes_and_invariants(s):
+    toks, pos = tokenize_with_positions(s, 0)
+    positions = [p for _, p, _, _ in toks]
+    assert positions == sorted(positions)
+    assert len(positions) == len(set(positions))  # strictly increasing
+    assert pos >= (positions[-1] if positions else 0)
+    for value, _, _, _ in toks:
+        assert value == value.lower()
+        assert value.strip("'_") != "" or value == ""
+        assert len(value.encode("utf-8")) <= 256
+
+
+@given(WORDS)
+@settings(max_examples=100, deadline=None)
+def test_space_joined_words_round_trip(words):
+    assert split_tokens(" ".join(words)) == words
+
+
+@given(st.text(max_size=300))
+@settings(max_examples=150, deadline=None)
+def test_markup_scanners_never_crash(s):
+    list(xml_events(s))
+    list(html_events(s))
+    # text content is fully preserved or dropped as markup — no exception
+    # is the contract here (libxml2 recovery analogue)
+
+
+@given(WORDS)
+@settings(max_examples=60, deadline=None)
+def test_xml_document_word_count(words):
+    body = " ".join(words)
+    r = parse_document(
+        "prop.xml",
+        [{"kind": "text", "text": f"<doc>{body}</doc>", "media_ref": "", "offset": 0}],
+        parser="XML",
+    )
+    assert r["nwords"] == len(words)
+    assert [s["text"] for s in r["spans"] if s["kind"] == "word"] == words
+
+
+@given(WORDS)
+@settings(max_examples=60, deadline=None)
+def test_txt_title_contract(words):
+    body = " ".join(words)
+    r = parse_document(
+        "somefile.txt",
+        [{"kind": "text", "text": body, "media_ref": "", "offset": 0}],
+        parser="TXT",
+    )
+    # title-from-path adds exactly the doc_id's tokens (somefile + txt)
+    assert r["nwords"] == len(words) + 2
+    assert r["metanames"]["swishtitle"] == "somefile.txt"
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet=string.ascii_lowercase, min_size=1, max_size=10),
+            st.binary(max_size=200).filter(lambda b: b"\n\n" not in b),
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_framed_stream_round_trip(docs):
+    frames = b"".join(
+        b"Content-Length: %d\nContent-Location: %s.txt\n\n%s"
+        % (len(body), name.encode(), body)
+        for name, body in docs
+    )
+    rows = parse_framed_stream(frames)
+    assert len(rows) == len(docs)
+    assert [r["doc_id"] for r in rows] == [f"{n}.txt" for n, _ in docs]
+
+
+@given(st.text(max_size=120))
+@settings(max_examples=100, deadline=None)
+def test_word_run_class_consistent_with_split(s):
+    # every emitted token is a subsequence of some word run
+    runs = word_run_re().findall(s.lower())
+    for tok in split_tokens(s):
+        assert any(tok in run for run in runs)
