@@ -505,6 +505,34 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (batch twin of the stateful streaming
+    operator in streaming/sessions.py)."""
+    from libswish3_spark.streaming.sessions import sessionize_batch
+
+    ev = _read(spark, sf_dir, "events")
+    return sessionize_batch(ev, gap_seconds=1800)
+
+
+ORACLE_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+s AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events
+FROM s GROUP BY user_id, sid
+"""
+
+
 def q_lineitem_metrics(spark, sf_dir):
     li = _read(spark, sf_dir, "lineitem")
     return (
@@ -683,6 +711,7 @@ QUERIES: dict[str, tuple] = {
     "ann_cosine_topk": (q_ann_cosine_topk, ORACLE_ANN_COSINE_TOPK),
     "ann_lsh_topk": (q_ann_lsh_topk, ORACLE_ANN_LSH_TOPK),
     "events_windowed": (q_events_windowed, ORACLE_EVENTS_WINDOWED),
+    "sessionize": (q_sessionize, ORACLE_SESSIONIZE),
     "lineitem_metrics": (q_lineitem_metrics, ORACLE_LINEITEM_METRICS),
     "region_order_counts": (q_region_order_counts, ORACLE_REGION_ORDER_COUNTS),
     "media_features": (q_media_features, None),  # binary path: rows-only

@@ -294,6 +294,30 @@ def extraction_metrics(extracted: DataFrame) -> DataFrame:
     )
 
 
+def write_extracted(
+    extracted: DataFrame,
+    target: str,
+    mode: str = "append",
+    partition_cols: tuple[str, ...] = (),
+) -> None:
+    """S8 sink: Iceberg table when a catalog-qualified name is given
+    (``catalog.db.table`` via ``writeTo`` — fanout append, hidden
+    partitioning from the table spec), parquet path otherwise (this
+    sandbox has no Iceberg runtime jars; the call shape is identical).
+    """
+    if "/" not in target and target.count(".") >= 1:
+        writer = extracted.writeTo(target)
+        if mode == "overwrite":
+            writer.overwritePartitions()
+        else:
+            writer.append()
+        return
+    w = extracted.write.mode(mode)
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.parquet(target)
+
+
 def totals(extracted: DataFrame) -> DataFrame:
     """Run totals (reference: swish_lint.c:268-345 'total words')."""
     return extracted.agg(
