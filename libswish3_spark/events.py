@@ -122,31 +122,37 @@ def xml_events(text: str):
         yield ("text", xml_unescape(text[pos:]))
 
 
+_RAWTEXT_CLOSE = {
+    t: re.compile(rf"</{t}[\s>]", re.IGNORECASE) for t in RAWTEXT_TAGS
+}
+
+
 def html_events(text: str):
-    """Lenient HTML event stream (libxml2 htmlParser equivalents)."""
+    """Lenient HTML event stream (libxml2 htmlParser equivalents).
+
+    Single finditer pass; rawtext (script/style) content is consumed by
+    advancing ``last`` past it, and finditer matches inside the consumed
+    region are skipped.
+    """
     stack: list[str] = []
-    pos = 0
+    last = 0
     n = len(text)
     rawtext_until: str | None = None
-    while pos < n:
+    for m in MARKUP_RE.finditer(text):
+        if m.start() < last:
+            continue  # inside already-consumed rawtext
         if rawtext_until is not None:
-            # scan for the matching close tag only
-            m = re.compile(rf"</{rawtext_until}[\s>]", re.IGNORECASE).search(
-                text, pos
-            )
-            end = m.start() if m else n
-            if end > pos:
-                yield ("text", text[pos:end])
-            pos = end
+            mm = _RAWTEXT_CLOSE[rawtext_until].search(text, last)
+            end = mm.start() if mm else n
+            if end > last:
+                yield ("text", text[last:end])
+            last = end
             rawtext_until = None
-            continue
-        m = MARKUP_RE.search(text, pos)
-        if m is None:
-            yield ("text", html_unescape(text[pos:]))
-            break
-        if m.start() > pos:
-            yield ("text", html_unescape(text[pos : m.start()]))
-        pos = m.end()
+            if m.start() < last:
+                continue
+        if m.start() > last:
+            yield ("text", html_unescape(text[last : m.start()]))
+        last = m.end()
         if m.group("comment") is not None:
             yield ("comment", m.group("comment"))
             continue
@@ -179,5 +185,10 @@ def html_events(text: str):
             stack.append(name)
             if name in RAWTEXT_TAGS:
                 rawtext_until = name
+    if rawtext_until is not None:
+        if last < n:
+            yield ("text", text[last:])
+    elif last < n:
+        yield ("text", html_unescape(text[last:]))
     while stack:
         yield ("end", stack.pop(), None)

@@ -167,18 +167,24 @@ class DocState:
         if blob:
             ordered.append(("t", "".join(blob)))
 
+        spans = self.spans
         for kind, val in ordered:
             if kind == "m":
-                self.spans.append(("media", "", val, self.pos + 1))
+                spans.append(("media", "", val, self.pos + 1))
                 continue
             segments = val.split(_BUMPER)
             last = len(segments) - 1
             for i, seg in enumerate(segments):
                 if seg:
-                    for tok in split_tokens(seg):
-                        self.pos += 1
-                        self.nwords += 1
-                        self.spans.append(("word", tok, "", self.pos))
+                    toks = split_tokens(seg)
+                    if toks:
+                        base = self.pos
+                        spans.extend(
+                            ("word", t, "", base + j + 1)
+                            for j, t in enumerate(toks)
+                        )
+                        self.pos = base + len(toks)
+                        self.nwords += len(toks)
                 if i != last:
                     self.pos += 1  # bumper gap (tokenizer.c:693-697)
 

@@ -68,12 +68,22 @@ def _split_maxlen_utf8(run: str, maxlen: int) -> list[str]:
 def split_tokens(segment: str) -> list[str]:
     """Tokenize one bumper-free text segment. Returns final token values."""
     low = segment.lower()
-    if low.isascii():
+    is_ascii = low.isascii()
+    if is_ascii:
         runs = ASCII_WORD_RUN.findall(low)
         splitter = _split_maxlen_ascii
     else:
         runs = word_run_re().findall(low)
         splitter = _split_maxlen_utf8
+    if not runs:
+        return runs
+    # fast path (vast majority of text): nothing to edge-strip and no run
+    # long enough to hit the 256-byte cap — the runs ARE the tokens
+    if "'" not in low and "_" not in low:
+        if len(low) <= MAX_WORD_LEN // 4 or all(
+            len(r) <= MAX_WORD_LEN // (1 if is_ascii else 4) for r in runs
+        ):
+            return runs
     out: list[str] = []
     for run in runs:
         if len(run) > MAX_WORD_LEN // 4 and (
