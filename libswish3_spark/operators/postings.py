@@ -1,0 +1,100 @@
+"""Index-sink postings (S9): the contract a downstream indexer needs.
+
+The reference's Xapian consumer builds index documents from tokens with
+(value, metaname, pos) and properties with (id, typed value)
+(reference: src/xapian/swish_xapian.cpp:416-561). This operator emits
+exactly that shape as a DataFrame — one posting row per token — so any
+indexer (or an Iceberg-backed inverted-index build) can consume the
+extraction output without re-parsing.
+
+Narrow mapInArrow like the extraction itself; the output fan-out (one
+row per token) is the only volume change, so partition sizing should
+target token counts, not document counts.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from libswish3_spark.config import SwishConfig, default_config
+
+POSTINGS_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("term", StringType()),
+        StructField("pos", IntegerType()),
+        StructField("metaname", StringType()),
+        StructField("context", StringType()),
+    ]
+)
+
+
+def postings_batch_fn(config: SwishConfig):
+    def fn(batches) -> Iterator:
+        import pyarrow as pa
+
+        from libswish3_spark.parser import parse_to_state
+
+        cfg = config or default_config()
+        out_schema = pa.schema(
+            [
+                ("doc_id", pa.string()),
+                ("term", pa.string()),
+                ("pos", pa.int32()),
+                ("metaname", pa.string()),
+                ("context", pa.string()),
+            ]
+        )
+        for batch in batches:
+            names = set(batch.schema.names)
+            n = batch.num_rows
+            doc_ids = batch.column("doc_id").to_pylist()
+            spans_in = batch.column("spans").to_pylist()
+            parsers = (
+                batch.column("parser").to_pylist() if "parser" in names else [None] * n
+            )
+            errors = (
+                batch.column("error").to_pylist() if "error" in names else [None] * n
+            )
+            o_doc, o_term, o_pos, o_meta, o_ctx = [], [], [], [], []
+            for i in range(n):
+                if errors[i]:
+                    continue  # ingest failure: no postings (parser.c:2505)
+                parser = (parsers[i] or "HTML").upper()
+                st = parse_to_state(
+                    doc_ids[i], spans_in[i] or [], parser, cfg, keep_token_meta=True
+                )
+                words = [s for s in st.spans if s[0] == "word"]
+                for (_, term, _, pos), (meta, ctx) in zip(words, st.token_meta):
+                    o_doc.append(doc_ids[i])
+                    o_term.append(term)
+                    o_pos.append(pos)
+                    o_meta.append(meta)
+                    o_ctx.append(ctx)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(o_doc, pa.string()),
+                    pa.array(o_term, pa.string()),
+                    pa.array(o_pos, pa.int32()),
+                    pa.array(o_meta, pa.string()),
+                    pa.array(o_ctx, pa.string()),
+                ],
+                schema=out_schema,
+            )
+
+    return fn
+
+
+def extract_index_postings(docs: DataFrame, config: SwishConfig | None = None) -> DataFrame:
+    cols = [c for c in ("doc_id", "spans", "parser", "error") if c in docs.columns]
+    return docs.select(*cols).mapInArrow(
+        postings_batch_fn(config or default_config()), schema=POSTINGS_SCHEMA
+    )

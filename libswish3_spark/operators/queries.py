@@ -165,6 +165,52 @@ FROM documents
 """
 
 
+def q_index_postings(spark, sf_dir):
+    """S9 index-sink contract: one (term, pos, metaname, context) row per
+    token, from the real parser with token-meta retention."""
+    from libswish3_spark.operators.postings import extract_index_postings
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.col("text").alias("text"),
+                F.lit("").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+        F.lit("TXT").alias("parser"),
+    )
+    out = extract_index_postings(docs)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "term",
+        "pos",
+        "metaname",
+        "context",
+    )
+
+
+ORACLE_INDEX_POSTINGS = f"""
+WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+u AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)+1),
+                i -> {{'pos': i, 'term': toks[i]}})) AS p
+  FROM t
+)
+SELECT doc_id, p.term AS term, CAST(p.pos AS INT) AS pos,
+       'swishdefault' AS metaname, 'swishdefault' AS context
+FROM u
+UNION ALL
+SELECT doc_id, CAST(doc_id AS VARCHAR) AS term,
+       CAST(len(toks) + 1 AS INT) AS pos,
+       'swishtitle' AS metaname, 'swishtitle' AS context
+FROM t
+"""
+
+
 # --------------------------------------------------------------------------
 # JVM-side text analysis (T-layer re-expressed in codegen)
 # --------------------------------------------------------------------------
@@ -693,6 +739,7 @@ QUERIES: dict[str, tuple] = {
     "extract_html": (q_extract_html, ORACLE_EXTRACT_HTML),
     "extract_media": (q_extract_media, ORACLE_EXTRACT_MEDIA),
     "extract_txt": (q_extract_txt, ORACLE_EXTRACT_TXT),
+    "index_postings": (q_index_postings, ORACLE_INDEX_POSTINGS),
     "tokenize_count": (q_tokenize_count, ORACLE_TOKENIZE_COUNT),
     "word_totals": (q_word_totals, ORACLE_WORD_TOTALS),
     "term_frequencies": (q_term_frequencies, ORACLE_TERM_FREQUENCIES),

@@ -96,6 +96,10 @@ class DocState:
         self.metanames: dict[str, str] = {}
         self.properties: dict[str, str] = {}
         self.spans: list[tuple[str, str, str, int]] = []  # kind,text,ref,order
+        # optional per-token (metaname, context) postings for index sinks
+        # (S9 contract: swish_xapian.cpp:416-561 needs value+meta+pos)
+        self.keep_token_meta = False
+        self.token_meta: list[tuple[str, str]] = []
         self.pos = 0
         self.nwords = 0
         self.error: str | None = None
@@ -183,6 +187,10 @@ class DocState:
                             ("word", t, "", base + j + 1)
                             for j, t in enumerate(toks)
                         )
+                        if self.keep_token_meta:
+                            self.token_meta.extend(
+                                (meta, context) for _ in toks
+                            )
                         self.pos = base + len(toks)
                         self.nwords += len(toks)
                 if i != last:
@@ -504,10 +512,12 @@ def parse_to_state(
     parser: str,
     cfg: SwishConfig,
     include_resolver=None,
+    keep_token_meta: bool = False,
 ) -> DocState:
     """Core parse returning the raw DocState (span tuples, not dicts) —
     the Arrow fast path builds columnar output from this directly."""
     state = DocState(cfg, is_html=parser.startswith("H"), uri=doc_id)
+    state.keep_token_meta = keep_token_meta
 
     try:
         if parser.startswith("T"):
@@ -626,6 +636,11 @@ def _process_xinclude(state: DocState, attrs, include_resolver) -> None:
             state.pos += 1
             state.nwords += 1
             state.spans.append(("word", sp["text"], "", state.pos))
+            if state.keep_token_meta:
+                # child meta detail is collapsed on merge (the reference
+                # carries it via shared MetaName pointers; postings for
+                # merged includes land under the default metaname)
+                state.token_meta.append((DEFAULT_METANAME, DEFAULT_METANAME))
         else:
             state.spans.append(("media", "", sp["media_ref"], state.pos + 1))
     for name, val in child["metanames"].items():

@@ -184,3 +184,34 @@ def _dotfile_expr():
     from pyspark.sql import functions as F
 
     return F.element_at(F.split(F.col("path"), "/"), -1).startswith(".")
+
+
+def parse_filelist(text: str) -> list[str]:
+    """S5 filelist scan: one path per line, blank and ``#`` lines skipped
+    (reference: swish_lint.c:295-343 + ``swish_io_is_skippable_line``)."""
+    out = []
+    for line in text.splitlines():
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        out.append(line)
+    return out
+
+
+def read_filelist(spark, filelist_path: str, config: SwishConfig | None = None):
+    """Manifest-driven scan: the filelist becomes a DataFrame joined
+    against a binaryFile load of its paths — at scale the manifest is a
+    table and this is a semi-join pruning the scan."""
+    from libswish3_spark.pipeline import DOCS_FULL_SCHEMA
+
+    cfg = config or default_config()
+    with open(filelist_path) as f:
+        paths = parse_filelist(f.read())
+    if not paths:
+        return spark.createDataFrame([], schema=DOCS_FULL_SCHEMA)
+    bin_df = (
+        spark.read.format("binaryFile").load(paths).select("path", "content")
+    )
+    return bin_df.mapInPandas(
+        lambda it: ingest_batches(it, cfg), schema=DOCS_FULL_SCHEMA
+    )

@@ -1,0 +1,72 @@
+"""Source-layer tests: filelist (S5), directory scan (S2), postings (S9)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from libswish3_spark.operators.postings import extract_index_postings
+from libswish3_spark.pipeline import DOCS_FULL_SCHEMA
+from libswish3_spark.sources import fixtures as fx
+from libswish3_spark.sources.files import parse_filelist, read_directory, read_filelist
+
+pytestmark = pytest.mark.skipif(
+    not fx.reference_available(), reason="reference corpus not present"
+)
+
+
+def test_parse_filelist_skips_comments_and_blanks():
+    text = "# header\n\n  /a/b.html  \n#skip\n/c/d.txt\n"
+    assert parse_filelist(text) == ["/a/b.html", "/c/d.txt"]
+
+
+def test_read_filelist_roundtrip(spark, tmp_path):
+    fl = tmp_path / "filelist"
+    fl.write_text(
+        "# fixture subset\n"
+        f"{fx.REFERENCE_TEST_DOCS}/t.html\n"
+        "\n"
+        f"{fx.REFERENCE_TEST_DOCS}/words.xml\n"
+    )
+    docs = read_filelist(spark, str(fl))
+    from libswish3_spark.pipeline import extract
+
+    got = {r["doc_id"].split("/")[-1]: r["nwords"] for r in extract(docs).collect()}
+    assert got["t.html"] == 6
+    assert got["words.xml"] == 56
+
+
+def test_read_directory_skips_dotfiles(spark, tmp_path):
+    d = tmp_path / "docs"
+    d.mkdir()
+    (d / "a.html").write_text("<html><body>two words</body></html>")
+    (d / ".hidden.html").write_text("<html><body>nope</body></html>")
+    docs = read_directory(spark, str(d))
+    rows = docs.collect()
+    assert len(rows) == 1
+    assert rows[0]["doc_id"].endswith("a.html")
+
+
+def test_postings_align_with_spans(spark):
+    docs = spark.createDataFrame(
+        fx.load_fixture_rows(names=["nested_meta.xml"]), schema=DOCS_FULL_SCHEMA
+    )
+    post = extract_index_postings(docs).collect()
+    # positions unique + metaname bucketing visible in postings
+    assert len({p["pos"] for p in post}) == len(post)
+    metas = {p["metaname"] for p in post}
+    assert "swishtitle" in metas and "swishdefault" in metas
+    title_terms = sorted(p["term"] for p in post if p["metaname"] == "swishtitle")
+    assert title_terms == ["here", "mytitle"]
+    # context is the metastack path for nested names
+    assert all("/" in p["context"] or p["context"] in ("swishdefault", "swishtitle")
+               for p in post)
+
+
+def test_postings_count_matches_nwords(spark):
+    import libswish3_spark as lsw
+
+    docs = spark.createDataFrame(fx.load_fixture_rows(), schema=DOCS_FULL_SCHEMA)
+    n_post = extract_index_postings(docs).count()
+    # same parse, same corpus, no include map on either side: every word
+    # span must appear as exactly one posting
+    n_words = lsw.extract(docs).agg(F.sum("nwords")).collect()[0][0]
+    assert n_post == n_words
