@@ -37,13 +37,18 @@ POSTINGS_SCHEMA = StructType(
 )
 
 
-def postings_batch_fn(config: SwishConfig):
+def postings_batch_fn(config: SwishConfig, include_map: dict | None = None):
     def fn(batches) -> Iterator:
         import pyarrow as pa
 
-        from libswish3_spark.parser import parse_to_state
+        from libswish3_spark.parser import (
+            _guess_parser,
+            make_include_resolver,
+            parse_to_state,
+        )
 
         cfg = config or default_config()
+        base_resolver = make_include_resolver(include_map) if include_map else None
         out_schema = pa.schema(
             [
                 ("doc_id", pa.string()),
@@ -61,17 +66,43 @@ def postings_batch_fn(config: SwishConfig):
             parsers = (
                 batch.column("parser").to_pylist() if "parser" in names else [None] * n
             )
+            mimes = batch.column("mime").to_pylist() if "mime" in names else [None] * n
             errors = (
                 batch.column("error").to_pylist() if "error" in names else [None] * n
+            )
+            includes = (
+                batch.column("includes").to_pylist()
+                if "includes" in names
+                else [None] * n
             )
             o_doc, o_term, o_pos, o_meta, o_ctx = [], [], [], [], []
             for i in range(n):
                 if errors[i]:
                     continue  # ingest failure: no postings (parser.c:2505)
-                parser = (parsers[i] or "HTML").upper()
+                # parser resolution identical to the extraction kernel
+                parser = parsers[i]
+                if parser is None:
+                    parser = (
+                        cfg.parser_for_mime(mimes[i])
+                        if mimes[i]
+                        else _guess_parser(doc_ids[i], cfg)
+                    )
+                parser = (parser or "HTML").upper()
+                resolver = base_resolver
+                if includes[i]:
+                    resolver = make_include_resolver(dict(includes[i]))
                 st = parse_to_state(
-                    doc_ids[i], spans_in[i] or [], parser, cfg, keep_token_meta=True
+                    doc_ids[i],
+                    spans_in[i] or [],
+                    parser,
+                    cfg,
+                    include_resolver=resolver,
+                    keep_token_meta=True,
                 )
+                if st.error:
+                    # mid-parse failure: emit nothing — an indexer must not
+                    # index a doc the extraction marks as errored
+                    continue
                 words = [s for s in st.spans if s[0] == "word"]
                 for (_, term, _, pos), (meta, ctx) in zip(words, st.token_meta):
                     o_doc.append(doc_ids[i])
@@ -93,8 +124,17 @@ def postings_batch_fn(config: SwishConfig):
     return fn
 
 
-def extract_index_postings(docs: DataFrame, config: SwishConfig | None = None) -> DataFrame:
-    cols = [c for c in ("doc_id", "spans", "parser", "error") if c in docs.columns]
+def extract_index_postings(
+    docs: DataFrame,
+    config: SwishConfig | None = None,
+    include_map: dict | None = None,
+) -> DataFrame:
+    cols = [
+        c
+        for c in ("doc_id", "spans", "parser", "mime", "error", "includes")
+        if c in docs.columns
+    ]
     return docs.select(*cols).mapInArrow(
-        postings_batch_fn(config or default_config()), schema=POSTINGS_SCHEMA
+        postings_batch_fn(config or default_config(), include_map),
+        schema=POSTINGS_SCHEMA,
     )

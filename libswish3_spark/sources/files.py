@@ -198,15 +198,44 @@ def parse_filelist(text: str) -> list[str]:
     return out
 
 
-def read_filelist(spark, filelist_path: str, config: SwishConfig | None = None):
+_GLOB_CHARS = re.compile(r"([*?\[\]{}])")
+
+
+def read_filelist(
+    spark, filelist_path: str, config: SwishConfig | None = None, strict: bool = False
+):
     """Manifest-driven scan: the filelist becomes a DataFrame joined
     against a binaryFile load of its paths — at scale the manifest is a
-    table and this is a semi-join pruning the scan."""
+    table and this is a semi-join pruning the scan.
+
+    Manifest lines are literal paths: glob metacharacters are escaped
+    before the load, and (unless ``strict``) missing files are warned
+    and skipped like the reference's walker instead of failing the job.
+    Caveat: Spark's leaf-file listing hides basenames starting with
+    ``.`` or ``_`` even when explicitly listed — such entries are
+    reported as skipped.
+    """
+    import os
+    import sys
+
     from libswish3_spark.pipeline import DOCS_FULL_SCHEMA
 
     cfg = config or default_config()
     with open(filelist_path) as f:
-        paths = parse_filelist(f.read())
+        raw_paths = parse_filelist(f.read())
+    paths = []
+    for p in raw_paths:
+        base = os.path.basename(p)
+        if base.startswith((".", "_")):
+            print(
+                f"{p}: skipped (Spark file listing hides '.'/'_' basenames)",
+                file=sys.stderr,
+            )
+            continue
+        if not strict and "://" not in p and not os.path.exists(p):
+            print(f"{p}: error: file not found, skipping", file=sys.stderr)
+            continue
+        paths.append(_GLOB_CHARS.sub(r"\\\1", p))
     if not paths:
         return spark.createDataFrame([], schema=DOCS_FULL_SCHEMA)
     bin_df = (

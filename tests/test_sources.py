@@ -8,7 +8,7 @@ from libswish3_spark.pipeline import DOCS_FULL_SCHEMA
 from libswish3_spark.sources import fixtures as fx
 from libswish3_spark.sources.files import parse_filelist, read_directory, read_filelist
 
-pytestmark = pytest.mark.skipif(
+needs_reference = pytest.mark.skipif(
     not fx.reference_available(), reason="reference corpus not present"
 )
 
@@ -18,6 +18,7 @@ def test_parse_filelist_skips_comments_and_blanks():
     assert parse_filelist(text) == ["/a/b.html", "/c/d.txt"]
 
 
+@needs_reference
 def test_read_filelist_roundtrip(spark, tmp_path):
     fl = tmp_path / "filelist"
     fl.write_text(
@@ -45,6 +46,7 @@ def test_read_directory_skips_dotfiles(spark, tmp_path):
     assert rows[0]["doc_id"].endswith("a.html")
 
 
+@needs_reference
 def test_postings_align_with_spans(spark):
     docs = spark.createDataFrame(
         fx.load_fixture_rows(names=["nested_meta.xml"]), schema=DOCS_FULL_SCHEMA
@@ -61,6 +63,7 @@ def test_postings_align_with_spans(spark):
                for p in post)
 
 
+@needs_reference
 def test_postings_count_matches_nwords(spark):
     import libswish3_spark as lsw
 
@@ -70,3 +73,40 @@ def test_postings_count_matches_nwords(spark):
     # span must appear as exactly one posting
     n_words = lsw.extract(docs).agg(F.sum("nwords")).collect()[0][0]
     assert n_post == n_words
+
+def test_read_filelist_glob_chars_and_missing(spark, tmp_path):
+    weird = tmp_path / "report[1].html"
+    weird.write_text("<html><body>bracket file words</body></html>")
+    fl = tmp_path / "fl"
+    fl.write_text(f"{weird}\n{tmp_path}/gone.html\n")
+    docs = read_filelist(spark, str(fl))
+    rows = docs.collect()
+    # literal bracket path read; missing path skipped with a warning
+    assert len(rows) == 1
+    assert rows[0]["doc_id"].endswith("report[1].html") or "report" in rows[0]["doc_id"]
+
+
+def test_postings_resolve_parser_like_extract(spark):
+    # parser column absent: postings must fall back to mime/extension
+    # dispatch exactly like extract() (TXT -> title-from-path posting)
+    docs = spark.createDataFrame(
+        [{"doc_id": "note.txt",
+          "spans": [{"kind": "text", "text": "alpha beta", "media_ref": "", "offset": 0}]}],
+        schema="doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    post = extract_index_postings(docs).orderBy("pos").collect()
+    assert [(p["term"], p["metaname"]) for p in post] == [
+        ("alpha", "swishdefault"), ("beta", "swishdefault"),
+        ("note", "swishtitle"), ("txt", "swishtitle"),
+    ]
+
+
+@needs_reference
+def test_postings_include_map(spark):
+    docs = spark.createDataFrame(
+        fx.load_fixture_rows(names=["xinclude.xml"]), schema=DOCS_FULL_SCHEMA
+    )
+    with_inc = extract_index_postings(docs, include_map=fx.load_include_map()).count()
+    without = extract_index_postings(docs).count()
+    assert with_inc == 44  # the golden nwords, one posting per word
+    assert without < with_inc
