@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Cluster entrypoint: checkpointed extraction via spark-submit.
+
+    spark-submit --py-files libswish3_spark.zip submit_extract.py \\
+        --input  s3://bucket/docs/            \\
+        --output s3://bucket/extracted/       \\
+        --buckets 4096 --salt-partitions 8192 \\
+        [--config swish.xml] [--streaming --checkpoint s3://.../ck] \\
+        [--xinclude] [--postings s3://bucket/postings/]
+
+Batch mode resumes idempotently from the output's bucket manifest
+(plans/checkpoint.py); streaming mode resumes from the sink checkpoint.
+Per-partition lineage metrics are appended next to the output either
+way. Package the library with ``zip -r libswish3_spark.zip
+libswish3_spark`` (pure Python, no native deps).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True, help="docs table path (parquet/Iceberg)")
+    p.add_argument("--output", required=True)
+    p.add_argument("--config", help="swish.xml-format config file")
+    p.add_argument("--buckets", type=int, default=256, help="resume granularity")
+    p.add_argument("--salt-partitions", type=int, default=0, help="mega-doc skew salt")
+    p.add_argument("--xinclude", action="store_true", help="resolve XIncludes (joins)")
+    p.add_argument("--postings", help="also write index postings here")
+    p.add_argument("--streaming", action="store_true")
+    p.add_argument("--checkpoint", help="streaming checkpoint location")
+    p.add_argument("--run-id", default="run0")
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from libswish3_spark.config import default_config, load_config_xml
+    from libswish3_spark.pipeline import extraction_metrics, salt_by_size
+
+    spark = (
+        SparkSession.builder.appName("libswish3-extract")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2000")
+        .getOrCreate()
+    )
+    cfg = default_config()
+    if args.config:
+        with open(args.config) as f:
+            cfg = load_config_xml(f.read())
+
+    if args.streaming:
+        from libswish3_spark.streaming import start_extraction_stream
+
+        if not args.checkpoint:
+            p.error("--streaming requires --checkpoint")
+        q = start_extraction_stream(
+            spark, args.input, args.output, args.checkpoint, cfg, once=True
+        )
+        q.awaitTermination()
+        return 0
+
+    from libswish3_spark.plans.checkpoint import read_extracted, run_extraction
+
+    docs = spark.read.parquet(args.input)
+    if args.xinclude:
+        from libswish3_spark.operators.xinclude import with_includes
+
+        docs = with_includes(docs)
+    if args.salt_partitions:
+        docs = salt_by_size(docs, args.salt_partitions)
+
+    result = run_extraction(
+        spark, docs, args.output, num_buckets=args.buckets, config=cfg,
+        run_id=args.run_id,
+    )
+    extracted = read_extracted(spark, args.output)
+    extraction_metrics(extracted).write.mode("append").parquet(
+        os.path.join(args.output, "_metrics")
+    )
+    if args.postings:
+        from libswish3_spark.operators.postings import extract_index_postings
+
+        extract_index_postings(docs, cfg).write.mode("overwrite").parquet(
+            args.postings
+        )
+    print(
+        f"processed buckets: {len(result['processed'])}, "
+        f"resumed past: {len(result['skipped'])}"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
