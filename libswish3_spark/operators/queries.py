@@ -165,6 +165,31 @@ FROM documents
 """
 
 
+def q_extract_txt_segmented(spark, sf_dir):
+    """Mega-doc scale path: segment → parallel extract → order-preserving
+    reassembly; must agree with the unsegmented TXT extraction."""
+    from libswish3_spark.operators.megadoc import segmented_nwords
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.col("text").alias("text"),
+                F.lit("").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+    )
+    out = segmented_nwords(docs, seg_chars=96)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"), "nwords")
+
+
+ORACLE_EXTRACT_TXT_SEGMENTED = f"""
+SELECT doc_id, len({TOKS_SQL}) + 1 AS nwords FROM documents
+"""
+
+
 def q_index_postings(spark, sf_dir):
     """S9 index-sink contract: one (term, pos, metaname, context) row per
     token, from the real parser with token-meta retention."""
@@ -739,6 +764,7 @@ QUERIES: dict[str, tuple] = {
     "extract_html": (q_extract_html, ORACLE_EXTRACT_HTML),
     "extract_media": (q_extract_media, ORACLE_EXTRACT_MEDIA),
     "extract_txt": (q_extract_txt, ORACLE_EXTRACT_TXT),
+    "extract_txt_segmented": (q_extract_txt_segmented, ORACLE_EXTRACT_TXT_SEGMENTED),
     "index_postings": (q_index_postings, ORACLE_INDEX_POSTINGS),
     "tokenize_count": (q_tokenize_count, ORACLE_TOKENIZE_COUNT),
     "word_totals": (q_word_totals, ORACLE_WORD_TOTALS),

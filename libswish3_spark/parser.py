@@ -531,7 +531,9 @@ def parse_to_state(
                 else:
                     state.buffer_characters(text)
             state.flush_buffer(DEFAULT_METANAME, DEFAULT_METANAME)
-            if state.uri:
+            # TXTSEG: mega-doc segment — TXT semantics without the
+            # title-from-path tail (added once at reassembly; megadoc.py)
+            if state.uri and parser != "TXTSEG":
                 state._push(state.metastack, TITLE_METANAME, TITLE_METANAME, "/")
                 state.buffer_characters(state.uri)
                 state.flush_buffer(TITLE_METANAME, TITLE_METANAME)

@@ -174,11 +174,22 @@ def extract_batch_fn(config: SwishConfig, include_map: dict | None = None):
                     st = parse_to_state(
                         doc_ids[i], spans_in[i] or [], parser, cfg, row_resolver
                     )
+                    # mega-doc segments carry their global position offset
+                    # in the doc_id tail (operators/megadoc.py); applying
+                    # it here costs nothing vs a post-hoc 10^9-struct
+                    # rebuild in Catalyst
+                    off = 0
+                    if parser == "TXTSEG" and "\x02" in doc_ids[i]:
+                        try:
+                            # id tail: ...\x02<idx>\x02<offset>\x02<doc_total>
+                            off = int(doc_ids[i].rsplit("\x02", 2)[1])
+                        except (ValueError, IndexError):
+                            off = 0
                     for (k, t, r, o) in st.spans:
                         s_kind.append(k)
                         s_text.append(t)
                         s_ref.append(r)
-                        s_ord.append(o)
+                        s_ord.append(o + off)
                     for k, v in st.metanames.items():
                         m_keys.append(k)
                         m_vals.append(v)
