@@ -257,8 +257,11 @@ def q_word_totals(spark, sf_dir):
     )
 
 
+# CAST: DuckDB sum() yields HUGEINT which surfaces as float64 through
+# the compare layer; Spark's sum is int64 — cast pins both to bigint.
 ORACLE_WORD_TOTALS = (
-    f"SELECT count(*) AS files, sum(len({TOKS_SQL})) AS total_words FROM documents"
+    f"SELECT count(*) AS files, CAST(sum(len({TOKS_SQL})) AS BIGINT) AS total_words"
+    " FROM documents"
 )
 
 
@@ -732,11 +735,6 @@ WHERE CAST(floor({dot} / ({nrm('l')} * {nrm('r')}) * 10000) AS BIGINT) >= 3000
 ORACLE_DEDUP_EMBEDDING = _build_dedup_embedding_oracle()
 
 
-# --------------------------------------------------------------------------
-# Rows-only entries (no SQL-expressible oracle)
-# --------------------------------------------------------------------------
-
-
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing: synthesize binary media from document text,
     run the Arrow-batched (stub) feature extractor."""
@@ -753,6 +751,20 @@ def q_media_features(spark, sf_dir):
         F.size("feature").alias("dim"),
         F.floor(F.element_at("feature", 1) * 10000).cast("long").alias("f0_bp"),
     )
+
+
+# The stub decoder is deterministic md5 math (functions/media.py:64-71:
+# feature[0] = first md5 byte / 255), so DuckDB can reproduce it exactly.
+# floor((b0/255)*10000) is float32-safe: the only exact-integer products
+# (b0 ∈ {0,51,102,153,204,255}) round at-or-above the integer in float32.
+_MD5_HEXVAL = "(instr('0123456789abcdef', substr(md5(text), {i}, 1)) - 1)"
+ORACLE_MEDIA_FEATURES = f"""
+SELECT 'img://' || doc_id AS media_ref,
+       16 AS dim,
+       CAST(floor(({_MD5_HEXVAL.format(i=1)} * 16 + {_MD5_HEXVAL.format(i=2)})
+                  * 10000.0 / 255) AS BIGINT) AS f0_bp
+FROM documents
+"""
 
 
 # --------------------------------------------------------------------------
@@ -787,5 +799,5 @@ QUERIES: dict[str, tuple] = {
     "sessionize": (q_sessionize, ORACLE_SESSIONIZE),
     "lineitem_metrics": (q_lineitem_metrics, ORACLE_LINEITEM_METRICS),
     "region_order_counts": (q_region_order_counts, ORACLE_REGION_ORDER_COUNTS),
-    "media_features": (q_media_features, None),  # binary path: rows-only
+    "media_features": (q_media_features, ORACLE_MEDIA_FEATURES),
 }
