@@ -41,6 +41,8 @@ HEADLINE = [
     "doc_quality",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_resolved",
     "dedup_simhash",
     "ann_cosine_topk",
     "events_windowed",
@@ -105,7 +107,10 @@ def prepare_corpus(sf_dir: str, k: int, parts: int = 64) -> tuple[str, int]:
         time.sleep(2)
 
 
-def time_extraction(cores: int, corpus_path: str, n_docs: int) -> float:
+TRIALS = int(os.environ.get("BENCH_TRIALS", "5"))
+
+
+def time_extraction(cores: int, corpus_path: str, n_docs: int) -> dict:
     """Wall-clock scan → extract → agg over the materialized corpus.
 
     Levels 4/16 of the 32-core box (not 8/32): Spark local mode runs
@@ -113,6 +118,11 @@ def time_extraction(cores: int, corpus_path: str, n_docs: int) -> float:
     measuring at N = nproc conflates engine scaling with whole-box
     saturation. (CPU-affinity pinning was tried as a stricter executor
     proxy; host-level noise on this VM swamps it — see BASELINE.md.)
+
+    Returns best-of-TRIALS throughput plus the per-trial list and
+    spread: round-1 committed a single noisy number (0.678) after the
+    same harness had measured 0.815 — the spread is now part of the
+    record so a single outlier can't masquerade as the result.
     """
     from pyspark.sql import functions as F
 
@@ -126,14 +136,19 @@ def time_extraction(cores: int, corpus_path: str, n_docs: int) -> float:
         # outside the clock: a thin full-width pass
         warm = docs.sample(fraction=min(1.0, (cores * 16) / max(n_docs, 1)), seed=7)
         extract(warm).count()
-        best = None
-        for _ in range(3):  # best-of-3: single-box runs are noisy
+        times = []
+        for _ in range(TRIALS):
             t0 = time.perf_counter()
             total = extract(docs).agg(F.sum("nwords")).collect()[0][0]
             dt = time.perf_counter() - t0
             assert total and total > 0
-            best = dt if best is None else min(best, dt)
-        return n_docs / best
+            times.append(dt)
+        thr = [n_docs / t for t in times]
+        return {
+            "best": max(thr),
+            "trials": [round(x, 1) for x in thr],
+            "spread_pct": round(100 * (max(thr) - min(thr)) / max(thr), 1),
+        }
     finally:
         spark.stop()
 
@@ -147,9 +162,13 @@ def run_headline(sf_dir: str, cores: int) -> dict[str, float]:
     try:
         for name in HEADLINE:
             fn, _ = QUERIES[name]
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).count()
-            timings[name] = round(time.perf_counter() - t0, 3)
+            best = None
+            for _ in range(2):  # best-of-2: host noise swings single runs 4×
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).count()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            timings[name] = round(best, 3)
     finally:
         spark.stop()
     return timings
@@ -165,15 +184,18 @@ def update_baseline_md(result: dict) -> None:
 
 | metric | value |
 |---|---|
-| extraction throughput @ local[{lo}] (N) | {sc['n_docs_per_sec']:.0f} docs/sec |
-| extraction throughput @ local[{hi}] (4N) | {sc['n4_docs_per_sec']:.0f} docs/sec |
+| extraction throughput @ local[{lo}] (N) | {sc['n_docs_per_sec']:.0f} docs/sec (trials: {sc['n_trials_docs_per_sec']}, spread {sc['spread_pct'][str(lo)]}%) |
+| extraction throughput @ local[{hi}] (4N) | {sc['n4_docs_per_sec']:.0f} docs/sec (trials: {sc['n4_trials_docs_per_sec']}, spread {sc['spread_pct'][str(hi)]}%) |
 | scaling efficiency N→4N (thr@4N / (4·thr@N)) | {sc['efficiency']:.3f} |
 | bench corpus | {result['n_docs']} HTML docs (sf documents ×{REPLICATE}) |
 | headline total | {result['value']:.1f} s over {len(result['queries'])} queries at sf={result['sf']} |
 
 Methodology: corpus materialized to parquet once; timed region is
-scan → mapInArrow extraction → aggregate, best of 2-3 trials per level;
-levels 4/16 of 32 cores so Spark local-mode JVM work (scan, Arrow,
+scan → mapInArrow extraction → aggregate, best of {TRIALS} trials per
+level with the full per-trial list and spread recorded (host noise on
+this VM swings single runs up to 4×, so a single-shot number is not a
+measurement); headline queries are best-of-2 in one warm session.
+Levels 4/16 of 32 cores so Spark local-mode JVM work (scan, Arrow,
 agg) does not contend with the measured task slots at either level.
 {end}"""
     with open(path) as f:
@@ -197,7 +219,7 @@ def main() -> None:
     for cores in SCALING_LEVELS:
         thr[cores] = time_extraction(cores, corpus_path, n_docs)
     lo, hi = SCALING_LEVELS
-    efficiency = thr[hi] / (thr[lo] * (hi / lo))
+    efficiency = thr[hi]["best"] / (thr[lo]["best"] * (hi / lo))
 
     result = {
         "metric": "headline query wall-clock (extraction engine + pipeline ops)",
@@ -206,12 +228,19 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "n_docs": n_docs,
-        "throughput_docs_per_sec": round(thr[hi], 1),
+        "throughput_docs_per_sec": round(thr[hi]["best"], 1),
         "scaling": {
             "levels": list(SCALING_LEVELS),
-            "n_docs_per_sec": round(thr[lo], 1),
-            "n4_docs_per_sec": round(thr[hi], 1),
+            "n_docs_per_sec": round(thr[lo]["best"], 1),
+            "n4_docs_per_sec": round(thr[hi]["best"], 1),
             "efficiency": round(efficiency, 3),
+            "trials": TRIALS,
+            "n_trials_docs_per_sec": thr[lo]["trials"],
+            "n4_trials_docs_per_sec": thr[hi]["trials"],
+            "spread_pct": {
+                str(lo): thr[lo]["spread_pct"],
+                str(hi): thr[hi]["spread_pct"],
+            },
         },
     }
     try:

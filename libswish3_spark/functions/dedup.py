@@ -1,5 +1,5 @@
 """Deduplication at corpus scale: exact, MinHash+LSH, SimHash, n-gram
-Jaccard.
+Jaccard verification, and connected-components keeper resolution.
 
 All deterministic and engine-portable: hashes are md5-based (identical
 in Spark and DuckDB) rather than engine-private hash functions, so every
@@ -7,14 +7,28 @@ stage has an independent SQL oracle. Scale notes per operator:
 
 * exact        — one hash-groupBy shuffle on the digest; partial agg
                  map-side, skew-free (digests are uniform).
-* minhash LSH  — shingle → k minhashes → b bands; the only shuffle is
-                 the band-bucket self-join, whose fan-out is bounded by
-                 bucket size (near-dups only); this is the 100 TB path.
-* ngram jaccard— exact verification on LSH candidates (or small
-                 corpora); the shingle self-join is quadratic per
-                 bucket — never run it raw at scale, gate behind LSH.
+* minhash LSH  — text → shingles → k minhashes → b band buckets, all
+                 computed WITHIN each row (zero shuffle until the
+                 candidate join); bucket sizes are capped so a
+                 boilerplate-heavy bucket cannot go quadratic.
+* jaccard      — exact verification ON LSH CANDIDATE PAIRS ONLY (two
+                 linear joins + an array_intersect per pair). The raw
+                 all-pairs shingle self-join exists for tiny corpora
+                 and tests but must never run at scale.
+* resolve      — min-id label propagation over verified pairs →
+                 (doc_id, keeper) cluster assignment, bounded rounds
+                 with per-round lineage truncation.
 * simhash      — fixed-width signature; hamming-radius candidates via
                  band equality on signature nibbles.
+
+Evaluation-count discipline: Catalyst performs no common-subexpression
+elimination across column references — a subtree referenced k times is
+evaluated k times (ProjectCollapse re-inlines staged selects). The
+round-1 formulation paid O(tokens) full-text regexp extractions per
+shingle because of exactly this. :func:`bind` pins any intermediate to
+a higher-order-function lambda variable, which Spark evaluates exactly
+once per row; the whole text → tokens → shingles → signature → buckets
+chain below evaluates each stage once.
 """
 
 from __future__ import annotations
@@ -26,44 +40,105 @@ from libswish3_spark.functions.text import fingerprint, tokens
 MINHASH_K = 8
 MINHASH_BANDS = 4  # r = K / BANDS = 2 rows per band
 SIMHASH_BITS = 16
+# lexicographically above every md5 hex digest; array_min identity
+_MINHASH_SENTINEL = "￿"
+
+
+def bind(col: Column, fn) -> Column:
+    """Evaluate ``col`` exactly once per row, then apply ``fn``.
+
+    Wraps the value in a single-element array and binds it to a
+    ``transform`` lambda variable — inside ``fn`` every reference to the
+    bound value is a variable lookup, not a re-evaluation of the
+    subtree. This is the CSE Catalyst doesn't do.
+    """
+    return F.element_at(F.transform(F.array(col), fn), 1)
 
 
 def shingles(tok_col, n: int = 3) -> Column:
-    """Word n-gram shingles from a token array (JVM-side).
+    """Word n-gram shingles from a token array (JVM-side, single eval).
 
     Guarded for short docs: Spark's sequence(0, -1) would descend, so
     fewer than n tokens yields an empty array explicitly.
     """
-    gram = F.transform(
-        F.sequence(F.lit(0), F.size(tok_col) - n),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(tok_col, (i + j + 1).cast("int")) for j in range(n)]
-        ),
-    )
-    return F.when(F.size(tok_col) >= n, F.array_distinct(gram)).otherwise(
-        F.array().cast("array<string>")
-    )
+
+    def make(toks):
+        gram = F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+            ),
+        )
+        return F.when(F.size(toks) >= n, F.array_distinct(gram)).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return bind(tok_col, make)
 
 
-def minhash(sh_col, seed: int) -> Column:
-    """One minhash value: min over md5(shingle || seed) (string order).
+def minhash_signature(sh_col, k: int = MINHASH_K) -> Column:
+    """k-element minhash signature array, computed within the row.
 
-    md5-string min is engine-portable; the reference-free alternative
-    (xxhash64) is Spark-private and would have no oracle.
+    Element j = min over shingles of md5(shingle || '#j') (string
+    order on fixed-width hex == numeric order; md5 is engine-portable
+    so the DuckDB oracle is exact). One pass over the shingle array
+    accumulates all k mins; NULL for shingle-less docs so they can
+    never bucket-collide with each other downstream.
     """
-    return F.array_min(
-        F.transform(sh_col, lambda s: F.md5(F.concat(s, F.lit(f"#{seed}"))))
-    )
+
+    def sig(sh):
+        # constant-size expression tree: the k seeds unroll at RUNTIME
+        # via sequence(), not at plan-build time — Catalyst analysis of
+        # a Python-side k-way unroll costs seconds per query
+        seeds = F.sequence(F.lit(0), F.lit(k - 1))
+        init = F.array_repeat(F.lit(_MINHASH_SENTINEL), k)
+        folded = F.aggregate(
+            sh,
+            init,
+            lambda acc, s: F.zip_with(
+                acc,
+                F.transform(
+                    seeds,
+                    lambda j: F.md5(F.concat(s, F.lit("#"), j.cast("string"))),
+                ),
+                lambda a, b: F.least(a, b),
+            ),
+        )
+        return F.when(F.size(sh) > 0, folded).otherwise(
+            F.lit(None).cast("array<string>")
+        )
+
+    return bind(sh_col, sig)
 
 
-def band_buckets(sh_col, k: int = MINHASH_K, bands: int = MINHASH_BANDS) -> Column:
-    """Array of LSH band bucket keys (md5 of the band's minhashes)."""
+def band_buckets(
+    sh_col, k: int = MINHASH_K, bands: int = MINHASH_BANDS
+) -> Column:
+    """Array of LSH band bucket keys (md5 of each band's minhash rows).
+
+    NULL for shingle-less docs (explode drops them — an all-empty
+    bucket would otherwise pair every empty doc with every other).
+    """
     r = k // bands
-    cols = []
-    for b in range(bands):
-        parts = [minhash(sh_col, b * r + j) for j in range(r)]
-        cols.append(F.md5(F.concat_ws("|", F.lit(str(b)), *parts)))
-    return F.array(*cols)
+
+    def mk(sig):
+        # band key 'b|mh_{br}|mh_{br+1}...' built from a runtime slice —
+        # same string as the unrolled concat_ws, constant-size tree
+        arr = F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.md5(
+                F.concat_ws(
+                    "|",
+                    b.cast("string"),
+                    F.array_join(F.slice(sig, b * r + 1, r), "|"),
+                )
+            ),
+        )
+        return F.when(sig.isNotNull(), arr).otherwise(
+            F.lit(None).cast("array<string>")
+        )
+
+    return bind(minhash_signature(sh_col, k), mk)
 
 
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -81,55 +156,114 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, k: int = MINHASH_K
 ) -> DataFrame:
-    """id → k minhash columns via explode + partial min-aggregate.
+    """id → k minhash columns (mh0..mh{k-1}); narrow, zero shuffle."""
+    sig = minhash_signature(shingles(tokens(F.col(text_col))), k)
 
-    Shingling/tokenization run exactly once per document (project
-    collapse would otherwise inline them into every minhash transform);
-    the k mins combine map-side, so the shuffle carries one row per
-    (doc, k-signature) — this is the formulation that holds at 100 TB.
-    """
-    exploded = df.select(
+    def cols(s):
+        return F.struct(*[F.element_at(s, j + 1).alias(f"mh{j}") for j in range(k)])
+
+    packed = df.select(F.col(id_col).alias("id"), bind(sig, cols).alias("s"))
+    return packed.select("id", *[F.col(f"s.mh{j}") for j in range(k)])
+
+
+def doc_band_buckets(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, bucket) exploded band-bucket table.
+
+    The hash chain is computed in a projection and an exchange barrier
+    separates it from the explode: without the barrier, ColumnPruning
+    inlines the whole chain into Generate, whose interpreted eval of
+    nested lambda expressions costs ~3× the projection itself. The
+    barrier shuffle carries only (id, bands×32-hex) — skinny rows,
+    negligible against the corpus at any scale, and the exploded output
+    immediately reshuffles on bucket anyway."""
+    packed = df.select(
         F.col(id_col).alias("id"),
-        F.explode(shingles(tokens(F.col(text_col)))).alias("shingle"),
+        band_buckets(shingles(tokens(F.col(text_col)))).alias("bks"),
     )
-    aggs = [
-        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{j}")))).alias(f"mh{j}")
-        for j in range(k)
-    ]
-    return exploded.groupBy("id").agg(*aggs)
+    packed = packed.repartition("id")
+    return packed.select("id", F.explode("bks").alias("bucket"))
 
 
-def minhash_candidates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """LSH candidate pairs (a < b) sharing at least one band bucket."""
-    k, bands = MINHASH_K, MINHASH_BANDS
-    r = k // bands
-    minh = minhash_signatures(df, id_col, text_col, k)
-    bucket_cols = [
-        F.md5(
-            F.concat_ws(
-                "|", F.lit(str(b)), *[F.col(f"mh{b * r + j}") for j in range(r)]
-            )
+def minhash_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """LSH candidate pairs (a < b) sharing at least one band bucket.
+
+    ``max_bucket`` caps bucket fan-out: a band bucket with more than
+    max_bucket members (boilerplate, templated pages) would contribute
+    O(size²) pairs — at web scale one hot bucket can dominate the whole
+    job. Capped buckets are dropped entirely; their members are still
+    reachable through their other (bands-1) buckets, and genuinely
+    templated near-dup farms are better handled by exact dedup first.
+    """
+    exploded = doc_band_buckets(df, id_col, text_col)
+    if max_bucket is not None:
+        # tiny (bucket, count) aggregate — partial map-side, rows are
+        # bands-per-doc, orders of magnitude smaller than the corpus
+        keep = (
+            exploded.groupBy("bucket")
+            .agg(F.count("*").alias("_n"))
+            .where(F.col("_n") <= max_bucket)
+            .select("bucket")
         )
-        for b in range(bands)
-    ]
-    exploded = minh.select("id", F.explode(F.array(*bucket_cols)).alias("bucket"))
+        exploded = exploded.join(keep, "bucket")
     left = exploded.alias("l")
     right = exploded.alias("r")
     return (
-        left.join(right, (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.id") < F.col("r.id")))
+        left.join(
+            right,
+            (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
         .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
         .distinct()
+    )
+
+
+def jaccard_verify(
+    df: DataFrame,
+    candidates: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard on candidate pairs only — the scale path.
+
+    Two linear joins attach each side's (distinct) shingle array, then
+    one array_intersect per pair. Candidate count is near-dup-bounded,
+    so this never goes quadratic in the corpus. Jaccard is returned
+    ×10000 as a bigint for engine-portable hashing.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        shingles(tokens(F.col(text_col)), n).alias("sh"),
+    )
+    pairs = (
+        candidates.join(
+            sh.select(F.col("id").alias("a"), F.col("sh").alias("sha")), "a"
+        )
+        .join(sh.select(F.col("id").alias("b"), F.col("sh").alias("shb")), "b")
+    )
+    common = F.size(F.array_intersect("sha", "shb"))
+    union = F.size("sha") + F.size("shb") - common
+    jacc = F.floor(common * 10000 / union).cast("long")
+    return pairs.select("a", "b", jacc.alias("jaccard_bp")).where(
+        F.col("jaccard_bp") >= int(threshold * 10000)
     )
 
 
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, threshold: float = 0.5, n: int = 3
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity for pairs sharing a shingle.
+    """Exact n-gram Jaccard for ALL pairs sharing a shingle.
 
-    Quadratic per shared-shingle bucket — at scale, feed it LSH
-    candidates instead of the whole corpus (see minhash_candidates).
-    Jaccard is returned ×10000 as a bigint for engine-portable hashing.
+    Quadratic per shared-shingle bucket — tests/tiny corpora only; at
+    scale gate behind LSH: ``jaccard_verify(df, minhash_candidates(df,
+    ...), ...)``, which is what the registered dedup queries do.
     """
     sh = df.select(
         F.col(id_col).alias("id"),
@@ -155,6 +289,61 @@ def ngram_jaccard_pairs(
     )
 
 
+def resolve_clusters(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
+    """Near-dup pairs → (doc_id, keeper): connected components by min-id
+    label propagation.
+
+    Converges in O(component diameter) rounds — near-dup clusters are
+    shallow (dup farms are star-shaped around a template), so the bound
+    is small in practice and ``max_rounds`` hard-stops pathology. Each
+    round is one join + one aggregate on the (node, label) table —
+    skinny rows, never the document payload. localCheckpoint truncates
+    lineage so round k doesn't replay rounds 0..k-1.
+
+    Keeper sets here are what actually lets dedup DROP rows:
+    ``docs.join(resolve_clusters(...), on=id, 'left_anti' for non-
+    keepers)`` is the final filter of the pipeline.
+    """
+    edges = (
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .union(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .distinct()
+        # materialized once: every round joins against edges, and without
+        # this the whole candidate+verify pipeline would re-run per round
+        .localCheckpoint(eager=True)
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
+        "label", F.col("id")
+    )
+    labels = labels.localCheckpoint(eager=True)
+    # labels only ever decrease, so their sum strictly decreases until
+    # convergence — one scalar aggregate per round is the cheapest
+    # convergence test (no extra join); decimal avoids int64 overflow at
+    # 10^12-doc id magnitudes
+    prev_sum = None
+    for _ in range(max_rounds):
+        neigh = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        labels = (
+            labels.join(neigh, labels.id == neigh.src, "left")
+            .select(
+                labels.id,
+                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("keeper"))
+
+
 def _hexval(ch: Column) -> Column:
     return F.instr(F.lit("0123456789abcdef"), ch) - 1
 
@@ -163,20 +352,57 @@ def simhash(tok_col, bits: int = SIMHASH_BITS) -> Column:
     """SimHash signature over md5 bits of each token (engine-portable).
 
     bit i of token t = (hexdigit(md5(t)[i//4]) >> (i%4)) & 1; the
-    signature bit is the sign of sum(2*bit - 1) over tokens.
+    signature bit is the sign of sum(2*bit - 1) over tokens. One
+    aggregate pass accumulates all ``bits`` counters (the token array is
+    bound once; md5 per token is computed once per nibble via the digest
+    binding below).
     """
-    def bit_summer(nib: int, shift: int):
-        # two-arg lambda factory (see text._isin_filter arity note)
-        return lambda a, t: (
-            a
-            + (F.floor(_hexval(F.substring(F.md5(t), nib + 1, 1)) / shift) % 2) * 2
-            - 1
+
+    def build(toks):
+        bit_ids = F.sequence(F.lit(0), F.lit(bits - 1))
+
+        # per token: bind the md5 digest once, emit ±1 per bit; the bit
+        # loop unrolls at runtime (sequence), keeping the tree constant-
+        # size — a Python-side unroll costs seconds of Catalyst analysis
+        def contrib(t):
+            def frombits(digest):
+                return F.transform(
+                    bit_ids,
+                    lambda i: (
+                        F.floor(
+                            _hexval(
+                                F.substring(
+                                    digest, (F.floor(i / 4) + 1).cast("int"), 1
+                                )
+                            )
+                            / F.pow(F.lit(2.0), (i % 4).cast("double"))
+                        ).cast("long")
+                        % 2
+                    )
+                    * 2
+                    - 1,
+                )
+
+            return bind(F.md5(t), frombits)
+
+        sums = F.aggregate(
+            toks,
+            F.array_repeat(F.lit(0).cast("long"), bits),
+            lambda acc, t: F.zip_with(acc, contrib(t), lambda a, b: a + b),
         )
 
-    acc = F.lit(0).cast("long")
-    for i in range(bits):
-        bit_sum = F.aggregate(
-            tok_col, F.lit(0).cast("long"), bit_summer(i // 4, 2 ** (i % 4))
-        )
-        acc = acc + F.when(bit_sum >= 0, F.lit(2**i)).otherwise(F.lit(0))
-    return acc
+        def tosig(s):
+            weights = F.zip_with(
+                s,
+                bit_ids,
+                lambda v, i: F.when(
+                    v >= 0, F.pow(F.lit(2.0), i.cast("double"))
+                ).otherwise(F.lit(0.0)),
+            )
+            return F.aggregate(
+                weights, F.lit(0.0), lambda a, b: a + b
+            ).cast("long")
+
+        return bind(sums, tosig)
+
+    return bind(tok_col, build)

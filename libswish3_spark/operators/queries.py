@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from libswish3_spark.functions import dedup as D
 from libswish3_spark.functions import similarity as S
 from libswish3_spark.functions import text as T
-from libswish3_spark.pipeline import extract
+from libswish3_spark.pipeline import ensure_parallelism, extract
 
 PAT = T.TOKEN_PATTERN
 PAT_SQL = PAT.replace("'", "''")  # escaped for single-quoted SQL literals
@@ -417,15 +417,23 @@ _SHINGLE_SQL = f"""list_distinct(list_transform(
     i -> {TOKS_SQL}[i] || ' ' || {TOKS_SQL}[i+1] || ' ' || {TOKS_SQL}[i+2]))"""
 
 
+MAX_BUCKET = 1000  # LSH band-bucket size cap (boilerplate guard)
+JACCARD_GATE_BP = 2000  # verification threshold for the gated query
+RESOLVE_BP = 5000  # cluster-membership threshold for keeper resolution
+
+
 def q_dedup_minhash_lsh(spark, sf_dir):
-    return D.minhash_candidates(_docs(spark, sf_dir), "doc_id", "text")
+    docs = ensure_parallelism(_docs(spark, sf_dir))
+    return D.minhash_candidates(docs, "doc_id", "text", max_bucket=MAX_BUCKET)
 
 
 def _minhash_sql(seed):
     return f"list_min(list_transform(sh, s -> md5(s || '#{seed}')))"
 
 
-def _build_minhash_oracle():
+def _minhash_cand_ctes():
+    """Shared CTE block: shingles → band buckets (capped) → candidate
+    pairs, mirroring minhash_candidates(max_bucket=MAX_BUCKET)."""
     r = D.MINHASH_K // D.MINHASH_BANDS
     buckets = []
     for b in range(D.MINHASH_BANDS):
@@ -433,40 +441,74 @@ def _build_minhash_oracle():
         buckets.append(f"md5('{b}' || '|' || {parts})")
     bucket_list = "[" + ", ".join(buckets) + "]"
     return f"""
-WITH sh AS (
+sh AS (
   SELECT doc_id AS id, {_SHINGLE_SQL} AS sh FROM documents
 ),
 bk AS (
-  SELECT id, unnest({bucket_list}) AS bucket FROM sh
-)
-SELECT DISTINCT l.id AS a, r.id AS b
-FROM bk l JOIN bk r ON l.bucket = r.bucket AND l.id < r.id
-"""
+  SELECT id, unnest({bucket_list}) AS bucket FROM sh WHERE len(sh) > 0
+),
+keep AS (
+  SELECT bucket FROM bk GROUP BY bucket HAVING count(*) <= {MAX_BUCKET}
+),
+cand AS (
+  SELECT DISTINCT l.id AS a, r.id AS b
+  FROM bk l JOIN keep USING (bucket)
+  JOIN bk r ON l.bucket = r.bucket AND l.id < r.id
+)"""
 
 
-ORACLE_DEDUP_MINHASH = _build_minhash_oracle()
+ORACLE_DEDUP_MINHASH = f"WITH {_minhash_cand_ctes()} SELECT a, b FROM cand"
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
-    return D.ngram_jaccard_pairs(
-        _docs(spark, sf_dir), "doc_id", "text", threshold=0.2
+    """The dedup verify stage: exact jaccard on LSH candidates only
+    (never the raw all-pairs shingle join — that is quadratic on any
+    shared shingle and detonates at scale)."""
+    docs = ensure_parallelism(_docs(spark, sf_dir))
+    cand = D.minhash_candidates(docs, "doc_id", "text", max_bucket=MAX_BUCKET)
+    return D.jaccard_verify(
+        docs, cand, "doc_id", "text", threshold=JACCARD_GATE_BP / 10000
     )
 
 
+_JAC_CTE = """
+jac AS (
+  SELECT c.a, c.b,
+         CAST(floor(len(list_intersect(sa.sh, sb.sh)) * 10000 /
+              (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))))
+              AS BIGINT) AS jaccard_bp
+  FROM cand c JOIN sh sa ON sa.id = c.a JOIN sh sb ON sb.id = c.b
+)"""
+
 ORACLE_DEDUP_NGRAM_JACCARD = f"""
-WITH sh AS (
-  SELECT doc_id AS id, {_SHINGLE_SQL} AS sh FROM documents
-),
-ex AS (
-  SELECT id, len(sh) AS n_sh, unnest(sh) AS shingle FROM sh
-),
-pairs AS (
-  SELECT l.id AS a, r.id AS b, l.n_sh AS na, r.n_sh AS nb, count(*) AS common
-  FROM ex l JOIN ex r ON l.shingle = r.shingle AND l.id < r.id
-  GROUP BY 1, 2, 3, 4
+WITH {_minhash_cand_ctes()}, {_JAC_CTE}
+SELECT a, b, jaccard_bp FROM jac WHERE jaccard_bp >= {JACCARD_GATE_BP}
+"""
+
+
+def q_dedup_resolved(spark, sf_dir):
+    """End-to-end near-dup dedup: LSH candidates → jaccard-verified
+    pairs → connected-components keeper sets. The output is what a
+    training pipeline actually filters on: every near-dup doc labeled
+    with its cluster keeper (min doc_id in the component)."""
+    docs = ensure_parallelism(_docs(spark, sf_dir))
+    cand = D.minhash_candidates(docs, "doc_id", "text", max_bucket=MAX_BUCKET)
+    verified = D.jaccard_verify(
+        docs, cand, "doc_id", "text", threshold=RESOLVE_BP / 10000
+    )
+    return D.resolve_clusters(verified)
+
+
+ORACLE_DEDUP_RESOLVED = f"""
+WITH RECURSIVE {_minhash_cand_ctes()}, {_JAC_CTE},
+ver AS (SELECT a, b FROM jac WHERE jaccard_bp >= {RESOLVE_BP}),
+edges AS (SELECT a AS src, b AS dst FROM ver UNION SELECT b, a FROM ver),
+reach(id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
 )
-SELECT a, b, CAST(floor(common * 10000 / (na + nb - common)) AS BIGINT) AS jaccard_bp
-FROM pairs WHERE CAST(floor(common * 10000 / (na + nb - common)) AS BIGINT) >= 2000
+SELECT id AS doc_id, min(r) AS keeper FROM reach GROUP BY id
 """
 
 
@@ -789,6 +831,7 @@ QUERIES: dict[str, tuple] = {
     "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, ORACLE_DEDUP_MINHASH),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, ORACLE_DEDUP_NGRAM_JACCARD),
+    "dedup_resolved": (q_dedup_resolved, ORACLE_DEDUP_RESOLVED),
     "dedup_simhash": (q_dedup_simhash, ORACLE_DEDUP_SIMHASH),
     "stemmed_terms": (q_stemmed_terms, ORACLE_STEMMED_TERMS),
     "bpe_token_count": (q_bpe_token_count, ORACLE_BPE_TOKEN_COUNT),

@@ -266,6 +266,25 @@ def extract(
     )
 
 
+def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Spread an under-partitioned input before expensive per-row compute.
+
+    No-op whenever the scan already yields >= min_parts splits — always
+    true at scale, where inputs arrive as many files/row-groups — so it
+    costs nothing on a real cluster. On a small or single-row-group
+    input (local test/bench corpora) it buys full parallelism for one
+    tiny shuffle. Do NOT use before extract() itself: extraction's
+    narrowness is a plan invariant (test_plan_quality); this is for the
+    JVM-hash-heavy pipelines (minhash, jaccard) whose per-row cost
+    dwarfs a row's shuffle weight.
+    """
+    spark = df.sparkSession
+    target = min_parts or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def salt_by_size(docs: DataFrame, num_partitions: int) -> DataFrame:
     """Skew-aware redistribution for mega-documents.
 

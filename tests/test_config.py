@@ -97,3 +97,41 @@ def test_cascade_meta_context():
     )
     assert "b" in r2["metanames"]["inner"]
     assert "b" not in r2["metanames"].get("outer", "")
+
+
+def test_mime_table_matches_reference_exactly():
+    """D1: every ext→MIME pair in the reference's SWISH_MIME_TABLE
+    (reference: src/libswish3/mime_types.c:35-200) must be present with
+    the identical value — parsed from the C source, not hand-copied."""
+    import re
+
+    src = open("/root/reference/src/libswish3/mime_types.c").read()
+    body = src.split("SWISH_MIME_TABLE[] = {")[1].split("};")[0]
+    body = re.sub(r"/\*.*?\*/", "", body, flags=re.S)  # strip C comments
+    strings = re.findall(r'"([^"]+)"', body)
+    # the reference's SWISH_MIME_TABLE_COUNT says 304, but the table
+    # actually holds 308 strings / 154 unique pairs (the C loop bound
+    # `i <= COUNT` even drops the last pair — a reference quirk we
+    # don't reproduce: lookup semantics, not iteration, are the contract)
+    assert len(strings) == 308
+    ref_pairs = dict(zip(strings[::2], strings[1::2]))
+    assert len(ref_pairs) == 154
+
+    cfg = default_config()
+    missing = {e: m for e, m in ref_pairs.items() if cfg.mimes.get(e) != m}
+    assert missing == {}
+    # fallback semantics (mime_types.c:236-251)
+    assert cfg.mime_for_ext("no_such_ext") == "text/plain"
+    assert cfg.mime_for_ext("SVG") == "image/svg+xml"  # case-folded lookup
+
+
+def test_mime_drives_parser_dispatch():
+    """D1→D2 chain: shtml-era extensions now route to real parsers
+    instead of falling back to text/plain's TXT."""
+    cfg = default_config()
+    assert cfg.parser_for_mime(cfg.mime_for_ext("htm")) == "HTML"
+    assert cfg.parser_for_mime(cfg.mime_for_ext("xsl")) == "XML"  # application/xml
+    assert cfg.parser_for_mime(cfg.mime_for_ext("xml")) == "XML"
+    assert cfg.parser_for_mime(cfg.mime_for_ext("asc")) == "TXT"
+    # non-text types fall to the default parser (HTML), like the reference
+    assert cfg.parser_for_mime(cfg.mime_for_ext("png")) == "HTML"

@@ -70,6 +70,38 @@ def test_jaccard_scores(spark, docs):
     assert 0 < rows[(1, 3)] < 10000
 
 
+def test_jaccard_verify_gates_on_candidates(spark, docs):
+    cand = D.minhash_candidates(docs, "doc_id", "text")
+    rows = {
+        (r["a"], r["b"]): r["jaccard_bp"]
+        for r in D.jaccard_verify(docs, cand, "doc_id", "text", 0.1).collect()
+    }
+    assert rows[(1, 2)] == 10000  # identical shingle sets survive verify
+    assert all(a < b for a, b in rows)
+
+
+def test_minhash_bucket_cap_drops_hot_buckets(spark):
+    # 5 identical docs: every band bucket has 5 members; cap=4 drops all
+    rows = [(i, "the cat sat on the mat again") for i in range(5)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    assert D.minhash_candidates(df, "doc_id", "text", max_bucket=4).count() == 0
+    assert D.minhash_candidates(df, "doc_id", "text", max_bucket=5).count() == 10
+
+
+def test_resolve_clusters_min_id_components(spark):
+    # component {1,2,3} via chain 1-2, 2-3; component {7,9}
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 9)], ["a", "b"])
+    got = {r["doc_id"]: r["keeper"] for r in D.resolve_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+
+
+def test_resolve_clusters_long_chain_converges(spark):
+    # a 12-node path graph needs multiple propagation rounds
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(11)], ["a", "b"])
+    got = {r["doc_id"]: r["keeper"] for r in D.resolve_clusters(pairs).collect()}
+    assert got == {i: 0 for i in range(12)}
+
+
 def test_simhash_identical_for_dups(spark, docs):
     sh = {
         r["doc_id"]: r["s"]
