@@ -32,7 +32,7 @@ def _segment_kernel(seg_chars: int):
     def fn(batches):
         import pyarrow as pa
 
-        from libswish3_spark.tokenizer import tokenize_with_positions
+        from libswish3_spark.tokenizer import count_positions
 
         out_schema = pa.schema(
             [("doc_id", pa.string()), ("seg_text", pa.string())]
@@ -57,16 +57,16 @@ def _segment_kernel(seg_chars: int):
                 segs.append(text[start:])
                 # prefix-sum computed HERE, where the doc is whole — no
                 # cluster-wide window over the span payload later.
-                # tokenize_with_positions end-pos includes bumper gaps, so
+                # count_positions end-pos includes bumper gaps, so
                 # segment-local positions + offset == global positions,
                 # and the doc total seeds the title tail exactly where the
-                # unsegmented position counter would sit.
+                # unsegmented position counter would sit. Count-only: the
+                # full tokenize happens exactly once, in extract().
                 offsets = []
                 pos = 0
                 for seg in segs:
                     offsets.append(pos)
-                    _, end_pos = tokenize_with_positions(seg, 0)
-                    pos += end_pos
+                    pos += count_positions(seg)
                 for idx, seg in enumerate(segs):
                     o_id.append(
                         f"{doc_id}{_SEG_SEP}{idx}{_SEG_SEP}{offsets[idx]}{_SEG_SEP}{pos}"

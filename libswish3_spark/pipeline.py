@@ -47,7 +47,9 @@ DOCS_SCHEMA = StructType(
         StructField("spans", ArrayType(SPAN_IN)),
     ]
 )
-# docs + optional header/docinfo metadata columns (FIXTURES.md §1)
+# docs + optional header/docinfo metadata columns (FIXTURES.md §1).
+# mtime/action complete the reference DocInfo (docinfo.c:202-258 stat
+# mtime; parser.c:1848-2030 Last-Modified/Action stream headers).
 DOCS_FULL_SCHEMA = StructType(
     DOCS_SCHEMA.fields
     + [
@@ -55,6 +57,8 @@ DOCS_FULL_SCHEMA = StructType(
         StructField("parser", StringType()),
         StructField("encoding", StringType()),
         StructField("size", LongType()),
+        StructField("mtime", LongType()),
+        StructField("action", StringType()),
         StructField("error", StringType()),
     ]
 )
@@ -288,21 +292,33 @@ def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame
 def salt_by_size(docs: DataFrame, num_partitions: int) -> DataFrame:
     """Skew-aware redistribution for mega-documents.
 
-    Size class = total text length of the span array (computed without
-    leaving the JVM). Docs are ranged by size class so each partition
-    gets a mix of big and small documents; within a class, hash(doc_id)
-    salts placement. At 100 TB this is the difference between p50 and
-    p99 task time being 100× apart or ~flat.
+    A document is a single row, so "salting" cannot split it — the goal
+    is byte-balanced partitions: no task should inherit several of the
+    biggest documents. Hash placement leaves that to chance (two of the
+    top docs collide with probability ~k²/2n — at 1000:1 size skew that
+    is the whole p99). Instead: sort by size descending, then
+    round-robin repartition — Spark's RoundRobinPartitioning deals
+    consecutive rows to consecutive output partitions, so after the
+    sort the top-n documents are GUARANTEED to land in n distinct
+    partitions, and every partition receives an interleaved mix of
+    size ranks (near-equal byte sums, see test_megadoc skew test).
+
+    Cost: two payload shuffles (range-sort + round-robin). This is the
+    explicit opt-in rescue for corpora whose size skew would otherwise
+    pin one executor (the reference's answer is a hard 100 MB cap,
+    libswish3.h:177); for intra-document parallelism see
+    operators/megadoc.py, which splits the row itself.
     """
     sized = docs.withColumn(
         "_sz",
         F.aggregate(
             "spans", F.lit(0), lambda acc, s: acc + F.length(s["text"])
         ),
-    ).withColumn("_salt", F.pmod(F.xxhash64("doc_id"), F.lit(num_partitions)))
+    )
     return (
-        sized.repartitionByRange(num_partitions, F.col("_sz") % num_partitions, "_salt")
-        .drop("_sz", "_salt")
+        sized.sort(F.desc("_sz"), "doc_id")
+        .repartition(num_partitions)
+        .drop("_sz")
     )
 
 
@@ -346,6 +362,34 @@ def write_extracted(
     if partition_cols:
         w = w.partitionBy(*partition_cols)
     w.parquet(target)
+
+
+def reconcile_actions(docs: DataFrame) -> DataFrame:
+    """Collapse a stream's Action history into the surviving doc set.
+
+    The aggregator protocol carries ``Action: add|update|delete`` per
+    framed doc (reference: parser.c:2002-2013; the Swish-e consumer
+    applies them against its index). Relationally: keep, per doc_id,
+    only the LATEST action (mtime, then stream order via a
+    monotonically increasing tiebreak), and drop docs whose latest
+    action is delete. One groupBy shuffle on doc_id; max_by keeps the
+    whole surviving row without a self-join.
+    """
+    seq = docs.withColumn("_seq", F.monotonically_increasing_id())
+    latest = (
+        seq.groupBy("doc_id")
+        .agg(
+            F.max_by(
+                F.struct(*[c for c in seq.columns if c != "doc_id"]),
+                F.struct(F.coalesce("mtime", F.lit(0)), F.col("_seq")),
+            ).alias("r")
+        )
+        .select("doc_id", "r.*")
+        .drop("_seq")
+    )
+    return latest.where(
+        F.coalesce(F.lower("action"), F.lit("add")) != "delete"
+    )
 
 
 def totals(extracted: DataFrame) -> DataFrame:

@@ -57,12 +57,17 @@ def ingest_bytes(
     declared_mime: str | None = None,
     declared_parser: str | None = None,
     declared_encoding: str | None = None,
+    mtime: int | None = None,
+    action: str | None = None,
 ) -> dict:
     """One document's bytes → a ``docs`` row dict.
 
     Resolution order per ``swish_docinfo_check`` (reference:
     docinfo.c:123-199): declared header values win, then extension
-    lookups; gz is stripped before extension resolution.
+    lookups; gz is stripped before extension resolution. ``mtime`` is
+    epoch seconds (stream Last-Modified or filesystem stat — reference:
+    docinfo.c:202-258); ``action`` is the stream's Action header
+    (add|update|delete, parser.c:2002-2013), carried for the sink.
     """
     cfg = config or default_config()
     if _is_gzip(data, uri):
@@ -87,6 +92,8 @@ def ingest_bytes(
         "parser": parser,
         "encoding": encoding,
         "size": len(data),
+        "mtime": mtime,
+        "action": action,
         "error": error,
     }
     return row
@@ -147,13 +154,22 @@ def _decode(
 
 def ingest_batches(iterator, config: SwishConfig):
     """mapInPandas adapter: batches of (path, content[, modificationTime])
-    from ``binaryFile`` → ``docs`` rows."""
+    from ``binaryFile`` → ``docs`` rows. modificationTime (when the scan
+    provides it) becomes the docinfo ``mtime`` in epoch seconds, like the
+    reference's stat path (docinfo.c:202-258)."""
     import pandas as pd
 
     for pdf in iterator:
+        if "modificationTime" in pdf.columns:
+            mtimes = [
+                None if pd.isnull(t) else int(t.timestamp())
+                for t in pdf["modificationTime"]
+            ]
+        else:
+            mtimes = [None] * len(pdf)
         rows = [
-            ingest_bytes(content, path, config)
-            for path, content in zip(pdf["path"], pdf["content"])
+            ingest_bytes(content, path, config, mtime=mt)
+            for path, content, mt in zip(pdf["path"], pdf["content"], mtimes)
         ]
         yield pd.DataFrame(rows)
 
@@ -172,7 +188,7 @@ def read_directory(spark, path: str, config: SwishConfig | None = None, glob: st
         .option("recursiveFileLookup", "true")
         .option("pathGlobFilter", glob)
         .load(path)
-        .select("path", "content")
+        .select("path", "content", "modificationTime")
         .where(~_dotfile_expr())
     )
     return bin_df.mapInPandas(
@@ -239,7 +255,9 @@ def read_filelist(
     if not paths:
         return spark.createDataFrame([], schema=DOCS_FULL_SCHEMA)
     bin_df = (
-        spark.read.format("binaryFile").load(paths).select("path", "content")
+        spark.read.format("binaryFile")
+        .load(paths)
+        .select("path", "content", "modificationTime")
     )
     return bin_df.mapInPandas(
         lambda it: ingest_batches(it, cfg), schema=DOCS_FULL_SCHEMA

@@ -78,6 +78,20 @@ def parse_framed_stream(data: bytes, config: SwishConfig | None = None) -> list[
         length = int(headers["length"])
         body = data[pos : pos + length]
         pos += length
+        # Last-Modified is an epoch-seconds integer in the protocol
+        # (reference: parser.c:1888-1893 swish_string_to_int); a
+        # malformed value warns and is dropped, it never fails the doc
+        mtime: int | None = None
+        if "mtime" in headers:
+            try:
+                mtime = int(headers["mtime"])
+            except ValueError:
+                import sys
+
+                print(
+                    f"Failed to parse Last-Modified header '{headers['mtime']}'",
+                    file=sys.stderr,
+                )
         row = ingest_bytes(
             body,
             headers["uri"],
@@ -85,8 +99,10 @@ def parse_framed_stream(data: bytes, config: SwishConfig | None = None) -> list[
             declared_mime=headers.get("mime"),
             declared_parser=headers.get("parser"),
             declared_encoding=headers.get("encoding"),
+            mtime=mtime,
+            # Action: add|update|delete rides to the sink
+            # (reference: parser.c:2002-2013; see pipeline.reconcile_actions)
+            action=headers.get("action"),
         )
-        if "mtime" in headers:
-            row["mtime"] = headers["mtime"]
         rows.append(row)
     return rows

@@ -133,6 +133,37 @@ def count_tokens(text: str) -> int:
     return n
 
 
+def count_positions(text: str) -> int:
+    """End-position advance of ``text``: emitted tokens + bumper gaps.
+
+    Exactly ``tokenize_with_positions(text, 0)[1]`` without building a
+    token per match: the megadoc segmentation kernel needs only each
+    segment's position span (the offset prefix-sum), and counting via
+    ``finditer`` (no substring allocation) costs a fraction of the full
+    tokenize that extraction will run anyway — this is what keeps
+    segmentation from tokenizing every byte twice.
+    """
+    if not text:
+        return 0
+    n = text.count(_BUMPER)
+    for seg in text.split(_BUMPER):
+        if not seg:
+            continue
+        low = seg.lower()
+        if low.isascii() and "'" not in low and "_" not in low:
+            # no edge-strip candidates: every run emits ceil(len/256)
+            # tokens (ascii force-split, tokenizer.c:872-905)
+            for m in ASCII_WORD_RUN.finditer(low):
+                run_len = m.end() - m.start()
+                if run_len <= MAX_WORD_LEN:
+                    n += 1
+                else:
+                    n += (run_len + MAX_WORD_LEN - 1) // MAX_WORD_LEN
+        else:
+            n += len(split_tokens(seg))
+    return n
+
+
 # Convenience: a token pattern string usable by *both* Spark SQL
 # (Java regex) and DuckDB (RE2) for ASCII-only corpora — used by the
 # oracle-checked queries so the two engines tokenize identically.

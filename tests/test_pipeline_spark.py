@@ -65,3 +65,71 @@ def test_salting_preserves_rows(spark):
     assert salted.count() == docs.count()
     out = lsw.extract(salted)
     assert out.count() == docs.count()
+
+
+def test_salt_by_size_balances_bytes_under_skew(spark):
+    """1000:1 size-skewed corpus: after salt_by_size no partition may
+    hold more than 2x the median partition's bytes (the top docs must
+    spread — hash placement would collide them with high probability)."""
+    import statistics
+
+    rows = [(f"small{i}", [("text", "x" * 1024, "", 0)]) for i in range(1024)]
+    rows += [(f"big{i}", [("text", "y" * 1_000_000, "", 0)]) for i in range(8)]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    out = salt_by_size(docs, 8)
+    per = (
+        out.withColumn(
+            "_b",
+            F.aggregate("spans", F.lit(0), lambda a, s: a + F.length(s["text"])),
+        )
+        .groupBy(F.spark_partition_id().alias("p"))
+        .agg(F.sum("_b").alias("bytes"))
+        .collect()
+    )
+    vals = sorted(r["bytes"] for r in per)
+    assert len(vals) == 8
+    assert max(vals) / statistics.median(vals) < 2
+    assert out.count() == 1032  # no rows lost
+
+
+def test_reconcile_actions_latest_wins_and_delete_drops(spark):
+    from libswish3_spark.pipeline import reconcile_actions
+    from libswish3_spark.sources.stream import parse_framed_stream
+
+    frames = b"".join(
+        b"Content-Length: %d\nContent-Location: %s\nLast-Modified: %d\nAction: %s\n\n%s"
+        % (len(body), uri, mtime, action, body)
+        for uri, mtime, action, body in [
+            (b"a.txt", 100, b"add", b"first version"),
+            (b"a.txt", 200, b"update", b"second version"),
+            (b"b.txt", 100, b"add", b"keep me"),
+            (b"c.txt", 100, b"add", b"doomed"),
+            (b"c.txt", 300, b"delete", b""),
+        ]
+    )
+    rows = parse_framed_stream(frames)
+    assert [r["action"] for r in rows] == ["add", "update", "add", "add", "delete"]
+    assert rows[0]["mtime"] == 100
+    docs = spark.createDataFrame(rows, schema=DOCS_FULL_SCHEMA)
+    from libswish3_spark.pipeline import reconcile_actions  # noqa: F811
+
+    alive = {r["doc_id"]: r for r in reconcile_actions(docs).collect()}
+    assert set(alive) == {"a.txt", "b.txt"}
+    assert alive["a.txt"]["spans"][0]["text"] == "second version"
+    assert alive["a.txt"]["mtime"] == 200
+
+
+def test_directory_ingest_populates_mtime(spark, tmp_path):
+    import os
+
+    from libswish3_spark.sources.files import read_directory
+
+    p = tmp_path / "doc.txt"
+    p.write_text("hello world")
+    rows = read_directory(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    # binaryFile modificationTime → epoch seconds (docinfo.c:202-258)
+    assert abs(rows[0]["mtime"] - os.stat(p).st_mtime) <= 1

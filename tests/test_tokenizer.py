@@ -76,3 +76,31 @@ def test_empty_and_all_punct():
 
 def test_lowercasing():
     assert split_tokens("FooBAR Baz") == ["foobar", "baz"]
+
+
+def test_count_positions_matches_tokenize_with_positions():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from libswish3_spark.tokenizer import count_positions, tokenize_with_positions
+
+    @given(
+        st.text(
+            alphabet=st.sampled_from(
+                list("abz09 '_+.\x03") + ["é", "漢", "’"]
+            ),
+            max_size=80,
+        )
+    )
+    @settings(max_examples=300, deadline=None)
+    def check(text):
+        assert count_positions(text) == tokenize_with_positions(text, 0)[1]
+
+    check()
+
+
+def test_count_positions_long_run_split():
+    from libswish3_spark.tokenizer import count_positions, tokenize_with_positions
+
+    for text in ["a" * 700, "a" * 256, "a" * 257, "x" * 256 + " " + "y" * 512]:
+        assert count_positions(text) == tokenize_with_positions(text, 0)[1]
