@@ -269,6 +269,10 @@ class SwishConfig:
     mimes: dict[str, str] = field(default_factory=dict)
     stringlists: dict[str, tuple[str, ...]] = field(default_factory=dict)
     index: dict[str, str] = field(default_factory=dict)
+    # prefix → uri declarations so namespaced metanames (swish:color,
+    # foo:name — reference: 002-header.t, test_configs/xmlns.xml)
+    # round-trip through config_to_xml
+    xmlns: dict[str, str] = field(default_factory=dict)
     # flags (reference: config.c:189-194)
     tokenize: bool = True
     cascade_meta_context: bool = False
@@ -277,6 +281,12 @@ class SwishConfig:
     undef_metas: str = UNDEF_INDEX
     undef_attrs: str = UNDEF_DISABLE
     default_encoding: str = DEFAULT_ENCODING
+    # T10 pluggable tokenizer (reference: analyzer->tokenizer fn ptr
+    # libswish3.h:411-412; Perl binding token regex 3.pm:102-133):
+    # token_regex serializes in the broadcast config; tokenizer is a
+    # registry name resolved on the executor (tokenizer.resolve_tokenizer)
+    tokenizer: str = "default"
+    token_regex: str | None = None
 
     # -- lookups -----------------------------------------------------------
     def mime_for_ext(self, ext: str) -> str:
@@ -363,26 +373,84 @@ def load_config_xml(
     if _depth > 8:
         raise ValueError("IncludeConfigFile recursion too deep")
     cfg = base or default_config()
-    root = ET.fromstring(text)
+
+    # Parse with namespace capture: ElementTree expands prefixed tags to
+    # '{uri}local'; the reference keeps config names AS WRITTEN
+    # ('swish:color', 'foo:name' — 002-header.t), so map uris back to
+    # their declared prefixes.
+    import io
+
+    uri2prefix: dict[str, str] = {}
+    root = None
+    for ev, payload in ET.iterparse(io.StringIO(text), events=("start-ns", "start")):
+        if ev == "start-ns":
+            prefix, uri = payload
+            uri2prefix.setdefault(uri, prefix)
+        elif root is None:
+            root = payload
+
+    def _name(tag: str) -> str:
+        # '{uri}local' → 'prefix:local' (or bare local if undeclared)
+        if tag.startswith("{"):
+            uri, local = tag[1:].split("}", 1)
+            prefix = uri2prefix.get(uri)
+            return f"{prefix}:{local}" if prefix else local
+        return tag
+
+    def _local(tag: str) -> str:
+        # section names match on the local part (<swish:MetaNames> ==
+        # <MetaNames>); member names keep their prefix
+        return _name(tag).split(":")[-1]
+
     metanames = dict(cfg.metanames)
     properties = dict(cfg.properties)
     aliases = dict(cfg.tag_aliases)
     parsers = dict(cfg.parsers)
     mimes = dict(cfg.mimes)
     stringlists = dict(cfg.stringlists)
+    xmlns = dict(cfg.xmlns)
+    xmlns.update({p: u for u, p in uri2prefix.items() if p})
     flags: dict[str, object] = {}
 
+    def _next_id(table) -> int:
+        # reference: runtime ids come from max_meta_id/max_prop_id
+        # counters (metaname.c:41-59), never from table size — a
+        # len()-based default could collide with an explicit id
+        return max((v.id for v in table.values()), default=-1) + 1
+
+    # id-uniqueness within this header read (reference: header.c:503-510
+    # croaks via the per-read meta_ids/prop_ids hashes; defaults outside
+    # the file are not in scope, so <foo id="1"/> may shadow a default)
+    seen_meta_ids: dict[int, str] = {}
+    seen_prop_ids: dict[int, str] = {}
+
+    def _check_id(seen: dict[int, str], kind: str, table, name: str, id_: int) -> None:
+        if name in table and table[name].id == id_:
+            # re-declaration of an existing entry with its existing id
+            # (a config_to_xml round trip re-states the defaults) claims
+            # nothing new — the reference's check scope is likewise
+            # limited to explicit ids within one read (header.c:339-348)
+            return
+        if id_ in seen:
+            raise ValueError(
+                f"duplicate id {id_} on {kind} {name} "
+                f"(already assigned to {seen[id_]})"
+            )
+        seen[id_] = name
+
     for node in root:
-        tag = node.tag.lower()
+        tag = _local(node.tag).lower()
         if tag == "metanames":
             for m in node:
-                name = m.tag.lower()
+                name = _name(m.tag).lower()
                 a = m.attrib
+                mid = int(a.get("id", _next_id(metanames)))
+                _check_id(seen_meta_ids, "MetaName", metanames, name, mid)
                 metanames[name] = MetaName(
                     name,
-                    id=int(a.get("id", len(metanames))),
+                    id=mid,
                     bias=int(a.get("bias", 0)),
-                    alias_for=a.get("alias_for"),
+                    alias_for=(a.get("alias_for") or "").lower() or None,
                 )
                 # text children are aliases for this metaname
                 if m.text and m.text.strip():
@@ -390,17 +458,19 @@ def load_config_xml(
                         aliases[al.lower()] = name
         elif tag == "propertynames":
             for p in node:
-                name = p.tag.lower()
+                name = _name(p.tag).lower()
                 a = p.attrib
+                pid = int(a.get("id", _next_id(properties)))
+                _check_id(seen_prop_ids, "PropertyName", properties, name, pid)
                 properties[name] = Property(
                     name,
-                    id=int(a.get("id", len(properties) + 1)),
+                    id=pid,
                     ignore_case=_to_bool(a.get("ignore_case", "1")),
                     type={"string": PROP_STRING, "date": PROP_DATE, "int": PROP_INT}.get(
                         a.get("type", "string").lower(), PROP_STRING
                     ),
                     verbatim=_to_bool(a.get("verbatim", "0")),
-                    alias_for=a.get("alias_for"),
+                    alias_for=(a.get("alias_for") or "").lower() or None,
                     max=int(a.get("max", 0)),
                     sort=_to_bool(a.get("sort", "1")),
                 )
@@ -409,7 +479,7 @@ def load_config_xml(
                         aliases[al.lower()] = name
         elif tag == "tagalias":
             for t in node:
-                target = t.tag.lower()
+                target = _name(t.tag).lower()
                 if t.text:
                     for al in t.text.split():
                         aliases[al.lower()] = target
@@ -417,11 +487,11 @@ def load_config_xml(
             for t in node:
                 if t.text:
                     for mime in t.text.split():
-                        parsers[mime.lower()] = t.tag.upper()
+                        parsers[mime.lower()] = _local(t.tag).upper()
         elif tag == "mime":
             for t in node:
                 if t.text:
-                    mimes[t.tag.lower()] = t.text.strip()
+                    mimes[_name(t.tag).lower()] = t.text.strip()
         elif tag == "xmlclassattributes":
             # repeated elements accumulate (header.c:795-828 stringlist merge)
             vals = stringlists.get(CLASS_ATTRIBUTES, ()) + tuple(
@@ -432,6 +502,10 @@ def load_config_xml(
             flags["undef_metas"] = (node.text or UNDEF_INDEX).strip().lower()
         elif tag == "undefinedxmlattributes":
             flags["undef_attrs"] = (node.text or UNDEF_DISABLE).strip().lower()
+        elif tag == "tokenizername":
+            flags["tokenizer"] = (node.text or "default").strip()
+        elif tag == "tokenregex":
+            flags["token_regex"] = (node.text or "").strip() or None
         elif tag in _FLAG_KEYS:
             flags[_FLAG_KEYS[tag]] = _to_bool(node.text or "")
         elif tag == "includeconfigfile":
@@ -445,6 +519,7 @@ def load_config_xml(
                     parsers.update(inner.parsers)
                     mimes.update(inner.mimes)
                     stringlists.update(inner.stringlists)
+                    xmlns.update(inner.xmlns)
 
     validate_config_names(metanames, properties, aliases)
     return cfg.with_overrides(
@@ -454,6 +529,7 @@ def load_config_xml(
         parsers=parsers,
         mimes=mimes,
         stringlists=stringlists,
+        xmlns=xmlns,
         **flags,
     )
 
@@ -464,7 +540,10 @@ def config_to_xml(cfg: SwishConfig) -> str:
     ``load_config_xml``."""
     from xml.sax.saxutils import escape
 
-    parts = ["<swish>"]
+    decls = "".join(
+        f' xmlns:{p}="{escape(u)}"' for p, u in sorted(cfg.xmlns.items())
+    )
+    parts = [f"<swish{decls}>"]
     parts.append(" <MetaNames>")
     for name, m in sorted(cfg.metanames.items()):
         attrs = f' bias="{m.bias}" id="{m.id}"'
@@ -501,6 +580,10 @@ def config_to_xml(cfg: SwishConfig) -> str:
         vals = escape(" ".join(cfg.stringlists[CLASS_ATTRIBUTES]))
         parts.append(f" <XMLClassAttributes>{vals}</XMLClassAttributes>")
     parts.append(f" <Tokenize>{int(cfg.tokenize)}</Tokenize>")
+    if cfg.tokenizer and cfg.tokenizer != "default":
+        parts.append(f" <TokenizerName>{escape(cfg.tokenizer)}</TokenizerName>")
+    if cfg.token_regex:
+        parts.append(f" <TokenRegex>{escape(cfg.token_regex)}</TokenRegex>")
     parts.append(
         f" <CascadeMetaContext>{int(cfg.cascade_meta_context)}</CascadeMetaContext>"
     )
@@ -524,3 +607,18 @@ def validate_config_names(metanames, properties, aliases) -> None:
     for p in properties.values():
         if p.alias_for and p.alias_for not in properties:
             raise ValueError(f"property {p.name} alias_for {p.alias_for} undefined")
+
+
+def validate_unique_ids(metanames, properties) -> None:
+    """Id uniqueness within each kind (reference:
+    swish_config_test_unique_ids libswish3.h:628; duplicate-id croak at
+    header.c:503-510)."""
+    for kind, table in (("MetaName", metanames), ("PropertyName", properties)):
+        seen: dict[int, str] = {}
+        for v in table.values():
+            if v.id in seen:
+                raise ValueError(
+                    f"duplicate id {v.id} on {kind} {v.name} "
+                    f"(already assigned to {seen[v.id]})"
+                )
+            seen[v.id] = v.name

@@ -1,0 +1,63 @@
+"""Typed property consumption (the index-sink side of P7/C2).
+
+The engine stores every property as text (reference: property values
+are always ``xmlChar*``; libswish3.h:102-104 types them only logically).
+The CONSUMER applies the type system — ``swish_xapian.cpp:449-483``
+replaces bumper bytes with spaces and serializes ``SWISH_PROP_INT``
+values numerically (``sortable_serialise(string_to_int(...))``),
+``SWISH_PROP_DATE`` at query time (swish_xapian.cpp:937+).
+
+These are JVM column expressions over the ``properties`` map column of
+the extracted table, so typed consumption stays inside whole-stage
+codegen and is oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from libswish3_spark.config import (
+    PROP_DATE,
+    PROP_INT,
+    Property,
+    SwishConfig,
+    TOKENPOS_BUMPER,
+)
+
+
+def typed_property(props_col, prop: Property) -> Column:
+    """One property's typed value from the ``properties`` map column.
+
+    Mirrors the Xapian consumer: multi-segment values join with a space
+    where the engine wrote a bumper byte (swish_xapian.cpp:460-470);
+    ``string_to_int`` is C ``atoi`` — leading integer parse, not a
+    strict cast (swish_xapian.cpp:478); dates parse to timestamps.
+    """
+    v = F.element_at(props_col, prop.alias_for or prop.name)
+    v = F.regexp_replace(v, TOKENPOS_BUMPER, " ")
+    if prop.max and prop.max > 0:
+        v = F.substring(v, 1, prop.max)
+    if prop.type == PROP_INT:
+        # atoi semantics: optional sign + leading digits, else 0
+        digits = F.regexp_extract(v, r"^[ \t]*([+-]?[0-9]+)", 1)
+        return F.when(digits == "", F.lit(0)).otherwise(digits.cast("long"))
+    if prop.type == PROP_DATE:
+        return F.to_timestamp(v)
+    return v
+
+
+def typed_properties(
+    extracted: DataFrame, config: SwishConfig, keep: tuple[str, ...] = ("doc_id",)
+) -> DataFrame:
+    """Extracted table → one typed column per configured property.
+
+    Column types follow the config: PROP_INT → long, PROP_DATE →
+    timestamp, PROP_STRING → string (max-capped). Aliases resolve to
+    their target's stored value, like ``add_stack_to_prop_buf``'s
+    alias redirect (parser.c:2882-2890).
+    """
+    cols = [F.col(c) for c in keep]
+    for name in sorted(config.properties):
+        prop = config.properties[name]
+        cols.append(typed_property(F.col("properties"), prop).alias(name))
+    return extracted.select(*cols)

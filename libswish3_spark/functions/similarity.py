@@ -70,13 +70,73 @@ def sign_signature(vec_col, dims: int = 8) -> Column:
     return total.cast("long")
 
 
+def random_planes(dims: int, n_planes: int = 8, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (md5-derived weights in
+    [-1, 1]). Generated driver-side and embedded as LITERALS in both the
+    Spark expression and the SQL oracle, so both engines see identical
+    constants — the oracle-able form of 'seeded random planes'."""
+    import hashlib
+
+    planes = []
+    for p in range(n_planes):
+        w = []
+        for i in range(dims):
+            h = int.from_bytes(
+                hashlib.md5(f"{seed}:{p}:{i}".encode()).digest()[:4], "big"
+            )
+            w.append((h % 2001 - 1000) / 1000.0)
+        planes.append(w)
+    return planes
+
+
+def plane_signature(vec_col, planes: list[list[float]]) -> Column:
+    """Signature int: bit p set iff dot(vec, plane_p) >= 0."""
+    sig = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        lit = F.array(*[F.lit(w) for w in plane])
+        sig = sig + F.when(dot(vec_col, lit) >= 0, F.lit(2**p)).otherwise(F.lit(0))
+    return sig
+
+
+def query_probes(query_vec, planes: list[list[float]]) -> list[int]:
+    """Multi-probe bucket set: the query's signature plus every
+    signature at Hamming distance 1 (the classic multi-probe LSH
+    recall fix — a near neighbor differs from the query on at most a
+    few marginal hyperplanes, so probing the 1-bit flips recovers most
+    of what single-probe loses)."""
+    qsig = 0
+    for p, plane in enumerate(planes):
+        d = sum(float(a) * b for a, b in zip(query_vec, plane))
+        if d >= 0:
+            qsig += 2**p
+    return [qsig] + [qsig ^ (1 << p) for p in range(len(planes))]
+
+
 def lsh_bucketed_topk(
-    df: DataFrame, id_col: str, vec_col: str, query_vec, k: int = 10, dims: int = 8
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec,
+    k: int = 10,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
 ) -> DataFrame:
-    """ANN: search only the query's sign bucket, then exact cosine."""
-    sig = 0
-    for i in range(dims):
-        if float(query_vec[i]) >= 0:
-            sig += 2**i
-    bucketed = df.where(sign_signature(F.col(vec_col), dims) == F.lit(sig))
-    return brute_force_topk(bucketed, id_col, vec_col, query_vec, k)
+    """ANN: L independent random-hyperplane tables, multi-probe
+    (Hamming ≤ 1) per table, candidates = union across tables, exact
+    cosine within candidates.
+
+    Single-table sign-LSH has inherently low recall (a neighbor at
+    angle θ disagrees per plane with prob θ/π); L tables raise recall
+    to 1-(1-r)^L at L× the candidate cost — the standard knob. At scale
+    the L signatures are stored/bucketed columns (compute once at
+    ingest); here they are computed in the scan projection — still a
+    narrow scan-side filter pruning to ~L·(n_planes+1)/2^n_planes of
+    the corpus before the exact top-k (TakeOrdered, no global sort)."""
+    cond = F.lit(False)
+    for t in range(n_tables):
+        planes = random_planes(len(query_vec), n_planes, seed + t)
+        probes = query_probes(query_vec, planes)
+        sig = plane_signature(F.col(vec_col), planes)
+        cond = cond | sig.isin([F.lit(p) for p in probes])
+    return brute_force_topk(df.where(cond), id_col, vec_col, query_vec, k)

@@ -33,6 +33,12 @@ POSTINGS_SCHEMA = StructType(
         StructField("pos", IntegerType()),
         StructField("metaname", StringType()),
         StructField("context", StringType()),
+        # T8: byte offset into the doc's shared token buffer and token
+        # byte length (reference: swish_token_list_add_token
+        # tokenizer.c:384-386 — offset = buffer length so far, len
+        # excludes the NUL, each stored token advances len+1)
+        StructField("offset", IntegerType()),
+        StructField("len", IntegerType()),
     ]
 )
 
@@ -56,6 +62,8 @@ def postings_batch_fn(config: SwishConfig, include_map: dict | None = None):
                 ("pos", pa.int32()),
                 ("metaname", pa.string()),
                 ("context", pa.string()),
+                ("offset", pa.int32()),
+                ("len", pa.int32()),
             ]
         )
         for batch in batches:
@@ -76,6 +84,7 @@ def postings_batch_fn(config: SwishConfig, include_map: dict | None = None):
                 else [None] * n
             )
             o_doc, o_term, o_pos, o_meta, o_ctx = [], [], [], [], []
+            o_off, o_len = [], []
             for i in range(n):
                 if errors[i]:
                     continue  # ingest failure: no postings (parser.c:2505)
@@ -104,12 +113,17 @@ def postings_batch_fn(config: SwishConfig, include_map: dict | None = None):
                     # index a doc the extraction marks as errored
                     continue
                 words = [s for s in st.spans if s[0] == "word"]
+                buf_off = 0  # per-doc shared-buffer write position
                 for (_, term, _, pos), (meta, ctx) in zip(words, st.token_meta):
                     o_doc.append(doc_ids[i])
                     o_term.append(term)
                     o_pos.append(pos)
                     o_meta.append(meta)
                     o_ctx.append(ctx)
+                    blen = len(term.encode("utf-8"))
+                    o_off.append(buf_off)
+                    o_len.append(blen)
+                    buf_off += blen + 1  # +1: the stored NUL
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(o_doc, pa.string()),
@@ -117,6 +131,8 @@ def postings_batch_fn(config: SwishConfig, include_map: dict | None = None):
                     pa.array(o_pos, pa.int32()),
                     pa.array(o_meta, pa.string()),
                     pa.array(o_ctx, pa.string()),
+                    pa.array(o_off, pa.int32()),
+                    pa.array(o_len, pa.int32()),
                 ],
                 schema=out_schema,
             )

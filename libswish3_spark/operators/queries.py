@@ -190,6 +190,63 @@ SELECT doc_id, len({TOKS_SQL}) + 1 AS nwords FROM documents
 """
 
 
+def q_properties_typed(spark, sf_dir):
+    """P7/C2 typed-property chain: swish.xml config (int/date/max) →
+    XML parse → property buckets → consumer-side typed columns
+    (reference: header.c:474-541 type/max parse, swish_xapian.cpp:478
+    int serialization)."""
+    from libswish3_spark.config import load_config_xml
+    from libswish3_spark.functions.props import typed_properties
+
+    cfg = load_config_xml(
+        """<swish><PropertyNames>
+             <num type="int"/>
+             <when type="date"/>
+             <desc max="40"/>
+           </PropertyNames></swish>"""
+    )
+    base = _docs(spark, sf_dir)
+    day = F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0")
+    xml = F.concat(
+        F.lit("<doc><num>"),
+        F.col("doc_id").cast("string"),
+        F.lit("</num><when>2020-01-"),
+        day,
+        F.lit("</when><desc>"),
+        F.col("text"),
+        F.lit("</desc></doc>"),
+    )
+    docs = base.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                xml.alias("text"),
+                F.lit("").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+        F.lit("XML").alias("parser"),
+    )
+    out = typed_properties(extract(docs, config=cfg), cfg)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("num").alias("num_val"),
+        F.col("when").alias("when_ts"),
+        F.col("desc").alias("desc_trunc"),
+    )
+
+
+ORACLE_PROPERTIES_TYPED = """
+SELECT doc_id,
+       doc_id AS num_val,
+       CAST('2020-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+            AS TIMESTAMP) AS when_ts,
+       substr(text, 1, 40) AS desc_trunc
+FROM documents
+"""
+
+
 def q_index_postings(spark, sf_dir):
     """S9 index-sink contract: one (term, pos, metaname, context) row per
     token, from the real parser with token-meta retention."""
@@ -239,6 +296,55 @@ FROM t
 # --------------------------------------------------------------------------
 # JVM-side text analysis (T-layer re-expressed in codegen)
 # --------------------------------------------------------------------------
+
+
+def q_postings_offsets(spark, sf_dir):
+    """T8 byte offset/len capture (reference: tokenizer.c:384-386 —
+    offset into the doc's shared token buffer, len+NUL advance)."""
+    from libswish3_spark.operators.postings import extract_index_postings
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.col("text").alias("text"),
+                F.lit("").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+        F.lit("TXT").alias("parser"),
+    )
+    out = extract_index_postings(docs)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "term",
+        "pos",
+        "offset",
+        "len",
+    )
+
+
+# offsets are a running sum of (len+1) in pos order, window-expressible
+ORACLE_POSTINGS_OFFSETS = f"""
+WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+p AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)+1),
+                i -> {{'pos': i, 'term': toks[i]}})) AS r
+  FROM t
+  UNION ALL
+  SELECT doc_id, {{'pos': len(toks) + 1, 'term': CAST(doc_id AS VARCHAR)}} AS r
+  FROM t
+)
+SELECT doc_id, r.term AS term, CAST(r.pos AS INT) AS pos,
+       CAST(coalesce(sum(strlen(r.term) + 1) OVER (
+              PARTITION BY doc_id ORDER BY r.pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT)
+         AS "offset",
+       CAST(strlen(r.term) AS INT) AS len
+FROM p
+"""
 
 
 def q_tokenize_count(spark, sf_dir):
@@ -568,29 +674,68 @@ ORDER BY score_bp DESC, vec_id LIMIT 10
 """
 
 
+ANN_DIMS = 64  # embeddings.parquet embedding width
+ANN_PLANES = 8
+ANN_TABLES = 4
+ANN_SEED = 42
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings")
-    return S.lsh_bucketed_topk(emb, "vec_id", "embedding", _query_vec(spark, sf_dir))
+    return S.lsh_bucketed_topk(
+        emb,
+        "vec_id",
+        "embedding",
+        _query_vec(spark, sf_dir),
+        n_planes=ANN_PLANES,
+        n_tables=ANN_TABLES,
+        seed=ANN_SEED,
+    )
 
 
-def _build_ann_lsh_oracle(dims=8):
-    sig = " + ".join(
-        f"CASE WHEN embedding[{i+1}] >= 0 THEN {2**i} ELSE 0 END" for i in range(dims)
-    )
-    qsig = " + ".join(
-        f"CASE WHEN q.qv[{i+1}] >= 0 THEN {2**i} ELSE 0 END" for i in range(dims)
-    )
+def _build_ann_lsh_oracle(dims=ANN_DIMS, n_planes=ANN_PLANES, n_tables=ANN_TABLES):
+    """L random-hyperplane tables + multi-probe (Hamming ≤ 1) per table,
+    with the SAME literal plane weights as similarity.random_planes —
+    both engines compute identical left-to-right double dot products."""
+
+    def plane_dot(vec: str, plane) -> str:
+        return " + ".join(
+            f"CAST({vec}[{i + 1}] AS DOUBLE) * {w!r}" for i, w in enumerate(plane)
+        )
+
+    sig_cols, qsig_cols, table_conds = [], [], []
+    for t in range(n_tables):
+        planes = S.random_planes(dims, n_planes, ANN_SEED + t)
+        sig = " + ".join(
+            f"CASE WHEN ({plane_dot('embedding', pl)}) >= 0 THEN {2**p} ELSE 0 END"
+            for p, pl in enumerate(planes)
+        )
+        qsig = " + ".join(
+            f"CASE WHEN ({plane_dot('q.qv', pl)}) >= 0 THEN {2**p} ELSE 0 END"
+            for p, pl in enumerate(planes)
+        )
+        sig_cols.append(f"({sig}) AS sig{t}")
+        qsig_cols.append(f"({qsig}) AS qsig{t}")
+        probes = " OR ".join(
+            [f"sig{t} = qsig{t}"]
+            + [f"sig{t} = xor(qsig{t}, {1 << p})" for p in range(n_planes)]
+        )
+        table_conds.append(f"({probes})")
     return f"""
-WITH q AS (SELECT embedding AS qv FROM embeddings ORDER BY vec_id LIMIT 1)
-SELECT vec_id,
+WITH q AS (SELECT embedding AS qv FROM embeddings ORDER BY vec_id LIMIT 1),
+qs AS (SELECT {", ".join(qsig_cols)} FROM q),
+scored AS (
+  SELECT vec_id, {", ".join(sig_cols)},
        CAST(floor(
          list_sum(list_transform(range(1, len(embedding)+1),
                   i -> CAST(embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
          / (sqrt(list_sum(list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
           * sqrt(list_sum(list_transform(range(1, len(q.qv)+1),     i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))))
          * 10000) AS BIGINT) AS score_bp
-FROM embeddings, q
-WHERE ({sig}) = ({qsig})
+  FROM embeddings, q
+)
+SELECT vec_id, score_bp FROM scored, qs
+WHERE {" OR ".join(table_conds)}
 ORDER BY score_bp DESC, vec_id LIMIT 10
 """
 
@@ -820,6 +965,8 @@ QUERIES: dict[str, tuple] = {
     "extract_txt": (q_extract_txt, ORACLE_EXTRACT_TXT),
     "extract_txt_segmented": (q_extract_txt_segmented, ORACLE_EXTRACT_TXT_SEGMENTED),
     "index_postings": (q_index_postings, ORACLE_INDEX_POSTINGS),
+    "properties_typed": (q_properties_typed, ORACLE_PROPERTIES_TYPED),
+    "postings_offsets": (q_postings_offsets, ORACLE_POSTINGS_OFFSETS),
     "tokenize_count": (q_tokenize_count, ORACLE_TOKENIZE_COUNT),
     "word_totals": (q_word_totals, ORACLE_WORD_TOTALS),
     "term_frequencies": (q_term_frequencies, ORACLE_TERM_FREQUENCIES),

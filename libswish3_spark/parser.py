@@ -47,7 +47,7 @@ from libswish3_spark.config import (
 )
 from libswish3_spark.events import html_events, xml_events
 from libswish3_spark.htmltags import INLINE_TAGS, KNOWN_TAGS
-from libswish3_spark.tokenizer import split_tokens
+from libswish3_spark.tokenizer import resolve_tokenizer, split_tokens
 
 _BUMPER = TOKENPOS_BUMPER
 _WS = " \t\n\r\f\v"
@@ -99,6 +99,8 @@ class DocState:
         # optional per-token (metaname, context) postings for index sinks
         # (S9 contract: swish_xapian.cpp:416-561 needs value+meta+pos)
         self.keep_token_meta = False
+        # T10: pluggable tokenizer resolved once per doc state
+        self.split_tokens = resolve_tokenizer(config)
         self.token_meta: list[tuple[str, str]] = []
         self.pos = 0
         self.nwords = 0
@@ -180,7 +182,7 @@ class DocState:
             last = len(segments) - 1
             for i, seg in enumerate(segments):
                 if seg:
-                    toks = split_tokens(seg)
+                    toks = self.split_tokens(seg)
                     if toks:
                         base = self.pos
                         spans.extend(
@@ -227,10 +229,24 @@ class DocState:
             if prop is not None and prop.verbatim:
                 cleanwsp = False
             self._nb_add(self.properties, store, s, cleanwsp)
+            self._apply_prop_max(store)
         for t in self.propstack:
             if t.baked == DOM_STR:
                 continue
             self._nb_add(self.properties, t.baked, s, cleanwsp)
+            self._apply_prop_max(t.baked)
+
+    def _apply_prop_max(self, name: str) -> None:
+        # Property.max caps the STORED value (Swish-e 2.x
+        # PropertyNamesMaxLength semantics; the reference parses max at
+        # header.c:487-488 and round-trips it, leaving enforcement to
+        # the consumer — we enforce at store time so the cap actually
+        # bounds memory on mega-documents)
+        prop = self.prop_def(name)
+        if prop is not None and prop.max > 0:
+            cur = self.properties.get(name)
+            if cur is not None and len(cur) > prop.max:
+                self.properties[name] = cur[: prop.max]
 
     def _clear_prop_buf(self) -> None:
         self.prop_parts = []

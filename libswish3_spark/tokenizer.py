@@ -164,6 +164,59 @@ def count_positions(text: str) -> int:
     return n
 
 
+# ---------------------------------------------------------------------------
+# Pluggable tokenizer registry (T10).
+#
+# The reference exposes fn-ptr hooks ``analyzer->tokenizer`` /
+# ``->stemmer`` (libswish3.h:411-412) and the Perl binding a settable
+# token regex (bindings/perl/lib/SWISH/3.pm:102-133, default
+# ``\w+(?:[\x{2019}']\w+)*``). Spark-side: a tokenizer is any
+# ``segment:str -> list[str]`` callable. Two ways to select one per run:
+#
+# * ``SwishConfig.token_regex`` — a regex pattern; serializes inside the
+#   broadcast config, so it works on any executor with no extra setup
+#   (the Perl-binding path).
+# * ``SwishConfig.tokenizer`` — a registry name; the module registering
+#   it must be importable on executors (standard --py-files practice),
+#   mirroring the fn-ptr hook.
+# ---------------------------------------------------------------------------
+
+PERL_BINDING_TOKEN_REGEX = r"\w+(?:[’']\w+)*"  # 3.pm:128-130
+
+_TOKENIZER_REGISTRY: dict = {"default": split_tokens}
+
+
+def register_tokenizer(name: str, fn) -> None:
+    """Register a named tokenizer (segment → token list)."""
+    _TOKENIZER_REGISTRY[name] = fn
+
+
+def make_regex_tokenizer(pattern: str):
+    """Tokenizer from a findall regex over the lowercased segment."""
+    rx = re.compile(pattern)
+
+    def fn(segment: str) -> list[str]:
+        return rx.findall(segment.lower())
+
+    return fn
+
+
+def resolve_tokenizer(config):
+    """config → tokenizer callable (token_regex wins over the registry
+    name; unknown names raise — a silent default would mask a missing
+    --py-files module on the executor)."""
+    pattern = getattr(config, "token_regex", None)
+    if pattern:
+        return make_regex_tokenizer(pattern)
+    name = getattr(config, "tokenizer", "default") or "default"
+    if name not in _TOKENIZER_REGISTRY:
+        raise KeyError(
+            f"tokenizer '{name}' not registered (register_tokenizer on "
+            "the executor, or use config.token_regex)"
+        )
+    return _TOKENIZER_REGISTRY[name]
+
+
 # Convenience: a token pattern string usable by *both* Spark SQL
 # (Java regex) and DuckDB (RE2) for ASCII-only corpora — used by the
 # oracle-checked queries so the two engines tokenize identically.

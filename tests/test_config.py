@@ -135,3 +135,65 @@ def test_mime_drives_parser_dispatch():
     assert cfg.parser_for_mime(cfg.mime_for_ext("asc")) == "TXT"
     # non-text types fall to the default parser (HTML), like the reference
     assert cfg.parser_for_mime(cfg.mime_for_ext("png")) == "HTML"
+
+
+def test_xmlns_metanames_round_trip():
+    """002-header.t parity: swish:color and foo:name survive a config
+    load AND a write→reload round trip (reference:
+    test_configs/xmlns.xml; asserts at src/t/002-header.t:28-30)."""
+    from libswish3_spark.config import config_to_xml
+
+    text = open("/root/reference/src/test_configs/xmlns.xml").read()
+    cfg = load_config_xml(text)
+    assert "swish:color" in cfg.metanames
+    assert "foo:name" in cfg.metanames
+    assert cfg.metanames["foo:name"].id == 1
+    assert cfg.metanames["foo:name"].bias == 5
+    # text children are aliases
+    assert cfg.tag_aliases["bar"] == "foo:name"
+    assert cfg.tag_aliases["color"] == "swish:color"
+    assert "foo:size" in cfg.properties
+    assert cfg.ignore_xmlns is False
+
+    cfg2 = load_config_xml(config_to_xml(cfg))
+    assert "swish:color" in cfg2.metanames
+    assert "foo:name" in cfg2.metanames
+    assert cfg2.metanames["foo:name"].bias == 5
+    assert cfg2.tag_aliases["bar"] == "foo:name"
+
+
+def test_swish_xml_reference_config_loads():
+    """test_configs/swish.xml (the 002-header.t primary fixture)."""
+    text = open("/root/reference/src/test_configs/swish.xml").read()
+    cfg = load_config_xml(text)
+    assert cfg.metanames["foo"].bias == 10
+    assert cfg.metanames["bar"].bias == -5
+    assert cfg.metanames["title"].alias_for == "swishtitle"
+    assert cfg.tag_aliases["color"] == "other"
+    assert cfg.properties["bar"].type == 3  # int
+    assert cfg.properties["lastmod"].type == 2  # date
+    assert cfg.properties["description"].max == 10000
+    assert cfg.properties["description"].verbatim
+    assert cfg.parsers["text/foo"] == "XML"
+    assert cfg.parsers["default"] == "TXT"
+    assert cfg.mimes["au"] == "foo/bar"
+    assert cfg.cascade_meta_context is True
+
+
+def test_unique_id_validation_croaks_on_duplicates():
+    """C4 (reference: swish_config_test_unique_ids libswish3.h:628,
+    duplicate-id croak header.c:503-510)."""
+    with pytest.raises(ValueError, match="duplicate id"):
+        load_config_xml(
+            '<swish><MetaNames><a id="7"/><b id="7"/></MetaNames></swish>'
+        )
+    with pytest.raises(ValueError, match="duplicate id"):
+        load_config_xml(
+            '<swish><PropertyNames><a id="9"/><b id="9"/></PropertyNames></swish>'
+        )
+    from libswish3_spark.config import MetaName, validate_unique_ids
+
+    with pytest.raises(ValueError, match="duplicate id"):
+        validate_unique_ids(
+            {"x": MetaName("x", id=3), "y": MetaName("y", id=3)}, {}
+        )

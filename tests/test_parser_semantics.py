@@ -186,3 +186,67 @@ def test_media_span_at_bumper_gap():
     assert [(s["kind"], s["text"] or s["media_ref"], s["order"]) for s in r["spans"]] == [
         ("word", "foo", 1), ("media", "x.png", 2), ("word", "bar", 3),
     ]
+
+
+def test_token_regex_config_overrides_tokenizer():
+    """T10: the Perl binding's settable token regex
+    (bindings/perl/lib/SWISH/3.pm:102-133) via config.token_regex —
+    hyphenated words stay whole under a custom pattern."""
+    from libswish3_spark.config import default_config
+    from libswish3_spark.parser import parse_document
+
+    spans_default = parse_document(
+        "t.txt",
+        [{"kind": "text", "text": "e-mail me", "media_ref": "", "offset": 0}],
+        parser="TXTSEG",
+    )["spans"]
+    assert [s["text"] for s in spans_default] == ["e", "mail", "me"]
+
+    cfg = default_config(token_regex=r"[a-z0-9]+(?:-[a-z0-9]+)*")
+    spans_custom = parse_document(
+        "t.txt",
+        [{"kind": "text", "text": "e-mail me", "media_ref": "", "offset": 0}],
+        parser="TXTSEG",
+        config=cfg,
+    )["spans"]
+    assert [s["text"] for s in spans_custom] == ["e-mail", "me"]
+
+
+def test_registered_tokenizer_by_name():
+    from libswish3_spark.config import default_config
+    from libswish3_spark.parser import parse_document
+    from libswish3_spark.tokenizer import register_tokenizer
+
+    register_tokenizer("shouty", lambda seg: [t.upper() for t in seg.split()])
+    cfg = default_config(tokenizer="shouty")
+    spans = parse_document(
+        "t.txt",
+        [{"kind": "text", "text": "hello there", "media_ref": "", "offset": 0}],
+        parser="TXTSEG",
+        config=cfg,
+    )["spans"]
+    assert [s["text"] for s in spans] == ["HELLO", "THERE"]
+
+
+def test_unknown_tokenizer_name_raises():
+    import pytest
+
+    from libswish3_spark.config import default_config
+    from libswish3_spark.parser import parse_document
+
+    with pytest.raises(KeyError, match="not registered"):
+        parse_document(
+            "t.txt",
+            [{"kind": "text", "text": "x", "media_ref": "", "offset": 0}],
+            parser="TXTSEG",
+            config=default_config(tokenizer="nope"),
+        )
+
+
+def test_token_regex_round_trips_through_config_xml():
+    from libswish3_spark.config import config_to_xml, default_config, load_config_xml
+
+    cfg = default_config(token_regex=r"\w+(?:[’']\w+)*", tokenizer="custom")
+    cfg2 = load_config_xml(config_to_xml(cfg))
+    assert cfg2.token_regex == cfg.token_regex
+    assert cfg2.tokenizer == "custom"

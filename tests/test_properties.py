@@ -108,3 +108,46 @@ def test_word_run_class_consistent_with_split(s):
     runs = word_run_re().findall(s.lower())
     for tok in split_tokens(s):
         assert any(tok in run for run in runs)
+
+
+def test_property_max_truncates_stored_value():
+    """Property.max caps the stored buffer (Swish-e 2.x
+    PropertyNamesMaxLength; reference parses it at header.c:487-488)."""
+    from libswish3_spark.config import load_config_xml
+    from libswish3_spark.parser import parse_document
+
+    cfg = load_config_xml(
+        '<swish><PropertyNames><shorty max="5"/></PropertyNames></swish>'
+    )
+    r = parse_document(
+        "m.xml",
+        [{"kind": "text", "text": "<doc><shorty>abcdefghij</shorty></doc>",
+          "media_ref": "", "offset": 0}],
+        parser="XML",
+        config=cfg,
+    )
+    assert r["properties"]["shorty"] == "abcde"
+
+
+def test_typed_property_consumption(spark):
+    """Consumer typing per swish_xapian.cpp:449-483: bumper → space,
+    atoi for int (leading digits), timestamp for date."""
+    from libswish3_spark.config import load_config_xml
+    from libswish3_spark.functions.props import typed_properties
+    from libswish3_spark.pipeline import extract
+
+    cfg = load_config_xml(
+        """<swish><PropertyNames>
+             <num type="int"/><when type="date"/><parts/>
+           </PropertyNames></swish>"""
+    )
+    xml = ("<doc><num> 42abc </num><when>2021-06-30</when>"
+           "<parts>one</parts><parts>two</parts></doc>")
+    docs = spark.createDataFrame(
+        [("t.xml", [("text", xml, "", 0)], "XML")],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, parser string",
+    )
+    row = typed_properties(extract(docs, config=cfg), cfg).collect()[0]
+    assert row["num"] == 42  # atoi: leading int of ' 42abc'
+    assert str(row["when"]).startswith("2021-06-30")
+    assert row["parts"] == "one two"  # bumper joint → space

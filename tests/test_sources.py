@@ -110,3 +110,23 @@ def test_postings_include_map(spark):
     without = extract_index_postings(docs).count()
     assert with_inc == 44  # the golden nwords, one posting per word
     assert without < with_inc
+
+
+def test_postings_offsets_pack_like_token_buffer(spark):
+    """T8: offsets replicate the shared token buffer layout —
+    offset_k + len_k + 1 == offset_{k+1} in pos order
+    (reference: tokenizer.c:384-386)."""
+    from libswish3_spark.operators.postings import extract_index_postings
+
+    docs = spark.createDataFrame(
+        [("d1", [("text", "héllo wörld and more words", "", 0)], "TXT")],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, parser string",
+    )
+    rows = sorted(
+        extract_index_postings(docs).collect(), key=lambda r: r["pos"]
+    )
+    assert rows[0]["offset"] == 0
+    for a, b in zip(rows, rows[1:]):
+        assert a["offset"] + a["len"] + 1 == b["offset"]
+    # utf-8 byte length, not char length (é/ö are 2 bytes)
+    assert rows[0]["len"] == len("héllo".encode("utf-8"))
