@@ -20,21 +20,26 @@ token positions), verified against the counts published in its own
 test suite (reference: src/t/001-wordcount.t).
 """
 
-from libswish3_spark.config import SwishConfig, default_config
+from libswish3_spark.config import SwishConfig, default_config, load_config_xml
 from libswish3_spark.parser import parse_document
 from libswish3_spark.pipeline import (
     DOCS_SCHEMA,
     EXTRACTED_SCHEMA,
     extract,
     extraction_metrics,
+    reconcile_actions,
+    salt_by_size,
 )
 
 __all__ = [
     "SwishConfig",
     "default_config",
+    "load_config_xml",
     "parse_document",
     "extract",
     "extraction_metrics",
+    "reconcile_actions",
+    "salt_by_size",
     "DOCS_SCHEMA",
     "EXTRACTED_SCHEMA",
 ]

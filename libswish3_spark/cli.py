@@ -73,6 +73,15 @@ def cmd_tokenize(args) -> int:
 
 def cmd_header(args) -> int:
     cfg = _load_config(args.config_file)
+    if args.write:
+        # swish_header writes the merged view back out (header.c:1386+
+        # swish_header_write; the binary writes swish_header.xml)
+        from libswish3_spark.config import config_to_xml
+
+        with open(args.write, "w") as f:
+            f.write(config_to_xml(cfg))
+        print(f"wrote {args.write}", file=sys.stderr)
+        return 0
     dump = {
         "metanames": {k: vars(v) for k, v in sorted(cfg.metanames.items())},
         "properties": {k: vars(v) for k, v in sorted(cfg.properties.items())},
@@ -108,6 +117,10 @@ def main(argv=None) -> int:
 
     hdr = sub.add_parser("header", help="read + validate a config file")
     hdr.add_argument("config_file")
+    hdr.add_argument(
+        "-w", "--write", metavar="OUT_XML",
+        help="write the merged config back out (swish_header.xml form)",
+    )
     hdr.set_defaults(fn=cmd_header)
 
     args = p.parse_args(argv)
