@@ -505,6 +505,178 @@ ORACLE_DOC_FINGERPRINT = "SELECT doc_id, md5(lower(text)) AS fp FROM documents"
 
 
 # --------------------------------------------------------------------------
+# Training-data curation: mixing, packing, selection, action reconcile
+# --------------------------------------------------------------------------
+
+# per-language keep rates in basis points (deterministic data mixing)
+MIX_WEIGHTS_BP = {"en": 9000, "de": 7000, "fr": 5000, "es": 3000, "zh": 1000}
+PACK_CAPACITY = 4096  # tokens per training pack
+
+
+def _md5_head16(col) -> "F.Column":
+    """First 16 bits of md5 as an int — portable to DuckDB via the same
+    instr-based hex parse (no engine-private hash, no from_hex)."""
+    h = F.md5(col)
+    v = F.lit(0)
+    for i in range(4):
+        v = v * 16 + (F.instr(F.lit("0123456789abcdef"), F.substring(h, i + 1, 1)) - 1)
+    return v
+
+
+def q_sample_mix(spark, sf_dir):
+    """Deterministic data mixing: per-language quota sampling by hash
+    threshold. Unlike rand()-based sampleBy, md5(doc_id:lang) % 10000 is
+    reproducible run-to-run and engine-portable — the property a
+    training pipeline needs for auditable mixtures. Narrow (filter in
+    the scan stage), no shuffle."""
+    docs = _docs(spark, sf_dir)
+    h = _md5_head16(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("lang")))
+    weight = F.lit(0)
+    for lang, bp in sorted(MIX_WEIGHTS_BP.items()):
+        weight = F.when(F.col("lang") == lang, F.lit(bp)).otherwise(weight)
+    return docs.where((h % 10000) < weight).select("doc_id", "lang")
+
+
+def _mix_oracle():
+    hexval = lambda i: f"(instr('0123456789abcdef', substr(md5(doc_id || ':' || lang), {i}, 1)) - 1)"
+    h = f"((({hexval(1)} * 16 + {hexval(2)}) * 16 + {hexval(3)}) * 16 + {hexval(4)})"
+    w = "0"
+    for lang, bp in sorted(MIX_WEIGHTS_BP.items()):
+        w = f"CASE WHEN lang = '{lang}' THEN {bp} ELSE {w} END"
+    return f"SELECT doc_id, lang FROM documents WHERE ({h} % 10000) < ({w})"
+
+
+ORACLE_SAMPLE_MIX = _mix_oracle()
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing: greedy contiguous assignment of documents into
+    fixed-capacity token packs, one running sum per source shard.
+    Windows partition by source (parallel, scale-honest — never a
+    global single-partition window); a doc straddling the boundary
+    starts in its cumulative pack, the standard greedy-packing
+    definition."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "source", T.token_count(F.col("text")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return docs.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor(cum_before / PACK_CAPACITY).cast("long").alias("pack_id"),
+    )
+
+
+ORACLE_PACK_SEQUENCES = f"""
+SELECT doc_id, source, len({TOKS_SQL}) AS n_tokens,
+       CAST(floor(coalesce(sum(len({TOKS_SQL})) OVER (
+              PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            / {PACK_CAPACITY}) AS BIGINT) AS pack_id
+FROM documents
+"""
+
+
+def q_quality_topk(spark, sf_dir):
+    """Stratified quality selection: top-k documents per language by
+    quality score (alpha ratio, ties broken by doc_id). Partitioned
+    window — each language ranks in parallel; at web scale this is the
+    'keep the best q% per stratum' filter of a curation pipeline."""
+    from pyspark.sql import Window
+
+    feats = T.quality_features(F.col("text"))
+    scored = _docs(spark, sf_dir).select(
+        "doc_id", "lang", feats["alpha_bp"].alias("alpha_bp")
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("alpha_bp"), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 50)
+        .select("doc_id", "lang", "alpha_bp", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+ORACLE_QUALITY_TOPK = f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         CASE WHEN length(text) > 0 THEN
+           CAST(floor(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 10000 / length(text)) AS BIGINT)
+         ELSE 0 END AS alpha_bp
+  FROM documents
+),
+r AS (
+  SELECT doc_id, lang, alpha_bp,
+         CAST(row_number() OVER (PARTITION BY lang ORDER BY alpha_bp DESC, doc_id) AS INT) AS rank
+  FROM scored
+)
+SELECT doc_id, lang, alpha_bp, rank FROM r WHERE rank <= 50
+"""
+
+
+def q_reconcile_actions(spark, sf_dir):
+    """S3 Action semantics end-to-end: synthesize an add/update/delete
+    stream history over documents, reconcile to the surviving set
+    (latest mtime wins; delete drops)."""
+    from libswish3_spark.pipeline import DOCS_FULL_SCHEMA, reconcile_actions
+
+    base = _docs(spark, sf_dir)
+
+    def frame(action, mtime, text_col, pred=None):
+        df = base if pred is None else base.where(pred)
+        return df.select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.array(
+                F.struct(
+                    F.lit("text").alias("kind"),
+                    text_col.alias("text"),
+                    F.lit("").alias("media_ref"),
+                    F.lit(0).alias("offset"),
+                )
+            ).alias("spans"),
+            F.lit(None).cast("string").alias("mime"),
+            F.lit("TXT").alias("parser"),
+            F.lit(None).cast("string").alias("encoding"),
+            F.lit(None).cast("long").alias("size"),
+            F.lit(mtime).cast("long").alias("mtime"),
+            F.lit(action).alias("action"),
+            F.lit(None).cast("string").alias("error"),
+        )
+
+    history = (
+        frame("add", 100, F.col("text"))
+        .unionByName(
+            frame("update", 200, F.concat(F.col("text"), F.lit(" v2")),
+                  F.col("doc_id") % 3 == 0)
+        )
+        .unionByName(frame("delete", 300, F.lit(""), F.col("doc_id") % 5 == 0))
+    )
+    out = reconcile_actions(history)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "mtime",
+        F.md5(F.element_at("spans", 1)["text"]).alias("text_fp"),
+    )
+
+
+ORACLE_RECONCILE_ACTIONS = """
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN 200 ELSE 100 END AS mtime,
+       CASE WHEN doc_id % 3 = 0 THEN md5(text || ' v2') ELSE md5(text) END AS text_fp
+FROM documents WHERE doc_id % 5 <> 0
+"""
+
+
+# --------------------------------------------------------------------------
 # Deduplication
 # --------------------------------------------------------------------------
 
@@ -967,6 +1139,10 @@ QUERIES: dict[str, tuple] = {
     "index_postings": (q_index_postings, ORACLE_INDEX_POSTINGS),
     "properties_typed": (q_properties_typed, ORACLE_PROPERTIES_TYPED),
     "postings_offsets": (q_postings_offsets, ORACLE_POSTINGS_OFFSETS),
+    "sample_mix": (q_sample_mix, ORACLE_SAMPLE_MIX),
+    "pack_sequences": (q_pack_sequences, ORACLE_PACK_SEQUENCES),
+    "quality_topk": (q_quality_topk, ORACLE_QUALITY_TOPK),
+    "reconcile_actions": (q_reconcile_actions, ORACLE_RECONCILE_ACTIONS),
     "tokenize_count": (q_tokenize_count, ORACLE_TOKENIZE_COUNT),
     "word_totals": (q_word_totals, ORACLE_WORD_TOTALS),
     "term_frequencies": (q_term_frequencies, ORACLE_TERM_FREQUENCIES),

@@ -77,3 +77,23 @@ def test_topk_uses_takeordered(spark):
 
 def test_aqe_enabled(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
+def test_pack_sequences_window_is_partitioned(spark):
+    """Packing must window per source shard — a global (single
+    partition) window would funnel the corpus through one task."""
+    plan = _plan(QUERIES["pack_sequences"][0](spark, SF))
+    assert "hashpartitioning(source" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_quality_topk_window_is_partitioned(spark):
+    plan = _plan(QUERIES["quality_topk"][0](spark, SF))
+    assert "hashpartitioning(lang" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_sample_mix_is_narrow(spark):
+    """Deterministic mixing is a scan-side filter: no shuffle at all."""
+    plan = _plan(QUERIES["sample_mix"][0](spark, SF))
+    assert "Exchange" not in plan
