@@ -790,6 +790,47 @@ SELECT id AS doc_id, min(r) AS keeper FROM reach GROUP BY id
 """
 
 
+def q_dedup_apply(spark, sf_dir):
+    """The dedup pipeline's actual output: the surviving corpus.
+    Candidates → jaccard verify → connected components → anti-join
+    drops every non-keeper; exact duplicates collapse to min-id first.
+    This is the row count a training run actually trains on."""
+    docs = ensure_parallelism(_docs(spark, sf_dir))
+    cand = D.minhash_candidates(docs, "doc_id", "text", max_bucket=MAX_BUCKET)
+    verified = D.jaccard_verify(
+        docs, cand, "doc_id", "text", threshold=RESOLVE_BP / 10000
+    )
+    clusters = D.resolve_clusters(verified)
+    losers = clusters.where(F.col("doc_id") != F.col("keeper")).select("doc_id")
+    return (
+        docs.join(losers, "doc_id", "left_anti")
+        .groupBy()
+        .agg(
+            F.count("*").alias("survivors"),
+            F.sum(F.length("text")).cast("long").alias("surviving_chars"),
+        )
+    )
+
+
+ORACLE_DEDUP_APPLY = f"""
+WITH RECURSIVE {_minhash_cand_ctes()}, {_JAC_CTE},
+ver AS (SELECT a, b FROM jac WHERE jaccard_bp >= {RESOLVE_BP}),
+edges AS (SELECT a AS src, b AS dst FROM ver UNION SELECT b, a FROM ver),
+reach(id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+),
+losers AS (
+  SELECT id FROM (SELECT id, min(r) AS keeper FROM reach GROUP BY id)
+  WHERE id <> keeper
+)
+SELECT count(*) AS survivors,
+       CAST(sum(length(text)) AS BIGINT) AS surviving_chars
+FROM documents WHERE doc_id NOT IN (SELECT id FROM losers)
+"""
+
+
 def q_dedup_simhash(spark, sf_dir):
     return _docs(spark, sf_dir).select(
         "doc_id", D.simhash(T.tokens(F.col("text"))).alias("simhash")
@@ -1155,6 +1196,7 @@ QUERIES: dict[str, tuple] = {
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, ORACLE_DEDUP_MINHASH),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, ORACLE_DEDUP_NGRAM_JACCARD),
     "dedup_resolved": (q_dedup_resolved, ORACLE_DEDUP_RESOLVED),
+    "dedup_apply": (q_dedup_apply, ORACLE_DEDUP_APPLY),
     "dedup_simhash": (q_dedup_simhash, ORACLE_DEDUP_SIMHASH),
     "stemmed_terms": (q_stemmed_terms, ORACLE_STEMMED_TERMS),
     "bpe_token_count": (q_bpe_token_count, ORACLE_BPE_TOKEN_COUNT),
