@@ -13,9 +13,24 @@ segments can tokenize independently and reassemble order-preserving:
       → (optional) groupBy(doc) sorted-flatten + title-from-path tail
 
 Markup documents cannot be split blindly (a segment boundary inside a
-tag breaks the state machine), so this path is TXT-only by design; the
-markup analogue would segment at parser-visible boundaries (e.g.
-top-level block elements), which is future work.
+tag breaks the state machine). The HTML analogue below segments at
+PARSER-NEUTRAL boundaries: between top-level children of <body> (or the
+document root for fragments), outside comments/rawtext, with the
+noindex counter at zero. At such a point the single-pass parser state
+is fully reconstructible — the open-element chain is at most
+[html, body], which continuation segments re-open synthetically — so
+word spans, positions, nwords and the metanames map reproduce the
+unsegmented extraction byte-for-byte (test_megadoc). Two caveats,
+by construction of the reference's semantics:
+
+* property VALUES (cleanwsp buckets like swishdescription) may differ
+  in whitespace immediately adjacent to a cut: the single pass
+  edge-strips its one big buffer once, the segmented path strips each
+  fragment (fragments join with the same \\x03 the single pass would
+  have inserted, so token-relevant content is identical);
+* configs that bucket mid-body metanames/properties flush the buffer
+  mid-document, which the cut scanner cannot see — use the unsegmented
+  path for those (the default config never flushes mid-body).
 """
 
 from __future__ import annotations
@@ -156,6 +171,302 @@ def segmented_nwords(docs: DataFrame, config=None, seg_chars: int = 1 << 20) -> 
     )
 
 
+def _html_cut_scan(text: str, seg_chars: int):
+    """Find parser-neutral cut offsets in one HTML document.
+
+    Position-tracking twin of events.html_events' consume loop (same
+    MARKUP_RE, same auto-close/void/rawtext handling) that tracks only
+    the open-element stack, the noindex counter and whether any text has
+    been buffered. Cost is O(tags) with tiny per-tag work — no
+    tokenization, no attribute parsing, no buffer building.
+
+    Returns (cuts, seeds, chains): byte offsets where a segment may end,
+    whether the meta buffer is non-empty there (the pending-bumper seed),
+    and the open-element chain (⊆ {html, body}) the next segment must
+    re-open.
+    """
+    from libswish3_spark.events import MARKUP_RE
+    from libswish3_spark.htmltags import (
+        AUTO_CLOSE,
+        INLINE_TAGS,
+        KNOWN_TAGS,
+        RAWTEXT_TAGS,
+        VOID_TAGS,
+    )
+
+    cuts: list[int] = []
+    seeds: list[int] = []
+    chains: list[tuple[str, ...]] = []
+    stack: list[str] = []
+    last = 0
+    seg_start = 0
+    n = len(text)
+    rawtext_until: str | None = None
+    ignore = 0
+    text_seen = False
+
+    def note_text(s: str) -> None:
+        nonlocal text_seen
+        if s and not ignore:
+            text_seen = True
+
+    for m in MARKUP_RE.finditer(text):
+        if m.start() < last:
+            continue
+        if rawtext_until is not None:
+            from libswish3_spark.events import _RAWTEXT_CLOSE
+
+            mm = _RAWTEXT_CLOSE[rawtext_until].search(text, last)
+            end = mm.start() if mm else n
+            note_text(text[last:end])
+            last = end
+            rawtext_until = None
+            if m.start() < last:
+                continue
+        note_text(text[last : m.start()])
+        last = m.end()
+        if m.group("comment") is not None:
+            # noindex/index toggles (parser.c:1321-1388 incl. SwishCommand)
+            t = m.group("comment").strip()
+            if t.lower().startswith("swishcommand"):
+                t = t[len("swishcommand") :].strip()
+            tl = t.lower()
+            if tl == "noindex":
+                ignore += 1
+            elif tl == "index" and ignore > 0:
+                ignore -= 1
+            continue
+        if m.group("cdata") is not None:
+            note_text(m.group("cdata"))
+            continue
+        if m.group("decl") is not None or m.group("pi") is not None:
+            continue
+        name = m.group("name").lower()
+        if m.group("close"):
+            if name in stack:
+                while stack and stack.pop() != name:
+                    pass
+            continue
+        # cut BEFORE this start tag if, after its implied closes, only
+        # html/body remain open — i.e. it begins a top-level body child
+        peek = len(stack)
+        closers = AUTO_CLOSE.get(name)
+        if closers:
+            while peek and stack[peek - 1] in closers:
+                peek -= 1
+        # only cut before a tag that deterministically sets
+        # bump_word=True (known block element, or br/img) — cutting
+        # before an inline tag could split a token the single pass
+        # glues across the tag (parser.c:399-424 inline no-bump rule)
+        bumps = name in ("br", "img") or (
+            name in KNOWN_TAGS and name not in INLINE_TAGS
+        )
+        if (
+            bumps
+            and ignore == 0
+            and m.start() - seg_start >= seg_chars
+            and all(t in ("html", "body") for t in stack[:peek])
+        ):
+            cuts.append(m.start())
+            seeds.append(int(text_seen))
+            chains.append(tuple(stack[:peek]))
+            seg_start = m.start()
+        if closers:
+            del stack[peek:]
+        if name in VOID_TAGS or m.group("selfclose"):
+            pass
+        else:
+            stack.append(name)
+            if name in RAWTEXT_TAGS:
+                rawtext_until = name
+    return cuts, seeds, chains
+
+
+def _html_segment_kernel(seg_chars: int):
+    def fn(batches):
+        import pyarrow as pa
+
+        out_schema = pa.schema(
+            [("doc_id", pa.string()), ("seg_text", pa.string())]
+        )
+        for batch in batches:
+            doc_ids = batch.column("doc_id").to_pylist()
+            texts = batch.column("text").to_pylist()
+            o_id, o_txt = [], []
+            for doc_id, text in zip(doc_ids, texts):
+                text = text or ""
+                cuts, seeds, chains = _html_cut_scan(text, seg_chars)
+                bounds = [0] + cuts + [len(text)]
+                nseg = len(bounds) - 1
+                for idx in range(nseg):
+                    seg = text[bounds[idx] : bounds[idx + 1]]
+                    if idx > 0:
+                        # re-open the elements still open at the cut so
+                        # stacks (and DOM paths) match the single pass
+                        seg = "".join(f"<{t}>" for t in chains[idx - 1]) + seg
+                    seed = seeds[idx - 1] if idx > 0 else 0
+                    o_id.append(
+                        f"{doc_id}{_SEG_SEP}{idx}{_SEG_SEP}{seed}{_SEG_SEP}{nseg}"
+                    )
+                    o_txt.append(seg)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(o_id, pa.string()), pa.array(o_txt, pa.string())],
+                schema=out_schema,
+            )
+
+    return fn
+
+
+def segment_html_docs(docs: DataFrame, seg_chars: int = 1 << 20) -> DataFrame:
+    """docs(doc_id, spans[single HTML text span]) → one row per segment
+    with parser=HTMLSEG (continuation segments re-open html/body and
+    carry the pending-bumper seed in the doc_id tail)."""
+    base = docs.select(
+        "doc_id", F.element_at("spans", 1)["text"].alias("text")
+    )
+    seg = base.mapInArrow(
+        _html_segment_kernel(seg_chars), schema="doc_id string, seg_text string"
+    )
+    return seg.select(
+        "doc_id",
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.col("seg_text").alias("text"),
+                F.lit("").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+        F.lit("HTMLSEG").alias("parser"),
+    )
+
+
+def extract_html_segmented_rows(
+    docs: DataFrame, config=None, seg_chars: int = 1 << 20,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Scalable form: one output row per HTML segment with GLOBAL span
+    orders. Unlike the TXT path (offsets precomputable by a cheap token
+    count), HTML end positions exist only after the parse, so a window
+    prefix-sum over (doc, seg_idx, end_pos) shifts each segment's
+    orders; the window partitions by document (parallel across docs,
+    and a doc's segments co-locate — exactly what reassembly needs)."""
+    seg = segment_html_docs(docs, seg_chars)
+    return _markup_segmented_rows(seg, config, num_partitions)
+
+
+def _markup_segmented_rows(
+    seg: DataFrame, config=None, num_partitions: int | None = None
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    from libswish3_spark.parser import SEG_INFO_KEY
+
+    sc = seg.sparkSession.sparkContext
+    seg = seg.repartition(num_partitions or sc.defaultParallelism * 2, "doc_id")
+    seg_out = extract(seg, config=config)
+    parts = F.split("doc_id", _SEG_SEP)
+    rows = seg_out.select(
+        F.array_join(F.slice(parts, 1, F.size(parts) - 3), _SEG_SEP).alias("orig_id"),
+        F.element_at(parts, -3).cast("int").alias("seg_idx"),
+        F.element_at("metanames", SEG_INFO_KEY).cast("int").alias("end_pos"),
+        F.map_filter("metanames", lambda k, _: k != F.lit(SEG_INFO_KEY)).alias(
+            "metanames"
+        ),
+        "properties",
+        "nwords",
+        "spans",
+    )
+    w = (
+        Window.partitionBy("orig_id")
+        .orderBy("seg_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = F.coalesce(F.sum("end_pos").over(w), F.lit(0)).cast("int")
+    return rows.select(
+        "orig_id",
+        "seg_idx",
+        "end_pos",
+        "metanames",
+        "properties",
+        "nwords",
+        F.transform(
+            "spans",
+            lambda s: F.struct(
+                s["kind"].alias("kind"),
+                s["text"].alias("text"),
+                s["media_ref"].alias("media_ref"),
+                (s["order"] + off).cast("int").alias("order"),
+            ),
+        ).alias("spans"),
+    )
+
+
+def extract_html_segmented(
+    docs: DataFrame, config=None, seg_chars: int = 1 << 20,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Full reassembly into one row per document: word spans, positions,
+    nwords and metanames match the unsegmented HTML extraction exactly
+    (property values may differ in cut-adjacent whitespace — module
+    docstring). Parity-check / modest-doc form; at scale keep
+    :func:`extract_html_segmented_rows` exploded."""
+    import pandas as pd
+
+    from libswish3_spark.config import TOKENPOS_BUMPER, default_config
+    from libswish3_spark.pipeline import EXTRACTED_SCHEMA
+
+    rows = extract_html_segmented_rows(docs, config, seg_chars, num_partitions)
+    return _reassemble_markup(rows, config, "HTML")
+
+
+def _reassemble_markup(rows: DataFrame, config, parser_label: str) -> DataFrame:
+    import pandas as pd  # noqa: F811
+
+    from libswish3_spark.config import TOKENPOS_BUMPER, default_config  # noqa: F811
+    from libswish3_spark.pipeline import EXTRACTED_SCHEMA  # noqa: F811
+
+    cfg = config or default_config()
+    verbatim_props = frozenset(
+        n for n, p in cfg.properties.items() if p.verbatim
+    )
+
+    def merge(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("seg_idx")
+        spans = [s for seg in pdf["spans"] for s in seg]
+        # metanames store RAW buffer fragments and a continuation
+        # segment's fragment already begins with the seed bumper the
+        # single pass would have had in-buffer — plain concat is exact
+        metanames: dict[str, str] = {}
+        for m in pdf["metanames"]:
+            for k, v in (m or {}).items():
+                metanames[k] = metanames.get(k, "") + v
+        # property fragments were cleanwsp'd per segment (ctrl→space),
+        # so the cut bumper joins as the space it would have become;
+        # verbatim properties keep the raw bumper byte
+        properties: dict[str, str] = {}
+        for m in pdf["properties"]:
+            for k, v in (m or {}).items():
+                if k not in properties:
+                    properties[k] = v
+                else:
+                    j = TOKENPOS_BUMPER if k in verbatim_props else " "
+                    properties[k] = properties[k] + j + v
+        return pd.DataFrame(
+            {
+                "doc_id": [pdf["orig_id"].iloc[0]],
+                "spans": [spans],
+                "metanames": [metanames],
+                "properties": [properties],
+                "nwords": [int(pdf["nwords"].sum())],
+                "parser": [parser_label],
+                "error": [None],
+            }
+        )
+
+    return rows.groupBy("orig_id").applyInPandas(merge, schema=EXTRACTED_SCHEMA)
+
+
 def extract_txt_segmented(
     docs: DataFrame, config=None, seg_chars: int = 1 << 20,
     num_partitions: int | None = None,
@@ -205,3 +516,153 @@ def extract_txt_segmented(
         )).alias("spans"),
         (F.col("body_words") + F.size(title_toks)).cast("long").alias("nwords"),
     )
+
+
+def _xml_cut_scan(text: str, seg_chars: int):
+    """Parser-neutral cut offsets for one XML document.
+
+    Literal-event twin of events.xml_events (same MARKUP_RE, no
+    auto-close/void/rawtext): cut before a start tag when exactly the
+    root element is open, outside comments/CDATA, noindex==0. Every XML
+    tag bumps word position (parser.c:543-549), so any top-level start
+    tag is a safe boundary. On any close-tag mismatch (malformed XML)
+    segmentation bails out — the document runs unsegmented rather than
+    risking a state divergence the literal scanner can't model.
+
+    Returns (cuts, seeds, root_raw) — root_raw is the root's original
+    open-tag text, replayed verbatim as each continuation segment's
+    prefix so prefixes/attrs bake identically.
+    """
+    from libswish3_spark.events import MARKUP_RE
+
+    cuts: list[int] = []
+    seeds: list[int] = []
+    depth = 0
+    names: list[str] = []
+    root_raw: str | None = None
+    last = 0
+    seg_start = 0
+    ignore = 0
+    text_seen = False
+
+    def note_text(s: str) -> None:
+        nonlocal text_seen
+        if s and not ignore:
+            text_seen = True
+
+    for m in MARKUP_RE.finditer(text):
+        note_text(text[last : m.start()])
+        last = m.end()
+        if m.group("comment") is not None:
+            t = m.group("comment").strip()
+            if t.lower().startswith("swishcommand"):
+                t = t[len("swishcommand") :].strip()
+            tl = t.lower()
+            if tl == "noindex":
+                ignore += 1
+            elif tl == "index" and ignore > 0:
+                ignore -= 1
+            continue
+        if m.group("cdata") is not None:
+            note_text(m.group("cdata"))
+            continue
+        if m.group("decl") is not None or m.group("pi") is not None:
+            continue
+        name = m.group("name")
+        if m.group("close"):
+            if not names or names[-1] != name:
+                return [], [], None  # malformed: refuse to segment
+            names.pop()
+            depth -= 1
+            continue
+        if (
+            depth == 1
+            and ignore == 0
+            and m.start() - seg_start >= seg_chars
+        ):
+            cuts.append(m.start())
+            seeds.append(int(text_seen))
+            seg_start = m.start()
+        if not m.group("selfclose"):
+            if depth == 0 and root_raw is None:
+                root_raw = m.group(0)
+            names.append(name)
+            depth += 1
+    return cuts, seeds, root_raw
+
+
+def _xml_segment_kernel(seg_chars: int):
+    def fn(batches):
+        import pyarrow as pa
+
+        out_schema = pa.schema(
+            [("doc_id", pa.string()), ("seg_text", pa.string())]
+        )
+        for batch in batches:
+            doc_ids = batch.column("doc_id").to_pylist()
+            texts = batch.column("text").to_pylist()
+            o_id, o_txt = [], []
+            for doc_id, text in zip(doc_ids, texts):
+                text = text or ""
+                cuts, seeds, root_raw = _xml_cut_scan(text, seg_chars)
+                bounds = [0] + cuts + [len(text)]
+                nseg = len(bounds) - 1
+                for idx in range(nseg):
+                    seg = text[bounds[idx] : bounds[idx + 1]]
+                    if idx > 0:
+                        seg = (root_raw or "") + seg
+                    seed = seeds[idx - 1] if idx > 0 else 0
+                    o_id.append(
+                        f"{doc_id}{_SEG_SEP}{idx}{_SEG_SEP}{seed}{_SEG_SEP}{nseg}"
+                    )
+                    o_txt.append(seg)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(o_id, pa.string()), pa.array(o_txt, pa.string())],
+                schema=out_schema,
+            )
+
+    return fn
+
+
+def segment_xml_docs(docs: DataFrame, seg_chars: int = 1 << 20) -> DataFrame:
+    """docs(doc_id, spans[single XML text span]) → one row per segment
+    with parser=XMLSEG. Constraints mirror the HTML path (module
+    docstring): default-config semantics — a root that is itself a
+    metaname/property, attr-metaname policies, or XInclude within the
+    document need the unsegmented path."""
+    base = docs.select(
+        "doc_id", F.element_at("spans", 1)["text"].alias("text")
+    )
+    seg = base.mapInArrow(
+        _xml_segment_kernel(seg_chars), schema="doc_id string, seg_text string"
+    )
+    return seg.select(
+        "doc_id",
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.col("seg_text").alias("text"),
+                F.lit("").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+        F.lit("XMLSEG").alias("parser"),
+    )
+
+
+def extract_xml_segmented_rows(
+    docs: DataFrame, config=None, seg_chars: int = 1 << 20,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    seg = segment_xml_docs(docs, seg_chars)
+    return _markup_segmented_rows(seg, config, num_partitions)
+
+
+def extract_xml_segmented(
+    docs: DataFrame, config=None, seg_chars: int = 1 << 20,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """XML mega-doc segmentation with full per-document reassembly;
+    parity contract identical to the HTML path."""
+    rows = extract_xml_segmented_rows(docs, config, seg_chars, num_partitions)
+    return _reassemble_markup(rows, config, "XML")

@@ -190,6 +190,22 @@ SELECT doc_id, len({TOKS_SQL}) + 1 AS nwords FROM documents
 """
 
 
+def q_extract_html_segmented(spark, sf_dir):
+    """HTML mega-doc path: cut-scan → parallel HTMLSEG extract →
+    reassembly. Must be indistinguishable from the single-pass HTML
+    extraction — same oracle as extract_html."""
+    from libswish3_spark.operators.megadoc import extract_html_segmented
+
+    docs = _html_wrap(_docs(spark, sf_dir))
+    out = extract_html_segmented(docs, seg_chars=32)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("nwords"),
+        F.element_at("properties", "swishtitle").alias("title"),
+        F.element_at("properties", "swishdescription").alias("description"),
+    )
+
+
 def q_properties_typed(spark, sf_dir):
     """P7/C2 typed-property chain: swish.xml config (int/date/max) →
     XML parse → property buckets → consumer-side typed columns
@@ -1177,6 +1193,7 @@ QUERIES: dict[str, tuple] = {
     "extract_media": (q_extract_media, ORACLE_EXTRACT_MEDIA),
     "extract_txt": (q_extract_txt, ORACLE_EXTRACT_TXT),
     "extract_txt_segmented": (q_extract_txt_segmented, ORACLE_EXTRACT_TXT_SEGMENTED),
+    "extract_html_segmented": (q_extract_html_segmented, ORACLE_EXTRACT_HTML),
     "index_postings": (q_index_postings, ORACLE_INDEX_POSTINGS),
     "properties_typed": (q_properties_typed, ORACLE_PROPERTIES_TYPED),
     "postings_offsets": (q_postings_offsets, ORACLE_POSTINGS_OFFSETS),

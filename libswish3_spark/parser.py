@@ -53,6 +53,10 @@ _BUMPER = TOKENPOS_BUMPER
 _WS = " \t\n\r\f\v"
 _CTRL_TO_WS = {i: 0x20 for i in range(32)}  # reference: string.c:593-607
 
+# reserved metanames key carrying a mega-doc segment's end position
+# through the fixed extraction schema (stripped at reassembly)
+SEG_INFO_KEY = "\x02seg"
+
 
 class _Tag:
     __slots__ = ("raw", "baked", "context")
@@ -554,6 +558,20 @@ def parse_to_state(
                 state.buffer_characters(state.uri)
                 state.flush_buffer(TITLE_METANAME, TITLE_METANAME)
         else:
+            # HTMLSEG: one mega-doc HTML segment (operators/megadoc.py).
+            # The doc_id tail carries (idx, seed, nseg); seed=1 means the
+            # unsegmented parse had a non-empty meta buffer at this cut,
+            # so the segment's first buffered text must pay the pending
+            # word-boundary bumper exactly where the single-pass parse
+            # would have inserted it (buffer_characters bumper rule) —
+            # priming meta_len makes that happen locally, which keeps
+            # every local position = global position − Σ prior end_pos.
+            if parser in ("HTMLSEG", "XMLSEG") and "\x02" in doc_id:
+                try:
+                    if int(doc_id.rsplit("\x02", 2)[1]):
+                        state.meta_len = 1
+                except (ValueError, IndexError):
+                    pass
             scanner = html_events if state.is_html else xml_events
             for sp in spans:
                 kind, text, ref = _span_fields(sp)
@@ -563,6 +581,10 @@ def parse_to_state(
                 else:
                     _consume_markup(state, scanner, text, include_resolver)
             state.end_document()
+            if parser in ("HTMLSEG", "XMLSEG"):
+                # end position rides a reserved metaname so the fixed
+                # extraction schema carries it to the reassembly stage
+                state.metanames[SEG_INFO_KEY] = str(state.pos)
     except ValueError as e:
         state.error = str(e)
     return state

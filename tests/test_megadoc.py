@@ -64,3 +64,133 @@ def test_segmentation_is_parallel(spark, txt_docs):
     assert seg.count() >= 15
     plan = lsw.extract(seg)._jdf.queryExecution().executedPlan().toString()
     assert "MapInArrow" in plan
+
+
+def _html_doc(i: int) -> str:
+    return (
+        f"<html><head><title>mega doc {i}</title></head><body>"
+        + f"<h1>heading {i} words</h1>"
+        + "".join(
+            f"<p>para {j} has <b>bold</b> and text tokens here</p>"
+            for j in range(14)
+        )
+        + "<!-- noindex --><p>ignored secret words</p><!-- index -->"
+        + '<p>after ignore <img src="img://x"/> tail words</p>'
+        + "<script>var x = 1;</script>"
+        + "<p>final paragraph closes the document</p></body></html>"
+    )
+
+
+def _docs_df(spark, texts):
+    return spark.createDataFrame(
+        [(f"d{i}", [("text", t, "", 0)], "HTML") for i, t in enumerate(texts)],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, parser string",
+    )
+
+
+def test_html_segmented_matches_unsegmented(spark):
+    """HTML mega-doc segmentation: word spans, positions, nwords,
+    metanames and (clean-cut) properties all equal the single-pass
+    extraction."""
+    import libswish3_spark as lsw
+    from libswish3_spark.operators.megadoc import extract_html_segmented
+
+    texts = [_html_doc(i) for i in range(4)]
+    docs = _docs_df(spark, texts)
+    plain = {r["doc_id"]: r for r in lsw.extract(docs).collect()}
+    seg = {
+        r["doc_id"]: r
+        for r in extract_html_segmented(docs, seg_chars=120).collect()
+    }
+    assert set(seg) == set(plain)
+    for d in plain:
+        p, s = plain[d], seg[d]
+        assert s["nwords"] == p["nwords"], d
+        assert [tuple(x) for x in s["spans"]] == [tuple(x) for x in p["spans"]], d
+        assert dict(s["metanames"]) == dict(p["metanames"]), d
+        assert dict(s["properties"]) == dict(p["properties"]), d
+
+
+def test_html_segmentation_actually_splits(spark):
+    from libswish3_spark.operators.megadoc import segment_html_docs
+
+    docs = _docs_df(spark, [_html_doc(0)])
+    n = segment_html_docs(docs, seg_chars=120).count()
+    assert n >= 4  # a ~900-char body must split several times
+
+
+def test_html_cut_scan_never_cuts_inside_noindex_or_rawtext():
+    from libswish3_spark.operators.megadoc import _html_cut_scan
+
+    text = _html_doc(0)
+    cuts, seeds, chains = _html_cut_scan(text, 40)
+    ni_start = text.index("<!-- noindex -->")
+    ni_end = text.index("<!-- index -->")
+    sc_start = text.index("<script>")
+    sc_end = text.index("</script>")
+    for c in cuts:
+        assert not (ni_start < c <= ni_end)
+        assert not (sc_start < c <= sc_end)
+        assert text[c] == "<"
+    assert all(set(ch) <= {"html", "body"} for ch in chains)
+
+
+def test_html_segmented_fragment_without_body(spark):
+    """Fragments (no html/body wrapper) segment at top level too."""
+    import libswish3_spark as lsw
+    from libswish3_spark.operators.megadoc import extract_html_segmented
+
+    frag = "".join(f"<p>piece {j} of the fragment text</p>" for j in range(12))
+    docs = _docs_df(spark, [frag])
+    plain = lsw.extract(docs).collect()[0]
+    seg = extract_html_segmented(docs, seg_chars=60).collect()[0]
+    assert seg["nwords"] == plain["nwords"]
+    assert [tuple(x) for x in seg["spans"]] == [tuple(x) for x in plain["spans"]]
+    assert dict(seg["metanames"]) == dict(plain["metanames"])
+
+
+def test_xml_segmented_matches_unsegmented(spark):
+    """XML mega-doc segmentation parity: spans, nwords, metanames."""
+    import libswish3_spark as lsw
+    from libswish3_spark.operators.megadoc import extract_xml_segmented
+
+    def xml_doc(i):
+        return (
+            f'<doc id="{i}">'
+            + "".join(f"<item>xml item {j} words here</item>" for j in range(12))
+            + "<!-- noindex --><item>hidden</item><!-- index -->"
+            + "<item>last item closes</item></doc>"
+        )
+
+    docs = spark.createDataFrame(
+        [(f"x{i}", [("text", xml_doc(i), "", 0)], "XML") for i in range(3)],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, parser string",
+    )
+    plain = {r["doc_id"]: r for r in lsw.extract(docs).collect()}
+    seg = {
+        r["doc_id"]: r
+        for r in extract_xml_segmented(docs, seg_chars=80).collect()
+    }
+    for d in plain:
+        p, s = plain[d], seg[d]
+        assert s["nwords"] == p["nwords"], d
+        assert [tuple(x) for x in s["spans"]] == [tuple(x) for x in p["spans"]], d
+        assert dict(s["metanames"]) == dict(p["metanames"]), d
+
+
+def test_xml_segmentation_bails_on_malformed():
+    from libswish3_spark.operators.megadoc import _xml_cut_scan
+
+    cuts, seeds, root = _xml_cut_scan("<a><b>mismatched</a></b>" * 20, 10)
+    assert cuts == []  # refuse rather than risk divergence
+
+
+def test_xml_segmented_replays_root_attrs(spark):
+    """Root attrs must replay verbatim so xmlns/class baking matches."""
+    from libswish3_spark.operators.megadoc import _xml_cut_scan
+
+    text = '<root a="1" b="2">' + "<c>x y z w</c>" * 9 + "</root>"
+    cuts, seeds, root_raw = _xml_cut_scan(text, 30)
+    assert root_raw == '<root a="1" b="2">'
+    assert len(cuts) >= 1
+    assert seeds[0] == 1  # text precedes every cut here
