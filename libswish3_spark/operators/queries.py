@@ -692,6 +692,113 @@ FROM documents WHERE doc_id % 5 <> 0
 """
 
 
+_SHINGLE_SQL = f"""list_distinct(list_transform(
+    range(1, greatest(len({TOKS_SQL}) - 2, 0) + 1),
+    i -> {TOKS_SQL}[i] || ' ' || {TOKS_SQL}[i+1] || ' ' || {TOKS_SQL}[i+2]))"""
+
+
+def q_tfidf_topterms(spark, sf_dir):
+    """Per-document top-3 terms by tf·idf. Engine-portable scoring:
+    floor(tf·1e6/df) (df from one corpus-wide partial-agg; no floating
+    log). Shape at scale: one df aggregate (map-side combined), one
+    broadcast-or-shuffle join on term, one per-doc window."""
+    from pyspark.sql import Window
+
+    tf = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(df_, "term").select(
+        "doc_id",
+        "term",
+        F.floor(F.col("tf") * 1_000_000 / F.col("df")).cast("long").alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "term", "score", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+ORACLE_TFIDF_TOPTERMS = f"""
+WITH tf AS (
+  SELECT doc_id, unnest({TOKS_SQL}) AS term FROM documents
+),
+tfc AS (SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY 1, 2),
+dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY 1),
+s AS (
+  SELECT doc_id, tfc.term AS term,
+         CAST(floor(tf * 1000000 / df) AS BIGINT) AS score
+  FROM tfc JOIN dfc ON tfc.term = dfc.term
+),
+r AS (
+  SELECT doc_id, term, score,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS INT) AS rank
+  FROM s
+)
+SELECT doc_id, term, score, rank FROM r WHERE rank <= 3
+"""
+
+
+def q_contamination(spark, sf_dir):
+    """Benchmark decontamination: per-doc fraction (bp) of its 3-gram
+    shingles that appear in a held-out benchmark set (docs with
+    doc_id % 97 == 0 stand in for the eval set). Shape at scale: the
+    benchmark shingle set is small → broadcast semi-join against the
+    corpus' exploded shingles, then a per-doc partial count."""
+    docs = _docs(spark, sf_dir)
+    sh = docs.select(
+        "doc_id",
+        D.shingles(T.tokens(F.col("text"))).alias("sh"),
+    ).select("doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle"))
+    bench = (
+        sh.where(F.col("doc_id") % 97 == 0).select("shingle").distinct()
+    )
+    hits = (
+        sh.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    base = docs.select("doc_id").join(
+        sh.groupBy("doc_id").agg(F.max("n_sh").alias("n_sh")), "doc_id", "left"
+    )
+    return (
+        base.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(
+                F.coalesce("n_sh", F.lit(0)) > 0,
+                F.floor(F.coalesce("n_hit", F.lit(0)) * 10000 / F.col("n_sh")),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("contam_bp"),
+        )
+    )
+
+
+ORACLE_CONTAMINATION = f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLE_SQL} AS sh FROM documents
+),
+ex AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM sh),
+bench AS (SELECT DISTINCT shingle FROM ex WHERE doc_id % 97 = 0),
+hits AS (
+  SELECT doc_id, count(*) AS n_hit
+  FROM ex JOIN bench USING (shingle) GROUP BY 1
+)
+SELECT s.doc_id,
+       CASE WHEN len(s.sh) > 0
+            THEN CAST(floor(coalesce(h.n_hit, 0) * 10000 / len(s.sh)) AS BIGINT)
+            ELSE 0 END AS contam_bp
+FROM sh s LEFT JOIN hits h ON s.doc_id = h.doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Deduplication
 # --------------------------------------------------------------------------
@@ -706,9 +813,6 @@ SELECT md5(lower(text)) AS fp, min(doc_id) AS keeper, count(*) AS n_dups
 FROM documents GROUP BY 1
 """
 
-_SHINGLE_SQL = f"""list_distinct(list_transform(
-    range(1, greatest(len({TOKS_SQL}) - 2, 0) + 1),
-    i -> {TOKS_SQL}[i] || ' ' || {TOKS_SQL}[i+1] || ' ' || {TOKS_SQL}[i+2]))"""
 
 
 MAX_BUCKET = 1000  # LSH band-bucket size cap (boilerplate guard)
@@ -1201,6 +1305,8 @@ QUERIES: dict[str, tuple] = {
     "pack_sequences": (q_pack_sequences, ORACLE_PACK_SEQUENCES),
     "quality_topk": (q_quality_topk, ORACLE_QUALITY_TOPK),
     "reconcile_actions": (q_reconcile_actions, ORACLE_RECONCILE_ACTIONS),
+    "tfidf_topterms": (q_tfidf_topterms, ORACLE_TFIDF_TOPTERMS),
+    "contamination": (q_contamination, ORACLE_CONTAMINATION),
     "tokenize_count": (q_tokenize_count, ORACLE_TOKENIZE_COUNT),
     "word_totals": (q_word_totals, ORACLE_WORD_TOTALS),
     "term_frequencies": (q_term_frequencies, ORACLE_TERM_FREQUENCIES),
