@@ -421,50 +421,83 @@ def extract_html_segmented(
 
 
 def _reassemble_markup(rows: DataFrame, config, parser_label: str) -> DataFrame:
-    import pandas as pd  # noqa: F811
+    """Per-document reassembly, entirely JVM-side (a per-doc
+    applyInPandas pays pandas overhead for every group — at 10^12 docs
+    that is the whole job). Three aggregates on orig_id (AQE coalesces
+    them onto one exchange footprint):
 
-    from libswish3_spark.config import TOKENPOS_BUMPER, default_config  # noqa: F811
-    from libswish3_spark.pipeline import EXTRACTED_SCHEMA  # noqa: F811
+    * spans: sorted-flatten of the already-shifted segment arrays;
+    * metanames: per-key idx-ordered value CONCAT — a continuation
+      fragment already starts with its seed bumper, so plain concat
+      reproduces the single-pass buffer byte-for-byte;
+    * properties: per-key join with the space the cleanwsp pass turns
+      the cut bumper into (verbatim properties keep the raw byte).
+    """
+    from libswish3_spark.config import TOKENPOS_BUMPER, default_config
 
     cfg = config or default_config()
-    verbatim_props = frozenset(
-        n for n, p in cfg.properties.items() if p.verbatim
+    verbatim = [n for n, p in cfg.properties.items() if p.verbatim]
+
+    base = rows.groupBy("orig_id").agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("seg_idx").alias("i"), "spans"))
+                ),
+                lambda e: e["spans"],
+            )
+        ).alias("spans"),
+        F.sum("nwords").cast("long").alias("nwords"),
     )
 
-    def merge(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values("seg_idx")
-        spans = [s for seg in pdf["spans"] for s in seg]
-        # metanames store RAW buffer fragments and a continuation
-        # segment's fragment already begins with the seed bumper the
-        # single pass would have had in-buffer — plain concat is exact
-        metanames: dict[str, str] = {}
-        for m in pdf["metanames"]:
-            for k, v in (m or {}).items():
-                metanames[k] = metanames.get(k, "") + v
-        # property fragments were cleanwsp'd per segment (ctrl→space),
-        # so the cut bumper joins as the space it would have become;
-        # verbatim properties keep the raw bumper byte
-        properties: dict[str, str] = {}
-        for m in pdf["properties"]:
-            for k, v in (m or {}).items():
-                if k not in properties:
-                    properties[k] = v
-                else:
-                    j = TOKENPOS_BUMPER if k in verbatim_props else " "
-                    properties[k] = properties[k] + j + v
-        return pd.DataFrame(
-            {
-                "doc_id": [pdf["orig_id"].iloc[0]],
-                "spans": [spans],
-                "metanames": [metanames],
-                "properties": [properties],
-                "nwords": [int(pdf["nwords"].sum())],
-                "parser": [parser_label],
-                "error": [None],
-            }
+    def merged_map(col_name: str, join_for_key):
+        ent = rows.select(
+            "orig_id", "seg_idx", F.explode(F.col(col_name)).alias("key", "value")
+        )
+        per_key = ent.groupBy("orig_id", "key").agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("seg_idx").alias("i"), F.col("value").alias("v"))
+                )
+            ).alias("vs")
+        )
+        joined = per_key.select(
+            "orig_id",
+            "key",
+            join_for_key(
+                F.col("key"), F.transform("vs", lambda e: e["v"])
+            ).alias("value"),
+        )
+        return joined.groupBy("orig_id").agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("key", "value"))
+            ).alias(col_name)
         )
 
-    return rows.groupBy("orig_id").applyInPandas(merge, schema=EXTRACTED_SCHEMA)
+    metas = merged_map("metanames", lambda k, vs: F.array_join(vs, ""))
+
+    def prop_join(k, vs):
+        verb = k.isin(*verbatim) if verbatim else F.lit(False)
+        return F.when(verb, F.array_join(vs, TOKENPOS_BUMPER)).otherwise(
+            F.array_join(vs, " ")
+        )
+
+    props = merged_map("properties", prop_join)
+
+    empty_map = F.from_json(F.lit("{}"), "map<string,string>")
+    return (
+        base.join(metas, "orig_id", "left")
+        .join(props, "orig_id", "left")
+        .select(
+            F.col("orig_id").alias("doc_id"),
+            "spans",
+            F.coalesce("metanames", empty_map).alias("metanames"),
+            F.coalesce("properties", empty_map).alias("properties"),
+            "nwords",
+            F.lit(parser_label).alias("parser"),
+            F.lit(None).cast("string").alias("error"),
+        )
+    )
 
 
 def extract_txt_segmented(
