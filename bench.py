@@ -39,6 +39,7 @@ SCALING_LEVELS = (4, 16)
 
 HEADLINE = [
     "extract_html",
+    "extract_html_segmented",
     "extract_txt",
     "tokenize_count",
     "term_frequencies",
@@ -49,6 +50,11 @@ HEADLINE = [
     "dedup_resolved",
     "dedup_simhash",
     "ann_cosine_topk",
+    "sample_mix",
+    "pack_sequences",
+    "quality_topk",
+    "tfidf_topterms",
+    "contamination",
     "events_windowed",
     "lineitem_metrics",
     "region_order_counts",
