@@ -1255,6 +1255,27 @@ WHERE CAST(floor({dot} / ({nrm('l')} * {nrm('r')}) * 10000) AS BIGINT) >= 3000
 ORACLE_DEDUP_EMBEDDING = _build_dedup_embedding_oracle()
 
 
+def q_dedup_embedding_resolved(spark, sf_dir):
+    """Embedding near-dup pairs resolved to keeper clusters: the same
+    connected-components operator composes over ANY pair source
+    (here sign-signature-bucketed cosine pairs)."""
+    pairs = q_dedup_embedding(spark, sf_dir).select("a", "b")
+    return D.resolve_clusters(pairs)
+
+
+ORACLE_DEDUP_EMBEDDING_RESOLVED = f"""
+WITH RECURSIVE pairs AS ({{inner}}),
+edges AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+reach(id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+)
+SELECT id AS doc_id, min(r) AS keeper FROM reach GROUP BY id
+""".format(inner=_build_dedup_embedding_oracle())
+
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing: synthesize binary media from document text,
     run the Arrow-batched (stub) feature extractor."""
@@ -1324,6 +1345,7 @@ QUERIES: dict[str, tuple] = {
     "stemmed_terms": (q_stemmed_terms, ORACLE_STEMMED_TERMS),
     "bpe_token_count": (q_bpe_token_count, ORACLE_BPE_TOKEN_COUNT),
     "dedup_embedding": (q_dedup_embedding, ORACLE_DEDUP_EMBEDDING),
+    "dedup_embedding_resolved": (q_dedup_embedding_resolved, ORACLE_DEDUP_EMBEDDING_RESOLVED),
     "ann_cosine_topk": (q_ann_cosine_topk, ORACLE_ANN_COSINE_TOPK),
     "ann_lsh_topk": (q_ann_lsh_topk, ORACLE_ANN_LSH_TOPK),
     "events_windowed": (q_events_windowed, ORACLE_EVENTS_WINDOWED),

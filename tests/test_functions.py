@@ -163,3 +163,8 @@ def test_media_decode_error_isolated(spark):
     assert out["ok"]["decode_error"] is None
     assert "bad blob" in out["bad"]["decode_error"]
     assert out["bad"]["feature"] is None
+
+
+def test_resolve_clusters_empty_pairs(spark):
+    pairs = spark.createDataFrame([], "a long, b long")
+    assert D.resolve_clusters(pairs).count() == 0
