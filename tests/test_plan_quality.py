@@ -97,3 +97,15 @@ def test_sample_mix_is_narrow(spark):
     """Deterministic mixing is a scan-side filter: no shuffle at all."""
     plan = _plan(QUERIES["sample_mix"][0](spark, SF))
     assert "Exchange" not in plan
+
+
+def test_no_query_plans_a_cartesian_join(spark):
+    """Every registered query must plan without CartesianProduct or
+    BroadcastNestedLoopJoin — the two shapes that detonate at scale."""
+    bad = []
+    for name, (fn, _) in QUERIES.items():
+        plan = _plan(fn(spark, SF))
+        for marker in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+            if marker in plan:
+                bad.append((name, marker))
+    assert bad == []
