@@ -316,10 +316,11 @@ def resolve_clusters(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
         "label", F.col("id")
     )
     labels = labels.localCheckpoint(eager=True)
-    # labels only ever decrease, so their sum strictly decreases until
-    # convergence — one scalar aggregate per round is the cheapest
-    # convergence test (no extra join); decimal avoids int64 overflow at
-    # 10^12-doc id magnitudes
+    # convergence test: one scalar aggregate per round (no extra join),
+    # id-type-agnostic — labels change every non-converged round, so the
+    # xxhash64 label-sum changes too (a numeric cast here would NULL out
+    # string doc_ids, the library's native id type per DOCS_SCHEMA, and
+    # silently stop after one round on any component of diameter > 2)
     prev_sum = None
     for _ in range(max_rounds):
         neigh = (
@@ -336,9 +337,9 @@ def resolve_clusters(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         cur_sum = labels.agg(
-            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+            F.sum(F.xxhash64("label").cast("decimal(38,0)")).alias("s")
         ).collect()[0][0]
-        if cur_sum == prev_sum:
+        if prev_sum is not None and cur_sum == prev_sum:
             break
         prev_sum = cur_sum
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("keeper"))

@@ -98,6 +98,56 @@ def plane_signature(vec_col, planes: list[list[float]]) -> Column:
     return sig
 
 
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    planes: list[list[float]],
+    min_score_bp: int = 3000,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """Embedding-cosine near-dup candidate pairs (a < b) within
+    random-hyperplane signature buckets, exact cosine within bucket.
+
+    The two scale guards mirror ``minhash_candidates`` (dedup.py):
+
+    - **random planes, not axis signs** — real embedding corpora are
+      anisotropic (mass concentrated along a few principal directions),
+      so axis-aligned sign bits put most of the corpus in a handful of
+      buckets; seeded random hyperplanes spread the signature space.
+    - **``max_bucket`` cap-and-drop** — one hot bucket is O(size²)
+      pairs at 100 TB; buckets above the cap are dropped entirely
+      (their members remain reachable through exact dedup upstream and
+      the pairs they'd contribute are dominated by boilerplate).
+
+    The within-bucket self-join shuffles only (id, vec, sig) rows
+    hash-partitioned on sig — never the document payload.
+    """
+    sig = plane_signature(F.col(vec_col), planes)
+    b = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), sig.alias("sig")
+    )
+    if max_bucket is not None:
+        # tiny (sig, count) aggregate, partial map-side
+        keep = (
+            b.groupBy("sig")
+            .agg(F.count("*").alias("_n"))
+            .where(F.col("_n") <= max_bucket)
+            .select("sig")
+        )
+        b = b.join(keep, "sig")
+    l, r = b.alias("l"), b.alias("r")
+    pairs = l.join(
+        r, (F.col("l.sig") == F.col("r.sig")) & (F.col("l.id") < F.col("r.id"))
+    )
+    score = cosine_bp(F.col("l.vec"), F.col("r.vec"))
+    return pairs.select(
+        F.col("l.id").alias("a"),
+        F.col("r.id").alias("b"),
+        score.alias("score_bp"),
+    ).where(F.col("score_bp") >= min_score_bp)
+
+
 def query_probes(query_vec, planes: list[list[float]]) -> list[int]:
     """Multi-probe bucket set: the query's signature plus every
     signature at Hamming distance 1 (the classic multi-probe LSH

@@ -1212,42 +1212,61 @@ FROM documents
 """
 
 
+# embeddings table is 64-dim; planes are seeded literals shared verbatim
+# between the Spark expression and the DuckDB oracle (similarity.py
+# random_planes docstring)
+_EMB_DIMS = 64
+_EMB_PLANES = S.random_planes(_EMB_DIMS, 8, seed=42)
+_EMB_MAX_BUCKET = 1000
+
+
 def q_dedup_embedding(spark, sf_dir):
-    """Embedding-cosine near-dup pairs within sign-signature buckets."""
+    """Embedding-cosine near-dup pairs within capped random-hyperplane
+    buckets (the scale path: anisotropy-proof planes + hot-bucket
+    cap-and-drop, mirroring minhash_candidates)."""
     emb = _read(spark, sf_dir, "embeddings")
-    sig = S.sign_signature(F.col("embedding"), 8)
-    bucketed = emb.select(F.col("vec_id"), F.col("embedding"), sig.alias("sig"))
-    l, r = bucketed.alias("l"), bucketed.alias("r")
-    pairs = l.join(
-        r,
-        (F.col("l.sig") == F.col("r.sig")) & (F.col("l.vec_id") < F.col("r.vec_id")),
+    return S.embedding_near_dup_pairs(
+        emb,
+        "vec_id",
+        "embedding",
+        _EMB_PLANES,
+        min_score_bp=3000,
+        max_bucket=_EMB_MAX_BUCKET,
     )
-    score = S.cosine_bp(F.col("l.embedding"), F.col("r.embedding"))
-    return pairs.select(
-        F.col("l.vec_id").alias("a"),
-        F.col("r.vec_id").alias("b"),
-        score.alias("score_bp"),
-    ).where(F.col("score_bp") >= 3000)
 
 
-def _build_dedup_embedding_oracle(dims=8):
-    sig = lambda side: " + ".join(
-        f"CASE WHEN {side}.embedding[{i+1}] >= 0 THEN {2**i} ELSE 0 END"
-        for i in range(dims)
+def _build_dedup_embedding_oracle(planes=_EMB_PLANES, max_bucket=_EMB_MAX_BUCKET):
+    def plane_dot(plane):
+        lit = "[" + ", ".join(repr(w) for w in plane) + "]"
+        return (
+            f"list_sum(list_transform(range(1, {len(plane)+1}),"
+            f" i -> CAST(embedding[i] AS DOUBLE) * ({lit})[i]))"
+        )
+
+    sig = " + ".join(
+        f"CASE WHEN {plane_dot(plane)} >= 0 THEN {2**p} ELSE 0 END"
+        for p, plane in enumerate(planes)
     )
     dot = (
-        "list_sum(list_transform(range(1, len(l.embedding)+1),"
-        " i -> CAST(l.embedding[i] AS DOUBLE) * CAST(r.embedding[i] AS DOUBLE)))"
+        "list_sum(list_transform(range(1, len(l.vec)+1),"
+        " i -> CAST(l.vec[i] AS DOUBLE) * CAST(r.vec[i] AS DOUBLE)))"
     )
     nrm = lambda side: (
-        f"sqrt(list_sum(list_transform(range(1, len({side}.embedding)+1),"
-        f" i -> CAST({side}.embedding[i] AS DOUBLE) * CAST({side}.embedding[i] AS DOUBLE))))"
+        f"sqrt(list_sum(list_transform(range(1, len({side}.vec)+1),"
+        f" i -> CAST({side}.vec[i] AS DOUBLE) * CAST({side}.vec[i] AS DOUBLE))))"
     )
     return f"""
-SELECT l.vec_id AS a, r.vec_id AS b,
+WITH bucketed AS (
+  SELECT vec_id AS id, embedding AS vec, ({sig}) AS sig FROM embeddings
+),
+keep AS (
+  SELECT sig FROM bucketed GROUP BY sig HAVING count(*) <= {max_bucket}
+),
+b AS (SELECT bucketed.* FROM bucketed JOIN keep USING (sig))
+SELECT l.id AS a, r.id AS b,
        CAST(floor({dot} / ({nrm('l')} * {nrm('r')}) * 10000) AS BIGINT) AS score_bp
-FROM embeddings l JOIN embeddings r
-  ON ({sig('l')}) = ({sig('r')}) AND l.vec_id < r.vec_id
+FROM b l JOIN b r
+  ON l.sig = r.sig AND l.id < r.id
 WHERE CAST(floor({dot} / ({nrm('l')} * {nrm('r')}) * 10000) AS BIGINT) >= 3000
 """
 

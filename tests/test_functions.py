@@ -168,3 +168,30 @@ def test_media_decode_error_isolated(spark):
 def test_resolve_clusters_empty_pairs(spark):
     pairs = spark.createDataFrame([], "a long, b long")
     assert D.resolve_clusters(pairs).count() == 0
+
+
+def test_resolve_clusters_string_ids_long_chain(spark):
+    # string doc_ids (the library's native id type, DOCS_SCHEMA) on a
+    # diameter-5 path: a numeric-cast convergence check NULLs out and
+    # exits after one propagation round, splitting the component
+    ids = [f"doc://{chr(ord('a') + i)}" for i in range(6)]
+    pairs = spark.createDataFrame(
+        [(ids[i], ids[i + 1]) for i in range(5)], ["a", "b"]
+    )
+    got = {r["doc_id"]: r["keeper"] for r in D.resolve_clusters(pairs).collect()}
+    assert got == {i: ids[0] for i in ids}
+
+
+def test_embedding_near_dup_cap_drops_hot_buckets(spark):
+    from libswish3_spark.functions import similarity as S
+
+    # 6 near-identical vectors: all land in one signature bucket
+    planes = S.random_planes(4, 4, seed=1)
+    rows = [(i, [1.0, 0.5, -0.25, 0.125 + i * 1e-6]) for i in range(6)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pairs = lambda cap: S.embedding_near_dup_pairs(
+        df, "vec_id", "embedding", planes, min_score_bp=0, max_bucket=cap
+    ).count()
+    assert pairs(5) == 0  # hot bucket (6 > 5) dropped entirely
+    assert pairs(6) == 15  # under the cap: all C(6,2) pairs survive
+    assert pairs(None) == 15  # cap disabled
