@@ -2,11 +2,13 @@
 
 Images/audio/video ride as ``binary`` columns with a typed metadata
 struct; decode / feature-extract / resize / frame-sample run as
-Arrow-batched functions over ``mapInPandas``. The decode kernels are
-STUBBED (image/audio libraries are not in this container): a
-deterministic fake decoder keeps the Spark-side plumbing — schema,
-partitioning, UDF signature, batch shape — real and testable, and a
-clearly-marked NotImplementedError marks where a real codec plugs in.
+Arrow-batched functions over ``mapInPandas``. ``real_decode`` handles
+the stdlib-decodable formats (binary PPM/PGM, uncompressed 24-bit BMP)
+with pure-Python header + pixel parsing; compressed formats (JPEG/PNG,
+audio, video) need a codec library this container doesn't ship, so
+``auto_decode`` falls back to the deterministic md5 ``fake_decode`` for
+those — keeping schema, partitioning, UDF signature, and batch shape
+real end-to-end either way.
 """
 
 from __future__ import annotations
@@ -49,16 +51,141 @@ MEDIA_FEATURES_SCHEMA = StructType(
 FEATURE_DIM = 16
 
 
-def real_decode(content: bytes, media_type: str):
-    """Plug point for an actual codec (PIL/ffmpeg/torchaudio).
+def real_decode(content: bytes, media_type: str) -> list[float]:
+    """Real pixel decoder for stdlib-decodable image formats.
 
-    Not available in this environment — the pipeline routes through
-    :func:`fake_decode` unless a codec is installed and passed in.
+    Supports binary PPM/PGM (``P6``/``P5``, maxval 255) and
+    uncompressed 24-bit BMP — no codec libraries needed. Compressed
+    formats (JPEG/PNG/audio/video) still require an injected codec and
+    raise NotImplementedError; route through :func:`auto_decode` to
+    fall back to :func:`fake_decode` for those.
+
+    Feature layout (FEATURE_DIM = 16):
+      [0]  width            [1]  height
+      [2..4]   mean R,G,B   / 255
+      [5..7]   min  R,G,B   / 255
+      [8..10]  max  R,G,B   / 255
+      [11..14] quadrant luminance means (TL, TR, BL, BR) / 255
+      [15] overall luminance mean / 255
     """
-    raise NotImplementedError(
-        "media codecs not available in this environment; "
-        "inject a decoder or use fake_decode for plumbing tests"
-    )
+    data = bytes(content or b"")
+    if not data:
+        raise ValueError("empty media blob")
+    magic = data[:2]
+    if magic in (b"P6", b"P5"):
+        w, h, channels, px = _parse_pnm(data)
+    elif magic == b"BM":
+        w, h, channels, px = _parse_bmp(data)
+    else:
+        raise NotImplementedError(
+            f"no stdlib decoder for this format ({media_type}); "
+            "inject a codec or use auto_decode/fake_decode"
+        )
+    return _pixel_features(w, h, channels, px)
+
+
+def auto_decode(content: bytes, media_type: str) -> list[float]:
+    """Real decode when the format is stdlib-decodable, md5 fake
+    otherwise — the default router for mixed-format corpora."""
+    try:
+        return real_decode(content, media_type)
+    except NotImplementedError:
+        return fake_decode(content, media_type)
+
+
+def _parse_pnm(data: bytes) -> tuple[int, int, int, bytes]:
+    """Binary PPM (P6, RGB) / PGM (P5, gray) header + pixel parse."""
+    pos, vals = 2, []
+    while len(vals) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":
+            nl = data.find(b"\n", pos)
+            if nl == -1:
+                raise ValueError("truncated PNM header")
+            pos = nl + 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PNM header")
+        vals.append(int(data[start:pos]))
+    pos += 1  # exactly one whitespace byte separates maxval from raster
+    w, h, maxval = vals
+    if w <= 0 or h <= 0:
+        raise ValueError("invalid PNM dimensions")
+    if maxval != 255:
+        raise ValueError("only maxval=255 PNM supported")
+    channels = 3 if data[:2] == b"P6" else 1
+    need = w * h * channels
+    px = data[pos : pos + need]
+    if len(px) < need:
+        raise ValueError("truncated PNM pixel data")
+    return w, h, channels, px
+
+
+def _parse_bmp(data: bytes) -> tuple[int, int, int, bytes]:
+    """Uncompressed 24-bit BMP → RGB row-major bytes."""
+    import struct
+
+    if len(data) < 54:
+        raise ValueError("truncated BMP header")
+    (off,) = struct.unpack_from("<I", data, 10)
+    w, h = struct.unpack_from("<ii", data, 18)
+    _, bpp = struct.unpack_from("<HH", data, 26)
+    (comp,) = struct.unpack_from("<I", data, 30)
+    if bpp != 24 or comp != 0:
+        raise ValueError("only uncompressed 24-bit BMP supported")
+    top_down, h = h < 0, abs(h)
+    if w <= 0 or h == 0:
+        raise ValueError("invalid BMP dimensions")
+    stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+    rows = []
+    for y in range(h):
+        src_y = y if top_down else h - 1 - y
+        row = data[off + src_y * stride : off + src_y * stride + w * 3]
+        if len(row) < w * 3:
+            raise ValueError("truncated BMP pixel data")
+        # BGR → RGB
+        rows.append(
+            bytes(v for bgr in zip(row[2::3], row[1::3], row[0::3]) for v in bgr)
+        )
+    return w, h, 3, b"".join(rows)
+
+
+def _pixel_features(w: int, h: int, channels: int, px: bytes) -> list[float]:
+    n = w * h
+    if channels == 1:
+        chans = (px, px, px)
+    else:
+        chans = (px[0::3], px[1::3], px[2::3])
+    sums = [sum(c) for c in chans]
+    mins = [min(c) for c in chans]
+    maxs = [max(c) for c in chans]
+    # quadrant luminance sums: per row, left/right halves; (r+g+b)/3 per
+    # pixel, so a quadrant's byte-sum / (3 * npix) is its mean luminance
+    row_w = w * channels
+    split = (w // 2) * channels
+    qsum, qn = [0, 0, 0, 0], [0, 0, 0, 0]
+    for y in range(h):
+        row = px[y * row_w : (y + 1) * row_w]
+        top = 0 if y < (h + 1) // 2 else 2
+        qsum[top] += sum(row[:split])
+        qsum[top + 1] += sum(row[split:])
+        qn[top] += w // 2
+        qn[top + 1] += w - w // 2
+    denom = 255 * (3 if channels == 3 else 1)
+    quad = [qsum[i] / (qn[i] * denom) if qn[i] else 0.0 for i in range(4)]
+    return [
+        float(w),
+        float(h),
+        *[s / (n * 255) for s in sums],
+        *[m / 255 for m in mins],
+        *[m / 255 for m in maxs],
+        *quad,
+        sum(sums) / (3 * n * 255),
+    ]
 
 
 def fake_decode(content: bytes, media_type: str) -> list[float]:
@@ -106,6 +233,36 @@ def media_feature_batches(decoder=fake_decode):
             )
 
     return fn
+
+
+def synthesize_ppm(docs_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic binary-PPM corpus from an id column (test/oracle
+    generator): width = 2 + id%4, height = 1 + id%3, pixel byte j =
+    (id*7 + j*13) % 256 — pure arithmetic, so a SQL oracle can compute
+    the expected channel statistics without decoding anything."""
+
+    def synth(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            contents = []
+            for did in pdf[id_col]:
+                did = int(did)
+                w, h = 2 + did % 4, 1 + did % 3
+                px = bytes((did * 7 + j * 13) % 256 for j in range(w * h * 3))
+                contents.append(b"P6\n%d %d\n255\n" % (w, h) + px)
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf[id_col].astype(str),
+                    "media_type": "image/x-portable-pixmap",
+                    "content": contents,
+                    "width": pd.array([None] * len(pdf), dtype="Int32"),
+                    "height": pd.array([None] * len(pdf), dtype="Int32"),
+                    "duration_ms": pd.array([None] * len(pdf), dtype="Int64"),
+                }
+            )
+
+    return docs_df.select(id_col).mapInPandas(synth, schema=MEDIA_SCHEMA)
 
 
 def extract_media_features(media_df: DataFrame, decoder=fake_decode) -> DataFrame:

@@ -1327,6 +1327,66 @@ FROM documents
 """
 
 
+def q_media_ppm_features(spark, sf_dir):
+    """Real pixel decode under the driver oracle: deterministic binary
+    PPMs synthesized from doc_ids (functions/media.py synthesize_ppm),
+    decoded by the pure-stdlib real_decode, channel means checked
+    against the oracle's closed-form arithmetic."""
+    from libswish3_spark.functions.media import (
+        extract_media_features,
+        real_decode,
+        synthesize_ppm,
+    )
+
+    media = synthesize_ppm(_docs(spark, sf_dir).select("doc_id"))
+    feats = extract_media_features(media, decoder=real_decode)
+    bp = lambda i: F.floor(
+        F.element_at("feature", i).cast("double") * 10000
+    ).cast("long")
+    return feats.select(
+        "media_ref",
+        F.element_at("feature", 1).cast("int").alias("width"),
+        F.element_at("feature", 2).cast("int").alias("height"),
+        bp(3).alias("mean_r_bp"),
+        bp(4).alias("mean_g_bp"),
+        bp(5).alias("mean_b_bp"),
+        bp(16).alias("lum_bp"),
+    )
+
+
+def _build_media_ppm_oracle():
+    # pixel byte j = (doc_id*7 + j*13) % 256; channel c takes j = 3i+c.
+    # The kernel stores features as float32, so the oracle round-trips
+    # its exact double through REAL before the basis-point floor.
+    chan = lambda c: (
+        f"CAST(list_sum(list_transform(range(0, w*h),"
+        f" i -> (doc_id*7 + (3*i + {c})*13) % 256)) AS DOUBLE) / (w*h*255)"
+    )
+    bp = lambda expr: (
+        f"CAST(floor(CAST(CAST(({expr}) AS REAL) AS DOUBLE) * 10000) AS BIGINT)"
+    )
+    lum = (
+        "CAST(list_sum(list_transform(range(0, w*h*3),"
+        " j -> (doc_id*7 + j*13) % 256)) AS DOUBLE) / (3*w*h*255)"
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, 2 + doc_id % 4 AS w, 1 + doc_id % 3 AS h FROM documents
+)
+SELECT CAST(doc_id AS VARCHAR) AS media_ref,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       {bp(chan(0))} AS mean_r_bp,
+       {bp(chan(1))} AS mean_g_bp,
+       {bp(chan(2))} AS mean_b_bp,
+       {bp(lum)} AS lum_bp
+FROM d
+"""
+
+
+ORACLE_MEDIA_PPM_FEATURES = _build_media_ppm_oracle()
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1372,4 +1432,5 @@ QUERIES: dict[str, tuple] = {
     "lineitem_metrics": (q_lineitem_metrics, ORACLE_LINEITEM_METRICS),
     "region_order_counts": (q_region_order_counts, ORACLE_REGION_ORDER_COUNTS),
     "media_features": (q_media_features, ORACLE_MEDIA_FEATURES),
+    "media_ppm_features": (q_media_ppm_features, ORACLE_MEDIA_PPM_FEATURES),
 }

@@ -144,9 +144,73 @@ def test_media_features_shapes(spark):
     assert fake_decode(b"somebytes", "image") == fake_decode(b"somebytes", "image")
 
 
-def test_real_decode_is_marked_stub():
+def test_real_decode_unknown_format_raises():
     with pytest.raises(NotImplementedError):
-        real_decode(b"x", "image")
+        real_decode(b"\x89PNG not actually decodable here", "image")
+
+
+def _ppm(w, h, px):
+    return b"P6\n# comment\n%d %d\n255\n" % (w, h) + bytes(px)
+
+
+def test_real_decode_ppm_exact():
+    # 2x2 RGB: red, green, blue, white
+    px = [255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255]
+    f = real_decode(_ppm(2, 2, px), "image/x-portable-pixmap")
+    assert f[0:2] == [2.0, 2.0]
+    assert f[2:5] == [510 / (4 * 255), 510 / (4 * 255), 510 / (4 * 255)]  # means
+    assert f[5:8] == [0.0, 0.0, 0.0] and f[8:11] == [1.0, 1.0, 1.0]
+    # quadrants (1px each): TL=red lum 1/3, TR=green 1/3, BL=blue 1/3, BR=white 1
+    assert f[11:15] == [255 / 765, 255 / 765, 255 / 765, 1.0]
+    assert f[15] == 1530 / (3 * 4 * 255)
+
+
+def test_real_decode_pgm_gray():
+    f = real_decode(b"P5\n2 1\n255\n" + bytes([0, 200]), "image/x-portable-graymap")
+    assert f[0:2] == [2.0, 1.0]
+    assert f[2] == f[3] == f[4] == 200 / (2 * 255)
+    assert f[11] == 0.0 and f[12] == 200 / 255  # left/right quadrants
+    assert f[15] == 200 / (2 * 255)
+
+
+def test_real_decode_bmp_exact():
+    import struct
+
+    # 2x1 24-bit bottom-up BMP: pixels (R=10,G=20,B=30), (R=40,G=50,B=60)
+    row = bytes([30, 20, 10, 60, 50, 40]) + b"\x00\x00"  # BGR + pad to 8
+    off = 54
+    hdr = b"BM" + struct.pack("<IHHI", off + len(row), 0, 0, off)
+    dib = struct.pack("<IiiHHIIiiII", 40, 2, 1, 1, 24, 0, len(row), 0, 0, 0, 0)
+    f = real_decode(hdr + dib + row, "image/bmp")
+    assert f[0:2] == [2.0, 1.0]
+    assert f[2:5] == [50 / (2 * 255), 70 / (2 * 255), 90 / (2 * 255)]
+    assert f[5:8] == [10 / 255, 20 / 255, 30 / 255]
+    assert f[8:11] == [40 / 255, 50 / 255, 60 / 255]
+
+
+def test_real_decode_truncated_blob_isolated(spark):
+    from libswish3_spark.functions.media import auto_decode
+
+    media = spark.createDataFrame(
+        [
+            ("ppm", "image", _ppm(2, 2, range(12))),
+            ("trunc", "image", b"P6\n9 9\n255\n\x01\x02"),
+            ("opaque", "image", b"not an image"),
+        ],
+        ["media_ref", "media_type", "content"],
+    )
+    out = {
+        r["media_ref"]: r
+        for r in extract_media_features(media, decoder=auto_decode).collect()
+    }
+    assert out["ppm"]["decode_error"] is None
+    assert out["ppm"]["feature"][0] == 2.0
+    assert "truncated" in out["trunc"]["decode_error"]
+    # unknown format falls back to the md5 fake, not an error
+    assert out["opaque"]["decode_error"] is None
+    assert out["opaque"]["feature"] == pytest.approx(
+        fake_decode(b"not an image", "image"), abs=1e-7
+    )
 
 
 def test_media_decode_error_isolated(spark):
