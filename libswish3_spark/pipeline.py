@@ -59,6 +59,9 @@ DOCS_FULL_SCHEMA = StructType(
         StructField("size", LongType()),
         StructField("mtime", LongType()),
         StructField("action", StringType()),
+        # stream arrival order (frame index from parse_framed_stream);
+        # the deterministic equal-mtime tiebreak for reconcile/upsert
+        StructField("seq", LongType()),
         StructField("error", StringType()),
     ]
 )
@@ -284,7 +287,16 @@ def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame
     """
     spark = df.sparkSession
     target = min_parts or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    # file-count heuristic instead of df.rdd.getNumPartitions(): the RDD
+    # probe converts the whole plan per call (driver-side analysis cost,
+    # Spark-Connect-incompatible). inputFiles() is a driver listing; it
+    # undercounts splits when files hold many row-groups, which only
+    # errs toward repartitioning small inputs — the intended direction.
+    try:
+        n_inputs = len(df.inputFiles())
+    except Exception:  # non-file source (rate, memory, createDataFrame)
+        n_inputs = 0
+    if n_inputs < target:
         return df.repartition(target)
     return df
 
@@ -297,11 +309,16 @@ def salt_by_size(docs: DataFrame, num_partitions: int) -> DataFrame:
     biggest documents. Hash placement leaves that to chance (two of the
     top docs collide with probability ~k²/2n — at 1000:1 size skew that
     is the whole p99). Instead: sort by size descending, then
-    round-robin repartition — Spark's RoundRobinPartitioning deals
-    consecutive rows to consecutive output partitions, so after the
-    sort the top-n documents are GUARANTEED to land in n distinct
-    partitions, and every partition receives an interleaved mix of
-    size ranks (near-equal byte sums, see test_megadoc skew test).
+    round-robin repartition. The balance is stratified-probabilistic,
+    not guaranteed: RoundRobinPartitioning locally re-sorts rows by
+    binary representation before dealing (sortBeforeRepartition=true,
+    for retry determinism), so two mega-docs in the same post-sort
+    input partition can still collide. What the construction does
+    guarantee: each input range-partition's rows — and therefore its
+    bytes — spread evenly (±1 row) across ALL outputs, so an output's
+    byte sum is ~1/n of every size stratum (see test_megadoc skew
+    test). A hard top-n-in-n-distinct-partitions guarantee would need a
+    global rank (single-task window) — the wrong trade at 10^12 docs.
 
     Cost: two payload shuffles (range-sort + round-robin). This is the
     explicit opt-in rescue for corpora whose size skew would otherwise
@@ -370,12 +387,23 @@ def reconcile_actions(docs: DataFrame) -> DataFrame:
     The aggregator protocol carries ``Action: add|update|delete`` per
     framed doc (reference: parser.c:2002-2013; the Swish-e consumer
     applies them against its index). Relationally: keep, per doc_id,
-    only the LATEST action (mtime, then stream order via a
-    monotonically increasing tiebreak), and drop docs whose latest
-    action is delete. One groupBy shuffle on doc_id; max_by keeps the
-    whole surviving row without a self-join.
+    only the LATEST action — mtime, then stream arrival order via the
+    ``seq`` frame index parse_framed_stream assigns — and drop docs
+    whose latest action is delete. One groupBy shuffle on doc_id;
+    max_by keeps the whole surviving row without a self-join.
+
+    For inputs without a ``seq`` column (or with null seq rows) the
+    tiebreak falls back to monotonically_increasing_id, which follows
+    arrival order only when the partition layout does (and is not
+    stable under task retry) — carry a real ``seq`` when equal-mtime
+    replays must resolve identically to the streaming twin.
     """
-    seq = docs.withColumn("_seq", F.monotonically_increasing_id())
+    order = (
+        F.coalesce(F.col("seq"), F.monotonically_increasing_id())
+        if "seq" in docs.columns
+        else F.monotonically_increasing_id()
+    )
+    seq = docs.withColumn("_seq", order)
     latest = (
         seq.groupBy("doc_id")
         .agg(

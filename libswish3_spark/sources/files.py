@@ -59,6 +59,7 @@ def ingest_bytes(
     declared_encoding: str | None = None,
     mtime: int | None = None,
     action: str | None = None,
+    seq: int | None = None,
 ) -> dict:
     """One document's bytes → a ``docs`` row dict.
 
@@ -94,6 +95,7 @@ def ingest_bytes(
         "size": len(data),
         "mtime": mtime,
         "action": action,
+        "seq": seq,
         "error": error,
     }
     return row
@@ -153,17 +155,17 @@ def _decode(
 
 
 def ingest_batches(iterator, config: SwishConfig):
-    """mapInPandas adapter: batches of (path, content[, modificationTime])
-    from ``binaryFile`` → ``docs`` rows. modificationTime (when the scan
-    provides it) becomes the docinfo ``mtime`` in epoch seconds, like the
-    reference's stat path (docinfo.c:202-258)."""
+    """mapInPandas adapter: batches of (path, content[, mtime_epoch])
+    from ``binaryFile`` → ``docs`` rows. ``mtime_epoch`` (epoch seconds,
+    computed JVM-side via unix_timestamp so no session-timezone shift)
+    becomes the docinfo ``mtime``, like the reference's stat path
+    (docinfo.c:202-258)."""
     import pandas as pd
 
     for pdf in iterator:
-        if "modificationTime" in pdf.columns:
+        if "mtime_epoch" in pdf.columns:
             mtimes = [
-                None if pd.isnull(t) else int(t.timestamp())
-                for t in pdf["modificationTime"]
+                None if pd.isnull(t) else int(t) for t in pdf["mtime_epoch"]
             ]
         else:
             mtimes = [None] * len(pdf)
@@ -180,6 +182,8 @@ def read_directory(spark, path: str, config: SwishConfig | None = None, glob: st
     Dot-files are skipped like the reference's walker; symlink policy is
     delegated to the filesystem listing.
     """
+    from pyspark.sql import functions as F
+
     from libswish3_spark.pipeline import DOCS_FULL_SCHEMA
 
     cfg = config or default_config()
@@ -188,7 +192,14 @@ def read_directory(spark, path: str, config: SwishConfig | None = None, glob: st
         .option("recursiveFileLookup", "true")
         .option("pathGlobFilter", glob)
         .load(path)
-        .select("path", "content", "modificationTime")
+        .select(
+            "path",
+            "content",
+            # epoch seconds computed JVM-side: timestamps are UTC
+            # instants internally, so this is session-timezone-proof
+            # (a pandas-side naive .timestamp() shifts by the tz offset)
+            F.unix_timestamp("modificationTime").cast("long").alias("mtime_epoch"),
+        )
         .where(~_dotfile_expr())
     )
     return bin_df.mapInPandas(
@@ -234,6 +245,8 @@ def read_filelist(
     import os
     import sys
 
+    from pyspark.sql import functions as F
+
     from libswish3_spark.pipeline import DOCS_FULL_SCHEMA
 
     cfg = config or default_config()
@@ -257,7 +270,11 @@ def read_filelist(
     bin_df = (
         spark.read.format("binaryFile")
         .load(paths)
-        .select("path", "content", "modificationTime")
+        .select(
+            "path",
+            "content",
+            F.unix_timestamp("modificationTime").cast("long").alias("mtime_epoch"),
+        )
     )
     return bin_df.mapInPandas(
         lambda it: ingest_batches(it, cfg), schema=DOCS_FULL_SCHEMA

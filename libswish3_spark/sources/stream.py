@@ -103,6 +103,9 @@ def parse_framed_stream(data: bytes, config: SwishConfig | None = None) -> list[
             # Action: add|update|delete rides to the sink
             # (reference: parser.c:2002-2013; see pipeline.reconcile_actions)
             action=headers.get("action"),
+            # frame index: the deterministic equal-mtime tiebreak for
+            # reconcile_actions/upsert (stream arrival order)
+            seq=len(rows),
         )
         rows.append(row)
     return rows

@@ -133,3 +133,26 @@ def test_directory_ingest_populates_mtime(spark, tmp_path):
     assert len(rows) == 1
     # binaryFile modificationTime → epoch seconds (docinfo.c:202-258)
     assert abs(rows[0]["mtime"] - os.stat(p).st_mtime) <= 1
+
+
+def test_reconcile_equal_mtime_resolves_by_stream_seq(spark):
+    from libswish3_spark.pipeline import reconcile_actions
+    from libswish3_spark.sources.stream import parse_framed_stream
+
+    # two frames for d.txt with IDENTICAL mtime: the later frame must
+    # win via the seq frame index, not partition-layout luck
+    frames = b"".join(
+        b"Content-Length: %d\nContent-Location: %s\nLast-Modified: %d\nAction: %s\n\n%s"
+        % (len(body), uri, mtime, action, body)
+        for uri, mtime, action, body in [
+            (b"d.txt", 100, b"add", b"v1"),
+            (b"d.txt", 100, b"update", b"v2"),
+        ]
+    )
+    rows = parse_framed_stream(frames)
+    assert [r["seq"] for r in rows] == [0, 1]
+    # adversarial layout: reversed arrival order across partitions
+    docs = spark.createDataFrame(list(reversed(rows)), schema=DOCS_FULL_SCHEMA)
+    docs = docs.repartition(4)
+    alive = {r["doc_id"]: r for r in reconcile_actions(docs).collect()}
+    assert alive["d.txt"]["spans"][0]["text"] == "v2"
