@@ -43,11 +43,24 @@ from libswish3_spark.pipeline import extract
 _SEG_SEP = "\x02"  # rides inside doc_id through the fixed kernel schema
 
 
-def _segment_kernel(seg_chars: int):
+def _segment_kernel(seg_chars: int, config=None):
     def fn(batches):
         import pyarrow as pa
 
-        from libswish3_spark.tokenizer import count_positions
+        from libswish3_spark.tokenizer import (
+            count_positions,
+            count_positions_with,
+            resolve_tokenizer,
+            split_tokens,
+        )
+
+        # offsets must be counted with the tokenizer extract() will use:
+        # the fast finditer counter only matches the default tokenizer
+        tok = resolve_tokenizer(config) if config is not None else split_tokens
+        if tok is split_tokens:
+            count = count_positions
+        else:
+            count = lambda text: count_positions_with(text, tok)
 
         out_schema = pa.schema(
             [("doc_id", pa.string()), ("seg_text", pa.string())]
@@ -81,7 +94,7 @@ def _segment_kernel(seg_chars: int):
                 pos = 0
                 for seg in segs:
                     offsets.append(pos)
-                    pos += count_positions(seg)
+                    pos += count(seg)
                 for idx, seg in enumerate(segs):
                     o_id.append(
                         f"{doc_id}{_SEG_SEP}{idx}{_SEG_SEP}{offsets[idx]}{_SEG_SEP}{pos}"
@@ -95,7 +108,9 @@ def _segment_kernel(seg_chars: int):
     return fn
 
 
-def segment_text_docs(docs: DataFrame, seg_chars: int = 1 << 20) -> DataFrame:
+def segment_text_docs(
+    docs: DataFrame, seg_chars: int = 1 << 20, config=None
+) -> DataFrame:
     """docs(doc_id, spans[single text span]) → one row per segment.
 
     Segmentation runs in an Arrow kernel (O(length) string slicing at
@@ -106,7 +121,7 @@ def segment_text_docs(docs: DataFrame, seg_chars: int = 1 << 20) -> DataFrame:
         "doc_id", F.element_at("spans", 1)["text"].alias("text")
     )
     seg = base.mapInArrow(
-        _segment_kernel(seg_chars), schema="doc_id string, seg_text string"
+        _segment_kernel(seg_chars, config), schema="doc_id string, seg_text string"
     )
     return seg.select(
         "doc_id",
@@ -138,7 +153,7 @@ def extract_txt_segmented_rows(
     the parent's partition, which would serialize the very document we
     segmented to parallelize).
     """
-    seg = segment_text_docs(docs, seg_chars)
+    seg = segment_text_docs(docs, seg_chars, config)
     sc = docs.sparkSession.sparkContext
     seg = seg.repartition(num_partitions or sc.defaultParallelism * 2, "doc_id")
     # the extraction kernel applies the offset at span-append time (it

@@ -183,6 +183,20 @@ def count_positions(text: str) -> int:
 
 PERL_BINDING_TOKEN_REGEX = r"\w+(?:[’']\w+)*"  # 3.pm:128-130
 
+def count_positions_with(text: str, tokenizer) -> int:
+    """``count_positions`` generalized to a pluggable tokenizer: emitted
+    tokens plus one position per bumper byte. Used by the megadoc
+    segmentation kernel when a non-default tokenizer is configured —
+    the precomputed segment offsets must count with the SAME tokenizer
+    the extraction pass will run, or global positions silently drift."""
+    segs = text.split(_BUMPER)
+    n = len(segs) - 1  # each bumper byte takes one position gap
+    for seg in segs:
+        if seg:
+            n += len(tokenizer(seg))
+    return n
+
+
 _TOKENIZER_REGISTRY: dict = {"default": split_tokens}
 
 

@@ -194,3 +194,35 @@ def test_xml_segmented_replays_root_attrs(spark):
     assert root_raw == '<root a="1" b="2">'
     assert len(cuts) >= 1
     assert seeds[0] == 1  # text precedes every cut here
+
+
+def test_segmented_custom_tokenizer_positions_match(spark, txt_docs):
+    # a non-default tokenizer must drive the segment offset prefix-sum
+    # too, or global positions silently diverge from the actual parse
+    from dataclasses import replace
+
+    from libswish3_spark.config import default_config
+
+    cfg = replace(default_config(), token_regex=r"[a-z]+")
+    # token counts must DIFFER between tokenizers ("a7b": default 1
+    # token, custom 2) or the offset prefix-sum isn't actually exercised
+    rows = [
+        {
+            "doc_id": "digits.txt",
+            "spans": [
+                {
+                    "kind": "text",
+                    "text": " ".join(f"a{i}b word" for i in range(5000)),
+                    "media_ref": "",
+                    "offset": 0,
+                }
+            ],
+        }
+    ]
+    docs = txt_docs.unionByName(spark.createDataFrame(rows, schema=DOCS_SCHEMA))
+    plain = _spans(lsw.extract(docs.withColumn("parser", F.lit("TXT")), config=cfg))
+    seg = _spans(extract_txt_segmented(docs, config=cfg, seg_chars=2048))
+    assert seg == plain
+    # and the custom tokenizer really was in effect (digits split out)
+    words = [t for k, t, _ in plain["digits.txt"] if k == "word"]
+    assert "a" in words and "b" in words and all(w.isalpha() for w in words)
