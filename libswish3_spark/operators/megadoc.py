@@ -42,6 +42,15 @@ from libswish3_spark.pipeline import extract
 
 _SEG_SEP = "\x02"  # rides inside doc_id through the fixed kernel schema
 
+# tags whose open/close flushes (empties) the parser's meta buffer under
+# the DEFAULT config: bake(tag) is meta-defined for title→swishtitle and
+# the literal metaname tags (parser.py open_tag/close_tag flush rule)
+_FLUSH_TAGS = frozenset(("title", "swishdefault", "swishtitle"))
+import re as _re
+
+_META_NAME_RE = _re.compile(r"""name\s*=\s*["']?([^"'\s>]+)""", _re.I)
+_META_CONTENT_RE = _re.compile(r"content\s*=", _re.I)
+
 
 def _segment_kernel(seg_chars: int, config=None):
     def fn(batches):
@@ -218,6 +227,9 @@ def _html_cut_scan(text: str, seg_chars: int):
     n = len(text)
     rawtext_until: str | None = None
     ignore = 0
+    # text since the last meta-buffer flush (see _xml_cut_scan note):
+    # open/close of a meta-defined tag empties the parser's buffer, so
+    # only text after the latest flush leaves a pending bumper at a cut
     text_seen = False
 
     def note_text(s: str) -> None:
@@ -261,6 +273,21 @@ def _html_cut_scan(text: str, seg_chars: int):
             if name in stack:
                 while stack and stack.pop() != name:
                     pass
+            if name in _FLUSH_TAGS:
+                text_seen = False  # close_tag flushed the buffer
+            continue
+        if name == "meta" and ignore == 0:
+            # <meta name content>: content buffers invisibly to this
+            # scanner (parser.py bake_tag meta branch). Defined metaname
+            # → its own open/close flush pair (net: buffer empty);
+            # undefined (default policy: index) → content joins the
+            # CURRENT buffer, leaving it non-empty.
+            mn = _META_NAME_RE.search(m.group(0))
+            if mn and _META_CONTENT_RE.search(m.group(0)):
+                if mn.group(1).lower() in ("swishdefault", "swishtitle"):
+                    text_seen = False
+                else:
+                    text_seen = True
             continue
         # cut BEFORE this start tag if, after its implied closes, only
         # html/body remain open — i.e. it begins a top-level body child
@@ -286,6 +313,8 @@ def _html_cut_scan(text: str, seg_chars: int):
             seeds.append(int(text_seen))
             chains.append(tuple(stack[:peek]))
             seg_start = m.start()
+        if name in _FLUSH_TAGS:
+            text_seen = False  # open_tag flushes before pushing
         if closers:
             del stack[peek:]
         if name in VOID_TAGS or m.group("selfclose"):
@@ -591,6 +620,14 @@ def _xml_cut_scan(text: str, seg_chars: int):
     last = 0
     seg_start = 0
     ignore = 0
+    # the seed mirrors the parser's meta_len at the cut: text buffered
+    # SINCE THE LAST FLUSH (open/close of a meta-defined tag flushes and
+    # empties the buffer, parser.py open_tag/close_tag) — "text seen
+    # ever" would over-pay a bumper gap after e.g. </title>, shifting
+    # every later position by one. Flush tags are the default-config
+    # set (this scanner, like the whole segmented path, is documented
+    # default-config-only). NOT reset at cuts: the single-pass buffer
+    # carries across segment boundaries until a real flush.
     text_seen = False
 
     def note_text(s: str) -> None:
@@ -622,6 +659,8 @@ def _xml_cut_scan(text: str, seg_chars: int):
                 return [], [], None  # malformed: refuse to segment
             names.pop()
             depth -= 1
+            if name.lower() in _FLUSH_TAGS:
+                text_seen = False  # close_tag flushed the buffer
             continue
         if (
             depth == 1
@@ -631,6 +670,8 @@ def _xml_cut_scan(text: str, seg_chars: int):
             cuts.append(m.start())
             seeds.append(int(text_seen))
             seg_start = m.start()
+        if name.lower() in _FLUSH_TAGS:
+            text_seen = False  # open_tag flushes before pushing
         if not m.group("selfclose"):
             if depth == 0 and root_raw is None:
                 root_raw = m.group(0)

@@ -206,6 +206,44 @@ def q_extract_html_segmented(spark, sf_dir):
     )
 
 
+def q_extract_xml_segmented(spark, sf_dir):
+    """XML mega-doc path: literal-event cut-scan → parallel XMLSEG
+    extract → reassembly. The synthesized shape mirrors the HTML twin
+    (title/body land in the same buckets via the default tag aliases,
+    config.c:366-371; XML every-tag bump parser.c:543-549 moves
+    positions, never word counts) — so it shares the HTML oracle."""
+    from libswish3_spark.operators.megadoc import extract_xml_segmented
+
+    base = _docs(spark, sf_dir)
+    xml = F.concat(
+        F.lit("<doc><title>doc "),
+        F.col("doc_id").cast("string"),
+        F.lit(" from "),
+        F.col("source"),
+        F.lit("</title><body>"),
+        F.col("text"),
+        F.lit("</body></doc>"),
+    )
+    docs = base.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                xml.alias("text"),
+                F.lit("").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+    )
+    out = extract_xml_segmented(docs, seg_chars=32)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("nwords"),
+        F.element_at("properties", "swishtitle").alias("title"),
+        F.element_at("properties", "swishdescription").alias("description"),
+    )
+
+
 def q_properties_typed(spark, sf_dir):
     """P7/C2 typed-property chain: swish.xml config (int/date/max) →
     XML parse → property buckets → consumer-side typed columns
@@ -1398,6 +1436,7 @@ QUERIES: dict[str, tuple] = {
     "extract_txt": (q_extract_txt, ORACLE_EXTRACT_TXT),
     "extract_txt_segmented": (q_extract_txt_segmented, ORACLE_EXTRACT_TXT_SEGMENTED),
     "extract_html_segmented": (q_extract_html_segmented, ORACLE_EXTRACT_HTML),
+    "extract_xml_segmented": (q_extract_xml_segmented, ORACLE_EXTRACT_HTML),
     "index_postings": (q_index_postings, ORACLE_INDEX_POSTINGS),
     "properties_typed": (q_properties_typed, ORACLE_PROPERTIES_TYPED),
     "postings_offsets": (q_postings_offsets, ORACLE_POSTINGS_OFFSETS),

@@ -226,3 +226,59 @@ def test_segmented_custom_tokenizer_positions_match(spark, txt_docs):
     # and the custom tokenizer really was in effect (digits split out)
     words = [t for k, t, _ in plain["digits.txt"] if k == "word"]
     assert "a" in words and "b" in words and all(w.isalpha() for w in words)
+
+
+def test_segmented_after_title_flush_no_phantom_gap(spark):
+    # the cut lands right after </title>: the single pass flushed the
+    # buffer there, so the continuation must NOT pay a pending bumper
+    # (regression: seeding on "text seen ever" shifted all later
+    # positions by one)
+    from libswish3_spark.operators.megadoc import (
+        extract_html_segmented,
+        extract_xml_segmented,
+    )
+
+    xml = (
+        "<doc><title>doc seven from webz</title>"
+        "<body>hello world foo bar baz qux</body></doc>"
+    )
+    html = (
+        "<html><head><title>a very long long long long title</title></head>"
+        "<body><p>body words here</p><p>more body words</p></body></html>"
+    )
+    rows = [
+        {"doc_id": "x", "spans": [{"kind": "text", "text": xml, "media_ref": "", "offset": 0}]},
+    ]
+    hrows = [
+        {"doc_id": "h", "spans": [{"kind": "text", "text": html, "media_ref": "", "offset": 0}]},
+    ]
+    xdocs = spark.createDataFrame(rows, schema=DOCS_SCHEMA)
+    hdocs = spark.createDataFrame(hrows, schema=DOCS_SCHEMA)
+    for sc in (16, 24, 40):
+        assert _spans(extract_xml_segmented(xdocs, seg_chars=sc)) == _spans(
+            lsw.extract(xdocs.withColumn("parser", F.lit("XML")))
+        )
+    for sc in (8, 20, 60):
+        assert _spans(extract_html_segmented(hdocs, seg_chars=sc)) == _spans(
+            lsw.extract(hdocs.withColumn("parser", F.lit("HTML")))
+        )
+
+
+def test_segmented_pending_buffer_still_pays_gap(spark):
+    # inverse case: root text pending at the cut (no flush between) —
+    # the continuation MUST pay exactly one bumper gap
+    from libswish3_spark.operators.megadoc import extract_xml_segmented
+
+    xml = (
+        "<doc>lead words before anything"
+        "<a>first chunk of body</a><a>second chunk of body</a>"
+        "<a>third chunk here</a></doc>"
+    )
+    rows = [
+        {"doc_id": "y", "spans": [{"kind": "text", "text": xml, "media_ref": "", "offset": 0}]},
+    ]
+    docs = spark.createDataFrame(rows, schema=DOCS_SCHEMA)
+    for sc in (12, 30):
+        assert _spans(extract_xml_segmented(docs, seg_chars=sc)) == _spans(
+            lsw.extract(docs.withColumn("parser", F.lit("XML")))
+        )
