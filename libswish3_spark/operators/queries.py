@@ -1065,9 +1065,10 @@ def q_ann_lsh_topk(spark, sf_dir):
 
 
 def _build_ann_lsh_oracle(dims=ANN_DIMS, n_planes=ANN_PLANES, n_tables=ANN_TABLES):
-    """L random-hyperplane tables + multi-probe (Hamming ≤ 1) per table,
-    with the SAME literal plane weights as similarity.random_planes —
-    both engines compute identical left-to-right double dot products."""
+    """L random-hyperplane tables + multi-probe (Hamming ≤ 2, matching
+    lsh_bucketed_topk's default probe_radius) per table, with the SAME
+    literal plane weights as similarity.random_planes — both engines
+    compute identical left-to-right double dot products."""
 
     def plane_dot(vec: str, plane) -> str:
         return " + ".join(
@@ -1090,6 +1091,11 @@ def _build_ann_lsh_oracle(dims=ANN_DIMS, n_planes=ANN_PLANES, n_tables=ANN_TABLE
         probes = " OR ".join(
             [f"sig{t} = qsig{t}"]
             + [f"sig{t} = xor(qsig{t}, {1 << p})" for p in range(n_planes)]
+            + [
+                f"sig{t} = xor(qsig{t}, {(1 << p) | (1 << q)})"
+                for p in range(n_planes)
+                for q in range(p + 1, n_planes)
+            ]
         )
         table_conds.append(f"({probes})")
     return f"""

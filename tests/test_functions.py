@@ -259,3 +259,24 @@ def test_embedding_near_dup_cap_drops_hot_buckets(spark):
     assert pairs(5) == 0  # hot bucket (6 > 5) dropped entirely
     assert pairs(6) == 15  # under the cap: all C(6,2) pairs survive
     assert pairs(None) == 15  # cap disabled
+
+
+def test_ann_lsh_recall_vs_brute_force(spark):
+    # the oracle for ann_lsh_topk shares the bucket restriction, so a
+    # green hash proves Spark==DuckDB, not LSH==useful: assert recall@10
+    # against exact brute force over the real bench embeddings for
+    # several query vectors (round-1's single-probe axis-plane version
+    # scored 0.2 here)
+    from libswish3_spark.functions import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = {
+        r["vec_id"]: list(r["embedding"])
+        for r in emb.orderBy("vec_id").limit(3).collect()
+    }
+    recalls = []
+    for qv in queries.values():
+        exact = {r["vec_id"] for r in S.brute_force_topk(emb, "vec_id", "embedding", qv).collect()}
+        approx = {r["vec_id"] for r in S.lsh_bucketed_topk(emb, "vec_id", "embedding", qv).collect()}
+        recalls.append(len(exact & approx) / len(exact))
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
