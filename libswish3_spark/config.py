@@ -473,6 +473,8 @@ def load_config_xml(
                     alias_for=(a.get("alias_for") or "").lower() or None,
                     max=int(a.get("max", 0)),
                     sort=_to_bool(a.get("sort", "1")),
+                    presort=_to_bool(a.get("presort", "1")),
+                    sort_length=int(a.get("sort_length", 0)),
                 )
                 if p.text and p.text.strip():
                     for al in p.text.split():
@@ -556,6 +558,7 @@ def config_to_xml(cfg: SwishConfig) -> str:
         attrs = (
             f' id="{p.id}" ignore_case="{int(p.ignore_case)}"'
             f' verbatim="{int(p.verbatim)}" sort="{int(p.sort)}" max="{p.max}"'
+            f' presort="{int(p.presort)}" sort_length="{p.sort_length}"'
             f' type="{ {PROP_STRING: "string", PROP_DATE: "date", PROP_INT: "int"}[p.type] }"'
         )
         if p.alias_for:

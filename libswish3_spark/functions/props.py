@@ -46,18 +46,50 @@ def typed_property(props_col, prop: Property) -> Column:
     return v
 
 
+def sort_key(props_col, prop: Property) -> Column:
+    """Consumer-side ordering key for a property (the reference's
+    sort/presort/sort_length hints, property.c:41-43: consumers sort on
+    the first ``sort_length`` bytes; swish_xapian.cpp:1041 builds its
+    sort value the same way).
+
+    NULL for ``sort=False`` properties (declared unsortable, like the
+    default swishdescription); otherwise the bumper-joined, max-capped
+    value truncated to ``sort_length`` chars (0 = whole value) and
+    case-folded when ``ignore_case``. ``presort`` is an indexer-side
+    materialization hint — in Spark terms: compute this column once at
+    write time and sortWithinPartitions/Z-order on it, instead of
+    re-deriving it per query."""
+    if not prop.sort:
+        return F.lit(None).cast("string")
+    v = F.element_at(props_col, prop.alias_for or prop.name)
+    v = F.regexp_replace(v, TOKENPOS_BUMPER, " ")
+    if prop.max and prop.max > 0:
+        v = F.substring(v, 1, prop.max)
+    if prop.sort_length and prop.sort_length > 0:
+        v = F.substring(v, 1, prop.sort_length)
+    if prop.ignore_case:
+        v = F.lower(v)
+    return v
+
+
 def typed_properties(
-    extracted: DataFrame, config: SwishConfig, keep: tuple[str, ...] = ("doc_id",)
+    extracted: DataFrame,
+    config: SwishConfig,
+    keep: tuple[str, ...] = ("doc_id",),
+    with_sort_keys: bool = False,
 ) -> DataFrame:
     """Extracted table → one typed column per configured property.
 
     Column types follow the config: PROP_INT → long, PROP_DATE →
     timestamp, PROP_STRING → string (max-capped). Aliases resolve to
     their target's stored value, like ``add_stack_to_prop_buf``'s
-    alias redirect (parser.c:2882-2890).
+    alias redirect (parser.c:2882-2890). ``with_sort_keys`` adds a
+    ``<name>_sortkey`` column per sortable property (see sort_key).
     """
     cols = [F.col(c) for c in keep]
     for name in sorted(config.properties):
         prop = config.properties[name]
         cols.append(typed_property(F.col("properties"), prop).alias(name))
+        if with_sort_keys and prop.sort:
+            cols.append(sort_key(F.col("properties"), prop).alias(f"{name}_sortkey"))
     return extracted.select(*cols)

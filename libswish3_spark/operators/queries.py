@@ -1371,6 +1371,55 @@ FROM documents
 """
 
 
+# Non-ASCII corpus under the driver's hash check: the sf documents are
+# ASCII, so UTF-8 tokenizer behavior otherwise rests only on the pytest
+# goldens (001-wordcount.t:69-79 documents the locale-drift risk this
+# guards against). The phrase exercises Latin-1 accents, combining-free
+# Cyrillic and Greek, and case folding; its token sequence under
+# reference semantics (tokenizer.c UTF-8 path + lowercasing) is fixed
+# and baked into the oracle as literals.
+_UTF8_PHRASE = "Grüße Привет Ωμέγα naïve CAFÉ"
+_UTF8_PHRASE_NTOKENS = 5  # grüße привет ωμέγα naïve café
+
+
+def q_extract_utf8(spark, sf_dir):
+    """Engine TXT path over text with a non-ASCII tail: word counts,
+    the raw metaname buffer bytes (md5), and two lowercased Unicode
+    token values all under the driver oracle."""
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.concat(F.col("text"), F.lit(" " + _UTF8_PHRASE)).alias("text"),
+                F.lit("").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+        F.lit("TXT").alias("parser"),
+    )
+    out = extract(docs)
+    words = F.filter("spans", lambda s: s["kind"] == F.lit("word"))
+    # spans end with [.., ωμέγα, naïve, café, <title=doc_id>]
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("nwords"),
+        F.md5(F.element_at("metanames", "swishdefault")).alias("body_fp"),
+        F.element_at(words, -2)["text"].alias("tok_accent"),
+        F.element_at(words, -4)["text"].alias("tok_greek"),
+    )
+
+
+ORACLE_EXTRACT_UTF8 = f"""
+SELECT doc_id,
+       len({TOKS_SQL}) + {_UTF8_PHRASE_NTOKENS} + 1 AS nwords,
+       md5(text || ' {_UTF8_PHRASE}') AS body_fp,
+       'café' AS tok_accent,
+       'ωμέγα' AS tok_greek
+FROM documents
+"""
+
+
 def q_media_ppm_features(spark, sf_dir):
     """Real pixel decode under the driver oracle: deterministic binary
     PPMs synthesized from doc_ids (functions/media.py synthesize_ppm),
@@ -1440,6 +1489,7 @@ QUERIES: dict[str, tuple] = {
     "extract_html": (q_extract_html, ORACLE_EXTRACT_HTML),
     "extract_media": (q_extract_media, ORACLE_EXTRACT_MEDIA),
     "extract_txt": (q_extract_txt, ORACLE_EXTRACT_TXT),
+    "extract_utf8": (q_extract_utf8, ORACLE_EXTRACT_UTF8),
     "extract_txt_segmented": (q_extract_txt_segmented, ORACLE_EXTRACT_TXT_SEGMENTED),
     "extract_html_segmented": (q_extract_html_segmented, ORACLE_EXTRACT_HTML),
     "extract_xml_segmented": (q_extract_xml_segmented, ORACLE_EXTRACT_HTML),

@@ -151,3 +151,41 @@ def test_typed_property_consumption(spark):
     assert row["num"] == 42  # atoi: leading int of ' 42abc'
     assert str(row["when"]).startswith("2021-06-30")
     assert row["parts"] == "one two"  # bumper joint → space
+
+
+def test_property_sort_hints(spark):
+    """sort/presort/sort_length consumer hints (property.c:41-43,
+    swish_xapian.cpp:1041): sort_length truncates the ordering key,
+    ignore_case folds it, sort=0 yields no key."""
+    from libswish3_spark.config import load_config_xml
+    from libswish3_spark.functions.props import typed_properties
+    from libswish3_spark.pipeline import extract
+
+    cfg = load_config_xml(
+        """<swish><PropertyNames>
+             <name sort_length="5"/>
+             <blob sort="0"/>
+             <exact ignore_case="0"/>
+           </PropertyNames></swish>"""
+    )
+    assert cfg.properties["name"].sort_length == 5
+    assert cfg.properties["blob"].sort is False
+    assert cfg.properties["exact"].ignore_case is False
+    xml = ("<doc><name>Brontosaurus Rex</name><blob>unsortable text</blob>"
+           "<exact>MixedCase</exact></doc>")
+    docs = spark.createDataFrame(
+        [("s.xml", [("text", xml, "", 0)], "XML")],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, parser string",
+    )
+    row = typed_properties(
+        extract(docs, config=cfg), cfg, with_sort_keys=True
+    ).collect()[0]
+    assert row["name_sortkey"] == "bront"  # first sort_length chars, folded
+    assert "blob_sortkey" not in row.asDict()  # sort=0: no key column
+    assert row["exact_sortkey"] == "MixedCase"  # ignore_case=0 keeps case
+    # hints round-trip through the config header (C3)
+    from libswish3_spark.config import config_to_xml, load_config_xml as reload
+
+    cfg2 = reload(config_to_xml(cfg))
+    assert cfg2.properties["name"].sort_length == 5
+    assert cfg2.properties["blob"].sort is False
