@@ -57,7 +57,9 @@ SCALING_PAIRS = int(os.environ.get("BENCH_PAIRS", "4"))
 HEADLINE = [
     "extract_html",
     "extract_html_segmented",
+    "extract_xml_segmented",
     "extract_txt",
+    "extract_utf8",
     "tokenize_count",
     "term_frequencies",
     "doc_quality",
@@ -66,7 +68,10 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_resolved",
     "dedup_simhash",
+    "dedup_embedding",
     "ann_cosine_topk",
+    "ann_lsh_topk",
+    "media_ppm_features",
     "sample_mix",
     "pack_sequences",
     "quality_topk",
