@@ -1,9 +1,11 @@
 """Similarity search over embedding columns (array<float>).
 
-Brute-force cosine top-k as the exact baseline, plus a sign-signature
-LSH (random-hyperplane style with deterministic axis planes) as the
-bucketed scale path: at 100 TB you bucket first (narrow, shuffle on
-bucket key only), then brute-force within buckets.
+Brute-force cosine top-k as the exact baseline, plus seeded
+random-hyperplane LSH as the bucketed scale path: at 100 TB you bucket
+first (narrow, shuffle on the bucket key only), then brute-force within
+buckets — multi-table multi-probe for search recall
+(lsh_bucketed_topk), capped single-table buckets for near-dup pair
+generation (embedding_near_dup_pairs).
 
 Scores are returned ×10000 as bigint so Spark and DuckDB hash
 identically (no float representation drift).
@@ -50,24 +52,6 @@ def brute_force_topk(
         cosine_bp(F.col(vec_col), q).alias("score_bp"),
     )
     return scored.orderBy(F.desc("score_bp"), F.col(id_col)).limit(k)
-
-
-def sign_signature(vec_col, dims: int = 8) -> Column:
-    """IVF-ish coarse bucket: sign bits of the first ``dims`` axes.
-
-    Deterministic and oracle-friendly (axis-aligned hyperplanes). For
-    production recall, swap the axis planes for seeded pseudo-random
-    planes — the plumbing (bucket → co-partitioned join) is identical.
-    """
-    bits = [
-        F.when(F.element_at(vec_col, i + 1) >= 0, F.lit(1)).otherwise(F.lit(0))
-        * (2**i)
-        for i in range(dims)
-    ]
-    total = bits[0]
-    for b in bits[1:]:
-        total = total + b
-    return total.cast("long")
 
 
 def random_planes(dims: int, n_planes: int = 8, seed: int = 42) -> list[list[float]]:
