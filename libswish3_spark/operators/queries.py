@@ -1016,14 +1016,22 @@ ORACLE_DEDUP_SIMHASH = _build_simhash_oracle()
 # --------------------------------------------------------------------------
 
 
+_QUERY_VEC_CACHE: dict[str, list] = {}
+
+
 def _query_vec(spark, sf_dir):
-    row = (
-        _read(spark, sf_dir, "embeddings")
-        .orderBy("vec_id")
-        .limit(1)
-        .collect()[0]
-    )
-    return list(row["embedding"])
+    """First embedding as the ANN query vector — cached per sf_dir: it
+    is a deterministic function of the (immutable) bench table, and the
+    1-row collect costs ~0.5 s per call (4+ s on a cold session)."""
+    if sf_dir not in _QUERY_VEC_CACHE:
+        row = (
+            _read(spark, sf_dir, "embeddings")
+            .orderBy("vec_id")
+            .limit(1)
+            .collect()[0]
+        )
+        _QUERY_VEC_CACHE[sf_dir] = list(row["embedding"])
+    return _QUERY_VEC_CACHE[sf_dir]
 
 
 def q_ann_cosine_topk(spark, sf_dir):
