@@ -56,35 +56,63 @@ def run_extraction(
     """Checkpointed extraction: resumes where the manifest left off.
 
     Returns {"processed": [...buckets...], "skipped": [...]}.
-    At cluster scale ``num_buckets`` is sized so one bucket ≈ one
-    retry-able unit of work (e.g. 10k buckets over 10^12 docs).
+
+    Buckets are processed in CHUNKS (default: all remaining buckets in
+    one pass): the bucket predicate is a computed hash, so it cannot be
+    pushed down to the scan, and a per-bucket loop would re-read the
+    whole input once per bucket — O(B × full-scan) at 10^12 docs. One
+    chunk = one input scan, one dynamic-partition write, then one
+    manifest append per bucket; the commit point stays manifest-after-
+    data, now at chunk granularity. ``buckets_per_pass`` bounds how much
+    work a driver crash can lose (e.g. 64 over 10k buckets trades ~160
+    scans for losing at most 0.6% of the run).
     """
     manifest_path = os.path.join(output_path, "_manifest")
     data_path = os.path.join(output_path, "data")
     done = completed_buckets(spark, manifest_path)
     bucketed = with_bucket(docs, num_buckets)
     todo = [b for b in range(num_buckets) if b not in done]
+    step = buckets_per_pass or max(len(todo), 1)
+    chunks = [todo[i : i + step] for i in range(0, len(todo), step)]
     if buckets_per_pass:
-        todo = todo[:buckets_per_pass]
+        chunks = chunks[:1]  # caller-bounded single pass (resume later)
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     processed = []
-    for bucket in todo:
-        part = bucketed.where(F.col("bucket") == bucket).drop("bucket")
+    for chunk in chunks:
+        part = bucketed.where(F.col("bucket").isin(chunk)).drop("bucket")
         out = extract(part, config=config, include_map=include_map)
-        out = out.withColumn("bucket", F.lit(bucket))
-        # data first, manifest second: the commit point is the manifest row
+        # bucket is a deterministic function of doc_id: recompute after
+        # the (column-pruned) extraction instead of threading it through
+        out = with_bucket(out, num_buckets)
+        # data first, manifest second: the commit point is the manifest
         out.write.mode("overwrite").partitionBy("bucket").parquet(data_path)
-        stats = out.agg(
-            F.count("*").alias("docs"),
-            F.coalesce(F.sum("nwords"), F.lit(0)).alias("words"),
-            F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("errors"),
-        ).collect()[0]
+        stats = (
+            out.groupBy("bucket")
+            .agg(
+                F.count("*").alias("docs"),
+                F.coalesce(F.sum("nwords"), F.lit(0)).alias("words"),
+                F.sum(
+                    F.when(F.col("error").isNotNull(), 1).otherwise(0)
+                ).alias("errors"),
+            )
+            .collect()
+        )
+        by_bucket = {r["bucket"]: r for r in stats}
         spark.createDataFrame(
-            [(bucket, stats["docs"], stats["words"], stats["errors"], run_id)],
+            [
+                (
+                    b,
+                    by_bucket[b]["docs"] if b in by_bucket else 0,
+                    by_bucket[b]["words"] if b in by_bucket else 0,
+                    by_bucket[b]["errors"] if b in by_bucket else 0,
+                    run_id,
+                )
+                for b in chunk
+            ],
             "bucket int, docs long, words long, errors long, run_id string",
         ).write.mode("append").parquet(manifest_path)
-        processed.append(bucket)
+        processed.extend(chunk)
     return {"processed": processed, "skipped": sorted(done)}
 
 
