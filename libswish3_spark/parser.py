@@ -190,12 +190,11 @@ class DocState:
                     if toks:
                         base = self.pos
                         spans.extend(
-                            ("word", t, "", base + j + 1)
-                            for j, t in enumerate(toks)
+                            [("word", t, "", base + j + 1) for j, t in enumerate(toks)]
                         )
                         if self.keep_token_meta:
                             self.token_meta.extend(
-                                (meta, context) for _ in toks
+                                [(meta, context)] * len(toks)
                             )
                         self.pos = base + len(toks)
                         self.nwords += len(toks)

@@ -192,11 +192,14 @@ def extract_batch_fn(config: SwishConfig, include_map: dict | None = None):
                             off = int(doc_ids[i].rsplit("\x02", 2)[1])
                         except (ValueError, IndexError):
                             off = 0
-                    for (k, t, r, o) in st.spans:
-                        s_kind.append(k)
-                        s_text.append(t)
-                        s_ref.append(r)
-                        s_ord.append(o + off)
+                    sp = st.spans
+                    s_kind.extend([x[0] for x in sp])
+                    s_text.extend([x[1] for x in sp])
+                    s_ref.extend([x[2] for x in sp])
+                    if off:
+                        s_ord.extend([x[3] + off for x in sp])
+                    else:
+                        s_ord.extend([x[3] for x in sp])
                     for k, v in st.metanames.items():
                         m_keys.append(k)
                         m_vals.append(v)

@@ -80,8 +80,8 @@ def split_tokens(segment: str) -> list[str]:
     # fast path (vast majority of text): nothing to edge-strip and no run
     # long enough to hit the 256-byte cap — the runs ARE the tokens
     if "'" not in low and "_" not in low:
-        if len(low) <= MAX_WORD_LEN // 4 or all(
-            len(r) <= MAX_WORD_LEN // (1 if is_ascii else 4) for r in runs
+        if len(low) <= MAX_WORD_LEN // 4 or max(map(len, runs)) <= MAX_WORD_LEN // (
+            1 if is_ascii else 4
         ):
             return runs
     out: list[str] = []
