@@ -28,9 +28,14 @@ by construction of the reference's semantics:
   edge-strips its one big buffer once, the segmented path strips each
   fragment (fragments join with the same \\x03 the single pass would
   have inserted, so token-relevant content is identical);
-* configs that bucket mid-body metanames/properties flush the buffer
-  mid-document, which the cut scanner cannot see — use the unsegmented
-  path for those (the default config never flushes mid-body).
+* configs with statically-declared mid-body MetaNames ARE handled: the
+  cut scanners derive the buffer-flush tag set from the config
+  (_config_flush_tags) and the reassembly inserts the inter-flush
+  bumper _nb_add would (test: custom <chapter/> MetaName parity). Still
+  out of scope — use the unsegmented path for: dynamically
+  auto-vivified metanames (UndefinedMetaTags auto/autoall), flattened
+  DOM-path aliases, and XML attribute metanames, none of which the
+  literal scanner models.
 """
 
 from __future__ import annotations
@@ -42,10 +47,26 @@ from libswish3_spark.pipeline import extract
 
 _SEG_SEP = "\x02"  # rides inside doc_id through the fixed kernel schema
 
-# tags whose open/close flushes (empties) the parser's meta buffer under
-# the DEFAULT config: bake(tag) is meta-defined for title→swishtitle and
-# the literal metaname tags (parser.py open_tag/close_tag flush rule)
-_FLUSH_TAGS = frozenset(("title", "swishdefault", "swishtitle"))
+def _config_flush_tags(config=None) -> frozenset:
+    """Tags whose open/close flushes (empties) the parser's meta buffer:
+    bake(tag) is meta-defined — literal metaname tags plus tag aliases
+    targeting a metaname (parser.py open_tag/close_tag flush rule).
+    Derived from the config so segmentation seeds correctly for custom
+    MetaName configs, not just the default (title→swishtitle). Limits:
+    dynamically auto-vivified metanames (UndefinedMetaTags auto/autoall)
+    and flattened-DOM-path aliases are not modeled — use the
+    unsegmented path for those configs."""
+    from libswish3_spark.config import default_config
+
+    cfg = config or default_config()
+    tags = set(cfg.metanames)
+    for t, target in cfg.tag_aliases.items():
+        if target in cfg.metanames:
+            tags.add(t)
+    return frozenset(tags)
+
+
+_FLUSH_TAGS = _config_flush_tags(None)  # default-config set
 import re as _re
 
 _META_NAME_RE = _re.compile(r"""name\s*=\s*["']?([^"'\s>]+)""", _re.I)
@@ -195,7 +216,7 @@ def segmented_nwords(docs: DataFrame, config=None, seg_chars: int = 1 << 20) -> 
     )
 
 
-def _html_cut_scan(text: str, seg_chars: int):
+def _html_cut_scan(text: str, seg_chars: int, flush_tags: frozenset = _FLUSH_TAGS):
     """Find parser-neutral cut offsets in one HTML document.
 
     Position-tracking twin of events.html_events' consume loop (same
@@ -273,7 +294,7 @@ def _html_cut_scan(text: str, seg_chars: int):
             if name in stack:
                 while stack and stack.pop() != name:
                     pass
-            if name in _FLUSH_TAGS:
+            if name in flush_tags:
                 text_seen = False  # close_tag flushed the buffer
             continue
         if name == "meta" and ignore == 0:
@@ -284,7 +305,7 @@ def _html_cut_scan(text: str, seg_chars: int):
             # CURRENT buffer, leaving it non-empty.
             mn = _META_NAME_RE.search(m.group(0))
             if mn and _META_CONTENT_RE.search(m.group(0)):
-                if mn.group(1).lower() in ("swishdefault", "swishtitle"):
+                if mn.group(1).lower() in flush_tags:
                     text_seen = False
                 else:
                     text_seen = True
@@ -313,7 +334,7 @@ def _html_cut_scan(text: str, seg_chars: int):
             seeds.append(int(text_seen))
             chains.append(tuple(stack[:peek]))
             seg_start = m.start()
-        if name in _FLUSH_TAGS:
+        if name in flush_tags:
             text_seen = False  # open_tag flushes before pushing
         if closers:
             del stack[peek:]
@@ -326,7 +347,9 @@ def _html_cut_scan(text: str, seg_chars: int):
     return cuts, seeds, chains
 
 
-def _html_segment_kernel(seg_chars: int):
+def _html_segment_kernel(seg_chars: int, config=None):
+    flush_tags = _config_flush_tags(config)
+
     def fn(batches):
         import pyarrow as pa
 
@@ -339,7 +362,7 @@ def _html_segment_kernel(seg_chars: int):
             o_id, o_txt = [], []
             for doc_id, text in zip(doc_ids, texts):
                 text = text or ""
-                cuts, seeds, chains = _html_cut_scan(text, seg_chars)
+                cuts, seeds, chains = _html_cut_scan(text, seg_chars, flush_tags)
                 bounds = [0] + cuts + [len(text)]
                 nseg = len(bounds) - 1
                 for idx in range(nseg):
@@ -361,7 +384,9 @@ def _html_segment_kernel(seg_chars: int):
     return fn
 
 
-def segment_html_docs(docs: DataFrame, seg_chars: int = 1 << 20) -> DataFrame:
+def segment_html_docs(
+    docs: DataFrame, seg_chars: int = 1 << 20, config=None
+) -> DataFrame:
     """docs(doc_id, spans[single HTML text span]) → one row per segment
     with parser=HTMLSEG (continuation segments re-open html/body and
     carry the pending-bumper seed in the doc_id tail)."""
@@ -369,7 +394,7 @@ def segment_html_docs(docs: DataFrame, seg_chars: int = 1 << 20) -> DataFrame:
         "doc_id", F.element_at("spans", 1)["text"].alias("text")
     )
     seg = base.mapInArrow(
-        _html_segment_kernel(seg_chars), schema="doc_id string, seg_text string"
+        _html_segment_kernel(seg_chars, config), schema="doc_id string, seg_text string"
     )
     return seg.select(
         "doc_id",
@@ -395,7 +420,7 @@ def extract_html_segmented_rows(
     prefix-sum over (doc, seg_idx, end_pos) shifts each segment's
     orders; the window partitions by document (parallel across docs,
     and a doc's segments co-locate — exactly what reassembly needs)."""
-    seg = segment_html_docs(docs, seg_chars)
+    seg = segment_html_docs(docs, seg_chars, config)
     return _markup_segmented_rows(seg, config, num_partitions)
 
 
@@ -471,9 +496,12 @@ def _reassemble_markup(rows: DataFrame, config, parser_label: str) -> DataFrame:
     them onto one exchange footprint):
 
     * spans: sorted-flatten of the already-shifted segment arrays;
-    * metanames: per-key idx-ordered value CONCAT — a continuation
-      fragment already starts with its seed bumper, so plain concat
-      reproduces the single-pass buffer byte-for-byte;
+    * metanames: per-key idx-ordered concat, inserting the \\x03 that
+      _nb_add puts between separate flushes UNLESS the next fragment
+      already starts with one — a continuation of the SAME buffer
+      carries its paid seed bumper (one flush in the single pass, no
+      _nb_add join), while a fresh-after-flush fragment does not (a
+      separate flush, so the join byte must be inserted);
     * properties: per-key join with the space the cleanwsp pass turns
       the cut bumper into (verbatim properties keep the raw byte).
     """
@@ -518,7 +546,18 @@ def _reassemble_markup(rows: DataFrame, config, parser_label: str) -> DataFrame:
             ).alias(col_name)
         )
 
-    metas = merged_map("metanames", lambda k, vs: F.array_join(vs, ""))
+    def meta_join(_k, vs):
+        return F.aggregate(
+            vs,
+            F.lit(""),
+            lambda acc, v: F.when(acc == "", v).otherwise(
+                F.when(v.startswith(TOKENPOS_BUMPER), F.concat(acc, v)).otherwise(
+                    F.concat(acc, F.lit(TOKENPOS_BUMPER), v)
+                )
+            ),
+        )
+
+    metas = merged_map("metanames", meta_join)
 
     def prop_join(k, vs):
         verb = k.isin(*verbatim) if verbatim else F.lit(False)
@@ -595,7 +634,7 @@ def extract_txt_segmented(
     )
 
 
-def _xml_cut_scan(text: str, seg_chars: int):
+def _xml_cut_scan(text: str, seg_chars: int, flush_tags: frozenset = _FLUSH_TAGS):
     """Parser-neutral cut offsets for one XML document.
 
     Literal-event twin of events.xml_events (same MARKUP_RE, no
@@ -659,7 +698,7 @@ def _xml_cut_scan(text: str, seg_chars: int):
                 return [], [], None  # malformed: refuse to segment
             names.pop()
             depth -= 1
-            if name.lower() in _FLUSH_TAGS:
+            if name.lower() in flush_tags:
                 text_seen = False  # close_tag flushed the buffer
             continue
         if (
@@ -670,7 +709,7 @@ def _xml_cut_scan(text: str, seg_chars: int):
             cuts.append(m.start())
             seeds.append(int(text_seen))
             seg_start = m.start()
-        if name.lower() in _FLUSH_TAGS:
+        if name.lower() in flush_tags:
             text_seen = False  # open_tag flushes before pushing
         if not m.group("selfclose"):
             if depth == 0 and root_raw is None:
@@ -680,7 +719,9 @@ def _xml_cut_scan(text: str, seg_chars: int):
     return cuts, seeds, root_raw
 
 
-def _xml_segment_kernel(seg_chars: int):
+def _xml_segment_kernel(seg_chars: int, config=None):
+    flush_tags = _config_flush_tags(config)
+
     def fn(batches):
         import pyarrow as pa
 
@@ -693,7 +734,7 @@ def _xml_segment_kernel(seg_chars: int):
             o_id, o_txt = [], []
             for doc_id, text in zip(doc_ids, texts):
                 text = text or ""
-                cuts, seeds, root_raw = _xml_cut_scan(text, seg_chars)
+                cuts, seeds, root_raw = _xml_cut_scan(text, seg_chars, flush_tags)
                 bounds = [0] + cuts + [len(text)]
                 nseg = len(bounds) - 1
                 for idx in range(nseg):
@@ -713,7 +754,9 @@ def _xml_segment_kernel(seg_chars: int):
     return fn
 
 
-def segment_xml_docs(docs: DataFrame, seg_chars: int = 1 << 20) -> DataFrame:
+def segment_xml_docs(
+    docs: DataFrame, seg_chars: int = 1 << 20, config=None
+) -> DataFrame:
     """docs(doc_id, spans[single XML text span]) → one row per segment
     with parser=XMLSEG. Constraints mirror the HTML path (module
     docstring): default-config semantics — a root that is itself a
@@ -723,7 +766,7 @@ def segment_xml_docs(docs: DataFrame, seg_chars: int = 1 << 20) -> DataFrame:
         "doc_id", F.element_at("spans", 1)["text"].alias("text")
     )
     seg = base.mapInArrow(
-        _xml_segment_kernel(seg_chars), schema="doc_id string, seg_text string"
+        _xml_segment_kernel(seg_chars, config), schema="doc_id string, seg_text string"
     )
     return seg.select(
         "doc_id",
@@ -743,7 +786,7 @@ def extract_xml_segmented_rows(
     docs: DataFrame, config=None, seg_chars: int = 1 << 20,
     num_partitions: int | None = None,
 ) -> DataFrame:
-    seg = segment_xml_docs(docs, seg_chars)
+    seg = segment_xml_docs(docs, seg_chars, config)
     return _markup_segmented_rows(seg, config, num_partitions)
 
 

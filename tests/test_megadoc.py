@@ -282,3 +282,32 @@ def test_segmented_pending_buffer_still_pays_gap(spark):
         assert _spans(extract_xml_segmented(docs, seg_chars=sc)) == _spans(
             lsw.extract(docs.withColumn("parser", F.lit("XML")))
         )
+
+
+def test_xml_segmented_custom_metaname_config(spark):
+    # a config-defined mid-body MetaName flushes the buffer mid-document;
+    # with config-derived flush tags the cut seeds must still reproduce
+    # the single pass (spans, nwords, metanames) at any cut placement
+    from libswish3_spark.config import load_config_xml
+    from libswish3_spark.operators.megadoc import extract_xml_segmented
+
+    cfg = load_config_xml(
+        "<swish><MetaNames><chapter/></MetaNames></swish>"
+    )
+    xml = (
+        "<doc>intro words here"
+        "<chapter>first chapter body text</chapter>"
+        "between chapters text"
+        "<chapter>second chapter more words</chapter>"
+        "trailing root words</doc>"
+    )
+    rows = [
+        {"doc_id": "c", "spans": [{"kind": "text", "text": xml, "media_ref": "", "offset": 0}]},
+    ]
+    docs = spark.createDataFrame(rows, schema=DOCS_SCHEMA)
+    plain = lsw.extract(docs.withColumn("parser", F.lit("XML")), config=cfg).collect()[0]
+    for sc in (10, 25, 45):
+        seg = extract_xml_segmented(docs, config=cfg, seg_chars=sc).collect()[0]
+        assert seg["nwords"] == plain["nwords"], sc
+        assert [tuple(x) for x in seg["spans"]] == [tuple(x) for x in plain["spans"]], sc
+        assert dict(seg["metanames"]) == dict(plain["metanames"]), sc
