@@ -137,7 +137,30 @@ def extract_batch_fn(config: SwishConfig, include_map: dict | None = None):
             names = set(batch.schema.names)
             n = batch.num_rows
             doc_ids = batch.column("doc_id").to_pylist()
-            spans_in = batch.column("spans").to_pylist()
+            # flat child-array accessors instead of spans.to_pylist():
+            # materializing a dict per span struct costs ~4x the three
+            # flat string-list conversions, and the parser accepts
+            # (kind, text, ref) tuples — zip slices lazily per row
+            spans_col = batch.column("spans")
+            try:
+                sv = spans_col.values
+                sk = sv.field("kind").to_pylist()
+                stx = sv.field("text").to_pylist()
+                sr = sv.field("media_ref").to_pylist()
+                so = spans_col.offsets.to_pylist()
+                svalid = spans_col.is_valid().to_pylist()
+
+                def row_spans(i):
+                    if not svalid[i]:
+                        return ()
+                    a, b = so[i], so[i + 1]
+                    return zip(sk[a:b], stx[a:b], sr[a:b])
+
+            except (AttributeError, pa.lib.ArrowInvalid):
+                spans_in = spans_col.to_pylist()
+
+                def row_spans(i):
+                    return spans_in[i] or ()
             parsers = batch.column("parser").to_pylist() if "parser" in names else [None] * n
             mimes = batch.column("mime").to_pylist() if "mime" in names else [None] * n
             errors = batch.column("error").to_pylist() if "error" in names else [None] * n
@@ -179,7 +202,7 @@ def extract_batch_fn(config: SwishConfig, include_map: dict | None = None):
                         # per-row include map from the distributed join
                         row_resolver = make_include_resolver(dict(includes[i]))
                     st = parse_to_state(
-                        doc_ids[i], spans_in[i] or [], parser, cfg, row_resolver
+                        doc_ids[i], row_spans(i), parser, cfg, row_resolver
                     )
                     # mega-doc segments carry their global position offset
                     # in the doc_id tail (operators/megadoc.py); applying
