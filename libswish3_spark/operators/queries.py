@@ -256,7 +256,7 @@ def q_properties_typed(spark, sf_dir):
         """<swish><PropertyNames>
              <num type="int"/>
              <when type="date"/>
-             <desc max="40"/>
+             <desc max="40" sort_length="12"/>
            </PropertyNames></swish>"""
     )
     base = _docs(spark, sf_dir)
@@ -282,12 +282,15 @@ def q_properties_typed(spark, sf_dir):
         ).alias("spans"),
         F.lit("XML").alias("parser"),
     )
-    out = typed_properties(extract(docs, config=cfg), cfg)
+    out = typed_properties(extract(docs, config=cfg), cfg, with_sort_keys=True)
     return out.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("num").alias("num_val"),
         F.col("when").alias("when_ts"),
         F.col("desc").alias("desc_trunc"),
+        # consumer ordering key: sort_length-truncated, case-folded
+        # (property.c:41-43 hints, functions/props.py sort_key)
+        F.col("desc_sortkey"),
     )
 
 
@@ -296,7 +299,8 @@ SELECT doc_id,
        doc_id AS num_val,
        CAST('2020-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
             AS TIMESTAMP) AS when_ts,
-       substr(text, 1, 40) AS desc_trunc
+       substr(text, 1, 40) AS desc_trunc,
+       lower(substr(text, 1, 12)) AS desc_sortkey
 FROM documents
 """
 
