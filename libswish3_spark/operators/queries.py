@@ -856,6 +856,58 @@ FROM documents GROUP BY 1
 """
 
 
+def q_dedup_keep_first(spark, sf_dir):
+    """Arrival-order exact dedup (batch twin of streaming/dedup.py's
+    checkpointed first-seen filter): per content fingerprint keep the
+    earliest-seq row. History = documents (seq = doc_id) plus late
+    re-submissions of every fifth doc; the keeper must always be the
+    original arrival."""
+    from libswish3_spark.streaming.dedup import keep_first
+
+    base = _docs(spark, sf_dir)
+
+    def frame(df, id_col, seq_col):
+        return df.select(
+            id_col.cast("string").alias("doc_id"),
+            F.array(
+                F.struct(
+                    F.lit("text").alias("kind"),
+                    F.col("text").alias("text"),
+                    F.lit("").alias("media_ref"),
+                    F.lit(0).alias("offset"),
+                )
+            ).alias("spans"),
+            seq_col.cast("long").alias("seq"),
+        )
+
+    hist = frame(base, F.col("doc_id"), F.col("doc_id")).unionByName(
+        frame(
+            base.where(F.col("doc_id") % 5 == 0),
+            F.col("doc_id") + 100000,
+            F.col("doc_id") + 100000,
+        )
+    )
+    out = keep_first(hist)
+    return out.select(
+        "fp",
+        F.col("doc_id").cast("long").alias("keeper"),
+        F.md5("text").alias("text_fp"),
+    )
+
+
+ORACLE_DEDUP_KEEP_FIRST = """
+WITH hist AS (
+  SELECT doc_id, text, doc_id AS seq FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text, doc_id + 100000 FROM documents WHERE doc_id % 5 = 0
+)
+SELECT md5(lower(text)) AS fp,
+       arg_min(doc_id, seq) AS keeper,
+       md5(arg_min(text, seq)) AS text_fp
+FROM hist GROUP BY 1
+"""
+
+
 
 MAX_BUCKET = 1000  # LSH band-bucket size cap (boilerplate guard)
 JACCARD_GATE_BP = 2000  # verification threshold for the gated query
@@ -1523,6 +1575,7 @@ QUERIES: dict[str, tuple] = {
     "lang_id": (q_lang_id, ORACLE_LANG_ID),
     "doc_fingerprint": (q_doc_fingerprint, ORACLE_DOC_FINGERPRINT),
     "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
+    "dedup_keep_first": (q_dedup_keep_first, ORACLE_DEDUP_KEEP_FIRST),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, ORACLE_DEDUP_MINHASH),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, ORACLE_DEDUP_NGRAM_JACCARD),
     "dedup_resolved": (q_dedup_resolved, ORACLE_DEDUP_RESOLVED),

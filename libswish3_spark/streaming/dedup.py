@@ -1,0 +1,101 @@
+"""Stateful streaming dedup: first-seen-fingerprint filter.
+
+The training-pipeline twin of batch exact dedup for a continuously
+ingested corpus: per content fingerprint (md5 of lowercased text, the
+same key ``functions.dedup.exact_duplicates`` groups on), the FIRST
+arrival is emitted and every later duplicate is dropped — including
+duplicates that arrive after a restart, because the seen-set lives in
+the streaming checkpoint, not in memory.
+
+Batch twin: ``keep_first`` below (oracle-checked as the
+``dedup_keep_first`` query) — keeper = arg-min by arrival ``seq`` per
+fingerprint, which is exactly what the stream emits when replayed in
+order.
+
+At scale: state is hash-partitioned by fingerprint across executors;
+each micro-batch touches only the fingerprints it contains, and the
+state row is a single boolean-shaped marker (the keeper id) per unique
+document ever seen — the minimal seen-set a streaming dedup can carry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import StringType, StructField, StructType
+
+from libswish3_spark.functions.text import fingerprint
+
+DEDUP_EMIT_SCHEMA = StructType(
+    [
+        StructField("fp", StringType()),
+        StructField("doc_id", StringType()),
+        StructField("text", StringType()),
+    ]
+)
+
+_SEEN_SCHEMA = StructType([StructField("keeper", StringType())])
+
+
+def _keep_first(key, pdf_iter, state: GroupState):
+    import pandas as pd
+
+    (fp,) = key
+    if state.exists:
+        # fingerprint already admitted in a previous batch/run: drain
+        # and drop (the checkpointed seen-set is the dedup contract)
+        for _ in pdf_iter:
+            pass
+        yield pd.DataFrame({"fp": [], "doc_id": [], "text": []})
+        return
+    first_seq = first_doc = first_text = None
+    for pdf in pdf_iter:
+        for doc_id, text, seq in zip(pdf["doc_id"], pdf["text"], pdf["seq"]):
+            s = 0 if pd.isnull(seq) else int(seq)
+            if first_seq is None or s < first_seq:
+                first_seq, first_doc, first_text = s, doc_id, text
+    state.update((first_doc,))
+    yield pd.DataFrame({"fp": [fp], "doc_id": [first_doc], "text": [first_text]})
+
+
+def dedup_stream(docs: DataFrame) -> DataFrame:
+    """docs stream (doc_id, spans[, seq]) → first-seen rows only.
+
+    Output mode append-like (each fingerprint emits at most once,
+    ever); downstream is the surviving corpus feed. ``seq`` (the
+    stream frame index parse_framed_stream assigns) breaks ties within
+    a micro-batch; across batches, batch order IS arrival order.
+    """
+    cols = [
+        F.col("doc_id"),
+        F.element_at("spans", 1)["text"].alias("text"),
+        (F.col("seq") if "seq" in docs.columns else F.lit(0)).alias("seq"),
+    ]
+    skinny = docs.select(*cols).withColumn("fp", fingerprint(F.col("text")))
+    return skinny.groupBy("fp").applyInPandasWithState(
+        _keep_first,
+        outputStructType=DEDUP_EMIT_SCHEMA,
+        stateStructType=_SEEN_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def keep_first(docs: DataFrame) -> DataFrame:
+    """Batch twin: per fingerprint, the row with the smallest arrival
+    ``seq`` (falling back to doc_id order for equal/missing seq —
+    deterministic either way)."""
+    skinny = docs.select(
+        "doc_id",
+        F.element_at("spans", 1)["text"].alias("text"),
+        (F.col("seq") if "seq" in docs.columns else F.lit(0)).alias("seq"),
+    ).withColumn("fp", fingerprint(F.col("text")))
+    return (
+        skinny.groupBy("fp")
+        .agg(
+            F.min_by(
+                F.struct("doc_id", "text"), F.struct("seq", "doc_id")
+            ).alias("r")
+        )
+        .select("fp", F.col("r.doc_id").alias("doc_id"), F.col("r.text").alias("text"))
+    )

@@ -147,3 +147,58 @@ def test_upsert_stream_action_semantics_across_restart(spark, tmp_path):
     assert got2["a"]["alive"] and got2["a"]["text"] == "a v2"
     assert got2["a"]["mtime"] == 200
     assert got2["c"]["alive"] is False  # tombstone despite run-1 state
+
+
+def test_dedup_stream_first_seen_survives_restart(spark, tmp_path):
+    """Streaming exact dedup: a duplicate arriving AFTER a checkpointed
+    restart must still be dropped (the seen-set lives in the
+    checkpoint, not in memory); new content still flows."""
+    from libswish3_spark.pipeline import DOCS_FULL_SCHEMA
+    from libswish3_spark.streaming.dedup import dedup_stream
+
+    src = str(tmp_path / "docs")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "kept")
+
+    def row(doc_id, text, seq):
+        return {
+            "doc_id": doc_id,
+            "spans": [{"kind": "text", "text": text, "media_ref": "", "offset": 0}],
+            "seq": seq,
+        }
+
+    def run(rows, run_id):
+        spark.createDataFrame(rows, schema=DOCS_FULL_SCHEMA).write.mode(
+            "append"
+        ).parquet(src)
+        stream = spark.readStream.schema(DOCS_FULL_SCHEMA).parquet(src)
+
+        def sink(df, bid):
+            df.where(F.col("doc_id").isNotNull()).withColumn(
+                "_run", F.lit(run_id)
+            ).write.mode("append").parquet(out)
+
+        q = (
+            dedup_stream(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            r["doc_id"]
+            for r in spark.read.parquet(out).where(F.col("_run") == run_id).collect()
+        }
+
+    # run 1: a, b distinct; c duplicates a within the batch (higher seq)
+    got1 = run(
+        [row("a", "alpha text", 0), row("b", "beta text", 1), row("c", "alpha text", 2)],
+        1,
+    )
+    assert got1 == {"a", "b"}  # c dropped, first arrival kept
+
+    # run 2 (restart): d duplicates a ACROSS the restart; e is new
+    got2 = run([row("d", "alpha text", 3), row("e", "gamma text", 4)], 2)
+    assert got2 == {"e"}
