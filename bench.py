@@ -64,6 +64,7 @@ HEADLINE = [
     "term_frequencies",
     "doc_quality",
     "dedup_exact",
+    "dedup_keep_first",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_resolved",
