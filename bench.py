@@ -65,6 +65,8 @@ HEADLINE = [
     "doc_quality",
     "dedup_exact",
     "dedup_keep_first",
+    "dedup_paragraphs",
+    "quality_filter",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_resolved",

@@ -407,3 +407,56 @@ def simhash(tok_col, bits: int = SIMHASH_BITS) -> Column:
         return bind(sums, tosig)
 
     return bind(tok_col, build)
+
+
+def drop_frequent_paragraphs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = "\n",
+    max_doc_freq: int = 10,
+) -> DataFrame:
+    """Paragraph-level boilerplate removal (the CCNet/RefinedWeb-style
+    line dedup): drop every paragraph whose exact content appears in
+    more than ``max_doc_freq`` distinct documents (navbars, footers,
+    cookie banners — the cross-document repeated furniture document-
+    level dedup can't see).
+
+    Shape at scale: one exploded (id, pos, para-hash) pass → a tiny
+    (hash, doc-freq) aggregate (frequent-paragraph set is boilerplate,
+    orders of magnitude smaller than the corpus) → broadcast anti-join
+    → per-document ordered reassembly. The paragraph payload shuffles
+    once (the explode's groupBy-back); the frequent set never exceeds
+    broadcast size by construction of the threshold.
+
+    Returns (id, clean_text, n_paras) — documents whose every paragraph
+    was boilerplate yield an empty clean_text.
+    """
+    paras = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+    )
+    frequent = (
+        paras.groupBy(F.md5("para").alias("h"))
+        .agg(F.count_distinct("id").alias("df"))
+        .where(F.col("df") > max_doc_freq)
+        .select("h")
+    )
+    kept = paras.join(
+        F.broadcast(frequent), F.md5(paras.para) == frequent.h, "left_anti"
+    )
+    return (
+        kept.groupBy("id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "para"))
+                    ),
+                    lambda e: e["para"],
+                ),
+                sep,
+            ).alias("clean_text"),
+            F.count("*").alias("n_paras"),
+        )
+    )

@@ -129,3 +129,54 @@ def bpe_ish_token_count(text_col) -> Column:
             F.lower(text_col), F.lit("[a-z]{1,4}|[0-9]+|[^a-z0-9\\s]"), 0
         )
     )
+
+
+# Gopher-style document quality rules (Rae et al. 2021, public): word
+# count bounds, mean word length band, symbol density, and a minimal
+# stopword-presence requirement. All JVM column expressions; ratios are
+# basis-point bigints for engine-portable hashing.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with", "a")
+
+
+def gopher_rules(text_col) -> dict:
+    """Rule columns: each True means the document PASSES that rule."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    total_len = F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
+    mean_len_bp = F.when(n > 0, F.floor(total_len * 10000 / n)).otherwise(F.lit(0))
+    hashes = F.length(text_col) - F.length(F.replace(text_col, F.lit("#"), F.lit("")))
+    ellipsis = F.length(text_col) - F.length(
+        F.replace(text_col, F.lit("..."), F.lit(""))
+    )
+    symbol_bp = F.when(
+        F.length(text_col) > 0,
+        F.floor((hashes + ellipsis) * 10000 / F.length(text_col)),
+    ).otherwise(F.lit(0))
+    stop_hits = F.size(
+        F.array_intersect(toks, F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]))
+    )
+    return {
+        "word_count_ok": (n >= 50) & (n <= 100000),
+        "mean_word_len_ok": (mean_len_bp >= 30000) & (mean_len_bp <= 100000),
+        "symbol_ratio_ok": symbol_bp <= 1000,
+        "stopwords_ok": stop_hits >= 2,
+        "n_words": n,
+        "mean_word_len_bp": mean_len_bp.cast("long"),
+    }
+
+
+def gopher_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """df + rule columns + ``kept`` (all rules pass). The downstream
+    corpus filter is ``.where("kept")`` — kept as a column here so the
+    rejection REASON survives for pipeline observability."""
+    rules = gopher_rules(F.col(text_col))
+    out = df
+    for name, col in rules.items():
+        out = out.withColumn(name, col)
+    return out.withColumn(
+        "kept",
+        F.col("word_count_ok")
+        & F.col("mean_word_len_ok")
+        & F.col("symbol_ratio_ok")
+        & F.col("stopwords_ok"),
+    )

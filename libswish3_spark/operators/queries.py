@@ -856,6 +856,113 @@ FROM documents GROUP BY 1
 """
 
 
+def q_dedup_paragraphs(spark, sf_dir):
+    """Paragraph-level boilerplate removal (CCNet/RefinedWeb line
+    dedup): documents synthesized with a shared boilerplate paragraph
+    (doc-freq = corpus size, dropped) between the real text and a
+    per-doc unique tail (kept)."""
+    from libswish3_spark.functions.dedup import drop_frequent_paragraphs
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.lit("shared cookie banner boilerplate"),
+            F.concat(F.lit("tail "), F.col("doc_id").cast("string")),
+        ).alias("t"),
+    )
+    out = drop_frequent_paragraphs(docs, "doc_id", "t", max_doc_freq=10)
+    return out.select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.md5("clean_text").alias("clean_fp"),
+        "n_paras",
+    )
+
+
+ORACLE_DEDUP_PARAGRAPHS = """
+WITH docs2 AS (
+  SELECT doc_id,
+         text || chr(10) || 'shared cookie banner boilerplate'
+              || chr(10) || 'tail ' || doc_id AS t
+  FROM documents
+),
+paras AS (
+  SELECT doc_id,
+         unnest(string_split(t, chr(10))) AS para,
+         unnest(range(1, len(string_split(t, chr(10))) + 1)) AS ord
+  FROM docs2
+),
+freq AS (
+  SELECT md5(para) AS h FROM paras GROUP BY 1
+  HAVING count(DISTINCT doc_id) > 10
+),
+kept AS (SELECT * FROM paras WHERE md5(para) NOT IN (SELECT h FROM freq))
+SELECT doc_id,
+       md5(string_agg(para, chr(10) ORDER BY ord)) AS clean_fp,
+       count(*) AS n_paras
+FROM kept GROUP BY doc_id
+"""
+
+
+def q_quality_filter(spark, sf_dir):
+    """Gopher-style rule filter over the raw corpus: per-rule pass
+    flags (as ints for engine-portable hashing) + the kept verdict."""
+    from libswish3_spark.functions.text import gopher_filter
+
+    out = gopher_filter(_docs(spark, sf_dir), "text")
+    flag = lambda c: F.col(c).cast("int").alias(c)
+    return out.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len_bp",
+        flag("word_count_ok"),
+        flag("mean_word_len_ok"),
+        flag("symbol_ratio_ok"),
+        flag("stopwords_ok"),
+        flag("kept"),
+    )
+
+
+def _build_quality_filter_oracle():
+    from libswish3_spark.functions.text import GOPHER_STOPWORDS
+
+    toks = TOKS_SQL
+    stop_hits = " + ".join(
+        f"CAST(list_contains({toks}, '{w}') AS INT)" for w in GOPHER_STOPWORDS
+    )
+    return f"""
+WITH m AS (
+  SELECT doc_id,
+         len({toks}) AS n_words,
+         CASE WHEN len({toks}) > 0
+              THEN CAST(floor(list_sum(list_transform({toks}, t -> length(t)))
+                              * 10000 / len({toks})) AS BIGINT)
+              ELSE 0 END AS mean_word_len_bp,
+         CASE WHEN length(text) > 0
+              THEN floor(((length(text) - length(replace(text, '#', '')))
+                        + (length(text) - length(replace(text, '...', ''))))
+                        * 10000 / length(text))
+              ELSE 0 END AS symbol_bp,
+         ({stop_hits}) AS stop_hits
+  FROM documents
+)
+SELECT doc_id, n_words, mean_word_len_bp,
+       CAST(n_words >= 50 AND n_words <= 100000 AS INT) AS word_count_ok,
+       CAST(mean_word_len_bp >= 30000 AND mean_word_len_bp <= 100000 AS INT)
+         AS mean_word_len_ok,
+       CAST(symbol_bp <= 1000 AS INT) AS symbol_ratio_ok,
+       CAST(stop_hits >= 2 AS INT) AS stopwords_ok,
+       CAST(n_words >= 50 AND n_words <= 100000
+            AND mean_word_len_bp >= 30000 AND mean_word_len_bp <= 100000
+            AND symbol_bp <= 1000 AND stop_hits >= 2 AS INT) AS kept
+FROM m
+"""
+
+
+ORACLE_QUALITY_FILTER = _build_quality_filter_oracle()
+
+
 def q_dedup_keep_first(spark, sf_dir):
     """Arrival-order exact dedup (batch twin of streaming/dedup.py's
     checkpointed first-seen filter): per content fingerprint keep the
@@ -1576,6 +1683,8 @@ QUERIES: dict[str, tuple] = {
     "doc_fingerprint": (q_doc_fingerprint, ORACLE_DOC_FINGERPRINT),
     "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
     "dedup_keep_first": (q_dedup_keep_first, ORACLE_DEDUP_KEEP_FIRST),
+    "dedup_paragraphs": (q_dedup_paragraphs, ORACLE_DEDUP_PARAGRAPHS),
+    "quality_filter": (q_quality_filter, ORACLE_QUALITY_FILTER),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, ORACLE_DEDUP_MINHASH),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, ORACLE_DEDUP_NGRAM_JACCARD),
     "dedup_resolved": (q_dedup_resolved, ORACLE_DEDUP_RESOLVED),

@@ -280,3 +280,45 @@ def test_ann_lsh_recall_vs_brute_force(spark):
         approx = {r["vec_id"] for r in S.lsh_bucketed_topk(emb, "vec_id", "embedding", qv).collect()}
         recalls.append(len(exact & approx) / len(exact))
     assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
+def test_drop_frequent_paragraphs(spark):
+    # 12 docs share a boilerplate line (df=12 > 10 → dropped); each has
+    # a unique line (kept); doc 99 is ALL boilerplate → empty clean_text
+    rows = [(i, f"unique line {i}\nBOILER PLATE") for i in range(12)]
+    rows.append((99, "BOILER PLATE"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["id"]: r
+        for r in D.drop_frequent_paragraphs(df, "doc_id", "text", max_doc_freq=10).collect()
+    }
+    assert out[3]["clean_text"] == "unique line 3"
+    assert out[3]["n_paras"] == 1
+    assert 99 not in out  # every paragraph was boilerplate
+    # under the threshold nothing is dropped
+    kept_all = D.drop_frequent_paragraphs(df, "doc_id", "text", max_doc_freq=13)
+    assert {r["n_paras"] for r in kept_all.collect()} == {1, 2}
+
+
+def test_drop_frequent_paragraphs_preserves_order(spark):
+    df = spark.createDataFrame(
+        [(1, "z last\na first\nm mid")], ["doc_id", "text"]
+    )
+    out = D.drop_frequent_paragraphs(df, "doc_id", "text").collect()[0]
+    assert out["clean_text"] == "z last\na first\nm mid"  # original order
+
+
+def test_gopher_filter_rules(spark):
+    long_good = "the quick brown fox jumps over a lazy dog and then " * 10
+    short = "the a tiny"
+    no_stop = "zebra quokka wombat " * 30
+    symbols = ("the and word " * 20) + "#" * 100
+    df = spark.createDataFrame(
+        [(1, long_good), (2, short), (3, no_stop), (4, symbols)],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in T.gopher_filter(df, "text").collect()}
+    assert out[1]["kept"] is True
+    assert out[2]["kept"] is False and out[2]["word_count_ok"] is False
+    assert out[3]["kept"] is False and out[3]["stopwords_ok"] is False
+    assert out[4]["kept"] is False and out[4]["symbol_ratio_ok"] is False
