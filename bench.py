@@ -67,6 +67,7 @@ HEADLINE = [
     "dedup_keep_first",
     "dedup_paragraphs",
     "quality_filter",
+    "pii_redact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_resolved",

@@ -180,3 +180,38 @@ def gopher_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
         & F.col("symbol_ratio_ok")
         & F.col("stopwords_ok"),
     )
+
+
+def repetition_bp(text_col, n: int = 3) -> Column:
+    """Within-document repetition: fraction of word n-gram occurrences
+    that are duplicates (the Gopher repetition-rule family), in basis
+    points. 0 = no repeated n-grams; high values mark loops/spam."""
+    from libswish3_spark.functions.dedup import bind
+
+    def frac(toks):
+        total = F.size(toks) - (n - 1)
+        gram = F.transform(
+            F.sequence(F.lit(0), total - 1),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+            ),
+        )
+        dup = total - F.size(F.array_distinct(gram))
+        return F.when(total > 0, F.floor(dup * 10000 / total)).otherwise(F.lit(0))
+
+    return bind(tokens(text_col), frac).cast("long")
+
+
+# Deterministic PII redaction patterns: semantics identical in Java
+# regex (Spark) and RE2 (DuckDB) — character classes, bounded
+# quantifiers, no backrefs/lookaround.
+EMAIL_PATTERN = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+LONG_NUMBER_PATTERN = "[0-9]{9,}"
+
+
+def redact_pii(text_col) -> Column:
+    """Email and long-digit-run redaction over lowercased text — the
+    standard pre-training scrub pass. Order matters: emails first
+    (their local parts may contain digit runs)."""
+    scrubbed = F.regexp_replace(F.lower(text_col), EMAIL_PATTERN, "<EMAIL>")
+    return F.regexp_replace(scrubbed, LONG_NUMBER_PATTERN, "<NUM>")

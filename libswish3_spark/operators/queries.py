@@ -963,6 +963,52 @@ FROM m
 ORACLE_QUALITY_FILTER = _build_quality_filter_oracle()
 
 
+def q_pii_redact(spark, sf_dir):
+    """PII scrub + repetition metric: per-doc synthesized email and
+    long digit run must redact to the same bytes in both engines
+    (Java regex and RE2 agree on these class-and-bounded-quantifier
+    patterns); repetition_bp is the Gopher repetition-rule family."""
+    base = _docs(spark, sf_dir)
+    t = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com code 123456789"),
+        F.col("doc_id").cast("string"),
+    )
+    return base.select(
+        "doc_id",
+        F.md5(T.redact_pii(t)).alias("redacted_fp"),
+        T.repetition_bp(F.col("text")).alias("rep_bp"),
+    )
+
+
+def _build_pii_oracle():
+    from libswish3_spark.functions.text import EMAIL_PATTERN, LONG_NUMBER_PATTERN
+
+    toks = TOKS_SQL
+    grams = (
+        f"list_transform(range(0, greatest(len({toks}) - 2, 0)),"
+        f" i -> {toks}[i+1] || ' ' || {toks}[i+2] || ' ' || {toks}[i+3])"
+    )
+    return f"""
+SELECT doc_id,
+       md5(regexp_replace(regexp_replace(
+             lower(text || ' contact user' || doc_id
+                        || '@example.com code 123456789' || doc_id),
+             '{EMAIL_PATTERN}', '<EMAIL>', 'g'),
+           '{LONG_NUMBER_PATTERN}', '<NUM>', 'g')) AS redacted_fp,
+       CASE WHEN len({toks}) - 2 > 0
+            THEN CAST(floor((len({grams}) - len(list_distinct({grams})))
+                            * 10000 / (len({toks}) - 2)) AS BIGINT)
+            ELSE 0 END AS rep_bp
+FROM documents
+"""
+
+
+ORACLE_PII_REDACT = _build_pii_oracle()
+
+
 def q_dedup_keep_first(spark, sf_dir):
     """Arrival-order exact dedup (batch twin of streaming/dedup.py's
     checkpointed first-seen filter): per content fingerprint keep the
@@ -1685,6 +1731,7 @@ QUERIES: dict[str, tuple] = {
     "dedup_keep_first": (q_dedup_keep_first, ORACLE_DEDUP_KEEP_FIRST),
     "dedup_paragraphs": (q_dedup_paragraphs, ORACLE_DEDUP_PARAGRAPHS),
     "quality_filter": (q_quality_filter, ORACLE_QUALITY_FILTER),
+    "pii_redact": (q_pii_redact, ORACLE_PII_REDACT),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, ORACLE_DEDUP_MINHASH),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, ORACLE_DEDUP_NGRAM_JACCARD),
     "dedup_resolved": (q_dedup_resolved, ORACLE_DEDUP_RESOLVED),

@@ -322,3 +322,26 @@ def test_gopher_filter_rules(spark):
     assert out[2]["kept"] is False and out[2]["word_count_ok"] is False
     assert out[3]["kept"] is False and out[3]["stopwords_ok"] is False
     assert out[4]["kept"] is False and out[4]["symbol_ratio_ok"] is False
+
+
+def test_redact_pii_and_repetition(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "Write To Bob.Smith+x@Sub.Example.ORG today"),
+            (2, "card 12345678901234 and short 12345678 stay"),
+            (3, "go go go go go go stop"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            T.redact_pii(F.col("text")).alias("red"),
+            T.repetition_bp(F.col("text")).alias("rep"),
+        ).collect()
+    }
+    assert out[1]["red"] == "write to <EMAIL> today"
+    assert out[2]["red"] == "card <NUM> and short 12345678 stay"  # 8 digits kept
+    # "go"x6: trigrams = 5, distinct = {"go go go"} plus tail "go go stop"
+    assert out[3]["rep"] == 6000  # 3 duplicate of 5 total → 6000bp
