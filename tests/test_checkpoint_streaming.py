@@ -89,3 +89,40 @@ def test_streaming_extraction_and_restart(spark, tmp_path):
     for name, exp in fx.GOLDEN_NWORDS.items():
         if exp is not None and name != "xinclude.xml":  # no include map in stream
             assert got[f"test_docs/{name}"] == exp, name
+
+
+def test_submit_extract_cli_batch(spark, tmp_path):
+    """The spark-submit entrypoint end-to-end in batch mode: extract,
+    bucket-manifest resume bookkeeping, lineage metrics, postings."""
+    import submit_extract
+
+    src = str(tmp_path / "docs_in")
+    out = str(tmp_path / "extracted_out")
+    postings = str(tmp_path / "postings_out")
+    _docs(spark).write.mode("overwrite").parquet(src)
+
+    rc = submit_extract.main(
+        [
+            "--input", src,
+            "--output", out,
+            "--buckets", "4",
+            "--postings", postings,
+            "--run-id", "t1",
+        ]
+    )
+    assert rc == 0
+    from libswish3_spark.plans import checkpoint as cp
+
+    n = _docs(spark).count()
+    assert cp.read_extracted(spark, out).count() == n
+    manifest = cp.read_manifest(spark, out)
+    assert manifest.select("bucket").distinct().count() == 4
+    metrics = spark.read.parquet(os.path.join(out, "_metrics"))
+    assert metrics.agg(F.sum("docs")).collect()[0][0] == n
+    assert spark.read.parquet(postings).count() > 0
+    # second invocation resumes to a no-op (idempotent)
+    rc2 = submit_extract.main(
+        ["--input", src, "--output", out, "--buckets", "4", "--run-id", "t2"]
+    )
+    assert rc2 == 0
+    assert cp.read_extracted(spark, out).count() == n
