@@ -311,3 +311,79 @@ def test_xml_segmented_custom_metaname_config(spark):
         assert seg["nwords"] == plain["nwords"], sc
         assert [tuple(x) for x in seg["spans"]] == [tuple(x) for x in plain["spans"]], sc
         assert dict(seg["metanames"]) == dict(plain["metanames"]), sc
+
+
+def _rand_xml(rng, vocab):
+    def words(k):
+        return " ".join(rng.choice(vocab) for _ in range(k))
+
+    def element(depth):
+        tag = rng.choice(["a", "b", "chapter", "title", "item"])
+        inner = "".join(node(depth + 1) for _ in range(rng.randint(0, 3)))
+        return f"<{tag}>{inner}</{tag}>"
+
+    def node(depth):
+        if depth >= 3 or rng.random() < 0.5:
+            return words(rng.randint(0, 4))
+        return element(depth)
+
+    body = "".join(node(1) for _ in range(rng.randint(2, 10)))
+    if rng.random() < 0.3:
+        body += "<!-- noindex -->" + words(3) + "<!-- index -->" + words(2)
+    return f"<doc>{body}</doc>"
+
+
+def _rand_html(rng, vocab):
+    def words(k):
+        return " ".join(rng.choice(vocab) for _ in range(k))
+
+    parts = []
+    if rng.random() < 0.5:
+        parts.append(f"<title>{words(rng.randint(1, 5))}</title>")
+    for _ in range(rng.randint(2, 8)):
+        roll = rng.random()
+        if roll < 0.5:
+            parts.append(f"<p>{words(rng.randint(1, 8))}</p>")
+        elif roll < 0.65:
+            parts.append(f"<b>{words(2)}</b>{words(2)}")
+        elif roll < 0.75:
+            parts.append(f'<img src="img://{rng.randint(0, 9)}"/>{words(2)}')
+        elif roll < 0.85:
+            parts.append("<!-- noindex -->" + words(3) + "<!-- index -->")
+        else:
+            parts.append(f"<script>var x = {rng.randint(0, 99)};</script>{words(3)}")
+    return "<html><body>" + "".join(parts) + "</body></html>"
+
+
+def test_segmentation_fuzz_parity(spark):
+    """Seeded fuzz: 60 random XML + 60 random HTML documents (nested
+    elements, flush tags, noindex, media, rawtext) — segmented at two
+    aggressive seg_chars must equal the single pass span-for-span.
+    One Spark job per (parser, seg_chars), not per document."""
+    import random
+
+    from libswish3_spark.operators.megadoc import (
+        extract_html_segmented,
+        extract_xml_segmented,
+    )
+
+    rng = random.Random(20260816)
+    vocab = ["alpha", "beta", "g7x", "don't", "mat", "the", "word"]
+    for gen, parser, seg_fn in (
+        (_rand_xml, "XML", extract_xml_segmented),
+        (_rand_html, "HTML", extract_html_segmented),
+    ):
+        rows = [
+            {
+                "doc_id": f"f{i}",
+                "spans": [
+                    {"kind": "text", "text": gen(rng, vocab), "media_ref": "", "offset": 0}
+                ],
+            }
+            for i in range(60)
+        ]
+        docs = spark.createDataFrame(rows, schema=DOCS_SCHEMA)
+        plain = _spans(lsw.extract(docs.withColumn("parser", F.lit(parser))))
+        for sc in (16, 64):
+            seg = _spans(seg_fn(docs, seg_chars=sc))
+            assert seg == plain, (parser, sc)
