@@ -68,6 +68,7 @@ HEADLINE = [
     "dedup_paragraphs",
     "quality_filter",
     "pii_redact",
+    "curation_pipeline",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_resolved",

@@ -1009,6 +1009,73 @@ FROM documents
 ORACLE_PII_REDACT = _build_pii_oracle()
 
 
+def q_curation_pipeline(spark, sf_dir):
+    """The composed corpus-curation pass a pretraining run actually
+    executes: Gopher quality gate → exact-dedup survivors (keeper
+    join) → PII scrub → final token accounting. Each stage is the
+    already-oracled operator; this query checks their COMPOSITION.
+    Shuffle shape at scale: the quality gate and the scrub are narrow
+    projections; the dedup aggregate shuffles once on the digest and
+    the keeper join once on doc_id (keepers ≈ corpus-sized, so this is
+    a co-partitioned shuffle join, not a broadcast)."""
+    from libswish3_spark.functions.dedup import exact_duplicates
+    from libswish3_spark.functions.text import gopher_filter, redact_pii, token_count
+
+    base = _docs(spark, sf_dir)
+    kept = gopher_filter(base, "text").where("kept")
+    keepers = exact_duplicates(kept, "doc_id", "text").select(
+        F.col("keeper").alias("doc_id")
+    )
+    survivors = kept.join(keepers, "doc_id")
+    return survivors.select(
+        "doc_id",
+        F.md5(redact_pii(F.col("text"))).alias("clean_fp"),
+        token_count(redact_pii(F.col("text"))).alias("n_tokens"),
+        "source",
+    )
+
+
+def _build_curation_pipeline_oracle():
+    from libswish3_spark.functions.text import (
+        EMAIL_PATTERN,
+        GOPHER_STOPWORDS,
+        LONG_NUMBER_PATTERN,
+    )
+
+    toks = TOKS_SQL
+    stop_hits = " + ".join(
+        f"CAST(list_contains({toks}, '{w}') AS INT)" for w in GOPHER_STOPWORDS
+    )
+    redacted = (
+        f"regexp_replace(regexp_replace(lower(text),"
+        f" '{EMAIL_PATTERN}', '<EMAIL>', 'g'),"
+        f" '{LONG_NUMBER_PATTERN}', '<NUM>', 'g')"
+    )
+    return f"""
+WITH kept AS (
+  SELECT * FROM documents
+  WHERE len({toks}) BETWEEN 50 AND 100000
+    AND len({toks}) > 0
+    AND CAST(floor(list_sum(list_transform({toks}, t -> length(t)))
+                   * 10000 / len({toks})) AS BIGINT) BETWEEN 30000 AND 100000
+    AND (length(text) = 0 OR
+         floor(((length(text) - length(replace(text, '#', '')))
+              + (length(text) - length(replace(text, '...', ''))))
+              * 10000 / length(text)) <= 1000)
+    AND ({stop_hits}) >= 2
+),
+keepers AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(lower(text)))
+SELECT k.doc_id,
+       md5({redacted}) AS clean_fp,
+       len(regexp_extract_all(lower({redacted}), '{PAT_SQL}')) AS n_tokens,
+       source
+FROM kept k JOIN keepers USING (doc_id)
+"""
+
+
+ORACLE_CURATION_PIPELINE = _build_curation_pipeline_oracle()
+
+
 def q_dedup_keep_first(spark, sf_dir):
     """Arrival-order exact dedup (batch twin of streaming/dedup.py's
     checkpointed first-seen filter): per content fingerprint keep the
@@ -1732,6 +1799,7 @@ QUERIES: dict[str, tuple] = {
     "dedup_paragraphs": (q_dedup_paragraphs, ORACLE_DEDUP_PARAGRAPHS),
     "quality_filter": (q_quality_filter, ORACLE_QUALITY_FILTER),
     "pii_redact": (q_pii_redact, ORACLE_PII_REDACT),
+    "curation_pipeline": (q_curation_pipeline, ORACLE_CURATION_PIPELINE),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, ORACLE_DEDUP_MINHASH),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, ORACLE_DEDUP_NGRAM_JACCARD),
     "dedup_resolved": (q_dedup_resolved, ORACLE_DEDUP_RESOLVED),

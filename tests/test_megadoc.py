@@ -368,7 +368,8 @@ def test_segmentation_fuzz_parity(spark):
     )
 
     rng = random.Random(20260816)
-    vocab = ["alpha", "beta", "g7x", "don't", "mat", "the", "word"]
+    vocab = ["alpha", "beta", "g7x", "don't", "mat", "the", "word",
+             "café", "привет", "東京", "Ωμέγα"]
     for gen, parser, seg_fn in (
         (_rand_xml, "XML", extract_xml_segmented),
         (_rand_html, "HTML", extract_html_segmented),
