@@ -156,3 +156,39 @@ def test_reconcile_equal_mtime_resolves_by_stream_seq(spark):
     docs = docs.repartition(4)
     alive = {r["doc_id"]: r for r in reconcile_actions(docs).collect()}
     assert alive["d.txt"]["spans"][0]["text"] == "v2"
+
+
+def test_extract_kernel_handles_sliced_arrow_batches():
+    """The flat child-array accessors must respect record-batch slicing
+    (offsets index the unsliced child array)."""
+    import pyarrow as pa
+
+    from libswish3_spark.config import default_config
+    from libswish3_spark.pipeline import extract_batch_fn
+
+    span_t = pa.list_(
+        pa.struct(
+            [
+                ("kind", pa.string()),
+                ("text", pa.string()),
+                ("media_ref", pa.string()),
+                ("offset", pa.int32()),
+            ]
+        )
+    )
+    rows = [
+        [{"kind": "text", "text": f"doc {i} words here", "media_ref": "", "offset": 0}]
+        for i in range(10)
+    ]
+    tbl = pa.RecordBatch.from_arrays(
+        [pa.array([f"d{i}.txt" for i in range(10)]), pa.array(rows, type=span_t)],
+        names=["doc_id", "spans"],
+    )
+    fn = extract_batch_fn(default_config())
+    full = next(iter(fn(iter([tbl]))))
+    sliced = next(iter(fn(iter([tbl.slice(4, 3)]))))
+    want = full.column("nwords").to_pylist()[4:7]
+    assert sliced.column("nwords").to_pylist() == want
+    assert sliced.column("doc_id").to_pylist() == ["d4.txt", "d5.txt", "d6.txt"]
+    got_spans = sliced.column("spans").to_pylist()[0]
+    assert [s["text"] for s in got_spans][:4] == ["doc", "4", "words", "here"]
