@@ -21,6 +21,20 @@ test suite (reference: src/t/001-wordcount.t).
 """
 
 from libswish3_spark.config import SwishConfig, default_config, load_config_xml
+from libswish3_spark.functions.dedup import (
+    drop_frequent_paragraphs,
+    exact_duplicates,
+    jaccard_verify,
+    minhash_candidates,
+    resolve_clusters,
+)
+from libswish3_spark.functions.media import extract_media_features
+from libswish3_spark.functions.similarity import (
+    brute_force_topk,
+    embedding_near_dup_pairs,
+    lsh_bucketed_topk,
+)
+from libswish3_spark.functions.text import gopher_filter, redact_pii
 from libswish3_spark.parser import parse_document
 from libswish3_spark.pipeline import (
     DOCS_SCHEMA,
@@ -42,6 +56,18 @@ __all__ = [
     "salt_by_size",
     "DOCS_SCHEMA",
     "EXTRACTED_SCHEMA",
+    # training-data pipeline layer
+    "exact_duplicates",
+    "minhash_candidates",
+    "jaccard_verify",
+    "resolve_clusters",
+    "drop_frequent_paragraphs",
+    "gopher_filter",
+    "redact_pii",
+    "brute_force_topk",
+    "lsh_bucketed_topk",
+    "embedding_near_dup_pairs",
+    "extract_media_features",
 ]
 
 __version__ = "0.1.0"
