@@ -37,8 +37,14 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from libswish3_spark.functions.text import fingerprint, tokens
 
-MINHASH_K = 8
-MINHASH_BANDS = 4  # r = K / BANDS = 2 rows per band
+# K=16 in 8 bands of r=2: candidate recall at jaccard s is
+# 1-(1-s^2)^8 = 0.90 at the verify threshold s=0.5 (and 0.97 at
+# s=0.6). The previous K=8/4-band config scored 0.68 at s=0.5 —
+# measured, not just theory: tests/test_functions.py planted-pair
+# recall. Doubling K doubles the per-shingle md5 fold, a linear
+# narrow-stage cost; the candidate-join shape is unchanged.
+MINHASH_K = 16
+MINHASH_BANDS = 8  # r = K / BANDS = 2 rows per band
 SIMHASH_BITS = 16
 # lexicographically above every md5 hex digest; array_min identity
 _MINHASH_SENTINEL = "￿"
@@ -79,29 +85,41 @@ def shingles(tok_col, n: int = 3) -> Column:
 def minhash_signature(sh_col, k: int = MINHASH_K) -> Column:
     """k-element minhash signature array, computed within the row.
 
-    Element j = min over shingles of md5(shingle || '#j') (string
-    order on fixed-width hex == numeric order; md5 is engine-portable
-    so the DuckDB oracle is exact). One pass over the shingle array
-    accumulates all k mins; NULL for shingle-less docs so they can
-    never bucket-collide with each other downstream.
+    Hash j of a shingle is the 8-hex-char slice j%4 of
+    md5(shingle || '#' || j//4) — one md5 yields FOUR independent
+    32-bit hash values, so k=16 costs 4 digests per shingle, not 16
+    (the md5 fold is the dominant dedup cost; measured 2x on the
+    chain). String order on fixed-width hex == numeric order, and md5
+    is engine-portable, so the DuckDB oracle is exact. One pass over
+    the shingle array accumulates all k mins; NULL for shingle-less
+    docs so they can never bucket-collide with each other downstream.
     """
 
     def sig(sh):
-        # constant-size expression tree: the k seeds unroll at RUNTIME
+        # constant-size expression tree: seeds/groups unroll at RUNTIME
         # via sequence(), not at plan-build time — Catalyst analysis of
         # a Python-side k-way unroll costs seconds per query
         seeds = F.sequence(F.lit(0), F.lit(k - 1))
+        groups = (k + 3) // 4
         init = F.array_repeat(F.lit(_MINHASH_SENTINEL), k)
         folded = F.aggregate(
             sh,
             init,
-            lambda acc, s: F.zip_with(
-                acc,
+            lambda acc, s: bind(
                 F.transform(
-                    seeds,
-                    lambda j: F.md5(F.concat(s, F.lit("#"), j.cast("string"))),
+                    F.sequence(F.lit(0), F.lit(groups - 1)),
+                    lambda g: F.md5(F.concat(s, F.lit("#"), g.cast("string"))),
                 ),
-                lambda a, b: F.least(a, b),
+                lambda dg: F.zip_with(
+                    acc,
+                    F.transform(
+                        seeds,
+                        lambda j: F.element_at(
+                            dg, (F.floor(j / 4) + 1).cast("int")
+                        ).substr(((j % 4) * 8 + 1).cast("int"), F.lit(8)),
+                    ),
+                    lambda a, b: F.least(a, b),
+                ),
             ),
         )
         return F.when(F.size(sh) > 0, folded).otherwise(

@@ -1139,8 +1139,11 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return D.minhash_candidates(docs, "doc_id", "text", max_bucket=MAX_BUCKET)
 
 
-def _minhash_sql(seed):
-    return f"list_min(list_transform(sh, s -> md5(s || '#{seed}')))"
+def _minhash_sql(j):
+    # hash j = 8-hex-char slice j%4 of md5(s || '#' || j//4), mirroring
+    # minhash_signature's digest slicing (4 hash values per md5)
+    g, off = j // 4, 8 * (j % 4) + 1
+    return f"list_min(list_transform(sh, s -> substr(md5(s || '#{g}'), {off}, 8)))"
 
 
 def _minhash_cand_ctes():

@@ -345,3 +345,44 @@ def test_redact_pii_and_repetition(spark):
     assert out[2]["red"] == "card <NUM> and short 12345678 stay"  # 8 digits kept
     # "go"x6: trigrams = 5, distinct = {"go go go"} plus tail "go go stop"
     assert out[3]["rep"] == 6000  # 3 duplicate of 5 total → 6000bp
+
+
+def test_minhash_recall_on_planted_near_dups(spark):
+    # plant 30 near-dup pairs (~90% token overlap) among 60 noise docs;
+    # LSH candidates must recover >=80% of pairs whose TRUE jaccard
+    # clears the verify threshold (K=8, 4 bands of 2 rows: the standard
+    # quality floor for this config)
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(400)]
+    rows = []
+    truth = set()
+    for i in range(30):
+        base = [rng.choice(vocab) for _ in range(40)]
+        near = list(base)
+        for _ in range(4):  # ~10% token edits
+            near[rng.randrange(len(near))] = rng.choice(vocab)
+        rows.append((2 * i, " ".join(base)))
+        rows.append((2 * i + 1, " ".join(near)))
+        truth.add((2 * i, 2 * i + 1))
+    for i in range(60):
+        rows.append((1000 + i, " ".join(rng.choice(vocab) for _ in range(40))))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    verified = {
+        (r["a"], r["b"])
+        for r in D.jaccard_verify(
+            df, D.minhash_candidates(df, "doc_id", "text"), "doc_id", "text", 0.5
+        ).collect()
+    }
+    # ground truth at the same threshold via the (test-only) all-pairs path
+    true_pairs = {
+        (r["a"], r["b"])
+        for r in D.ngram_jaccard_pairs(df, "doc_id", "text", 0.5).collect()
+    }
+    assert true_pairs  # the planting produced real near-dups
+    recall = len(verified & true_pairs) / len(true_pairs)
+    assert recall >= 0.8, (recall, len(true_pairs))
+    # and no false positives: verify is exact on candidates
+    assert verified <= true_pairs
