@@ -47,6 +47,19 @@ from libswish3_spark.pipeline import extract
 
 _SEG_SEP = "\x02"  # rides inside doc_id through the fixed kernel schema
 
+
+def _single_text_span(docs: DataFrame):
+    """Segmentable predicate: exactly one span and it is text. Docs
+    with interleaved media (or null spans) cannot ride the string-only
+    segment kernels — the document-level entry points route them
+    through the plain (unsegmented) parser instead of silently parsing
+    only spans[0]."""
+    sp = F.col("spans")
+    return F.coalesce(
+        (F.size(sp) == 1) & (F.element_at(sp, 1)["kind"] == F.lit("text")),
+        F.lit(False),
+    )
+
 def _config_flush_tags(config=None) -> frozenset:
     """Tags whose open/close flushes (empties) the parser's meta buffer:
     bake(tag) is meta-defined — literal metaname tags plus tag aliases
@@ -204,9 +217,11 @@ def extract_txt_segmented_rows(
 def segmented_nwords(docs: DataFrame, config=None, seg_chars: int = 1 << 20) -> DataFrame:
     """doc_id → nwords via the segmented path (counts only — no span
     payload ever shuffles). Includes the title-from-path tokens."""
-    rows = extract_txt_segmented_rows(docs, config, seg_chars)
+    simple = docs.where(_single_text_span(docs))
+    fallback = docs.where(~_single_text_span(docs))
+    rows = extract_txt_segmented_rows(simple, config, seg_chars)
     title_toks = F.regexp_extract_all(F.lower("doc_id"), F.lit(TOKEN_PATTERN), 0)
-    return (
+    out = (
         rows.groupBy(F.col("orig_id").alias("doc_id"))
         .agg(F.sum("nwords").alias("body_words"))
         .select(
@@ -214,6 +229,8 @@ def segmented_nwords(docs: DataFrame, config=None, seg_chars: int = 1 << 20) -> 
             (F.col("body_words") + F.size(title_toks)).cast("long").alias("nwords"),
         )
     )
+    plain = extract(fallback.withColumn("parser", F.lit("TXT")), config=config)
+    return out.unionByName(plain.select("doc_id", "nwords"))
 
 
 def _html_cut_scan(text: str, seg_chars: int, flush_tags: frozenset = _FLUSH_TAGS):
@@ -485,8 +502,13 @@ def extract_html_segmented(
     from libswish3_spark.config import TOKENPOS_BUMPER, default_config
     from libswish3_spark.pipeline import EXTRACTED_SCHEMA
 
-    rows = extract_html_segmented_rows(docs, config, seg_chars, num_partitions)
-    return _reassemble_markup(rows, config, "HTML")
+    simple = docs.where(_single_text_span(docs))
+    fallback = docs.where(~_single_text_span(docs))
+    rows = extract_html_segmented_rows(simple, config, seg_chars, num_partitions)
+    out = _reassemble_markup(rows, config, "HTML")
+    # multi-span (media-interleaved) docs: full-fidelity plain parse
+    plain = extract(fallback.withColumn("parser", F.lit("HTML")), config=config)
+    return out.unionByName(plain.select(*out.columns))
 
 
 def _reassemble_markup(rows: DataFrame, config, parser_label: str) -> DataFrame:
@@ -595,8 +617,10 @@ def extract_txt_segmented(
     groupBy funnels every span of a document through one reducer. At
     scale use :func:`extract_txt_segmented_rows` (exploded, no funnel).
     """
+    simple = docs.where(_single_text_span(docs))
+    fallback = docs.where(~_single_text_span(docs))
     shifted = extract_txt_segmented_rows(
-        docs, config, seg_chars, num_partitions
+        simple, config, seg_chars, num_partitions
     )
     body = shifted.groupBy(F.col("orig_id").alias("doc_id")).agg(
         F.flatten(
@@ -625,13 +649,16 @@ def extract_txt_segmented(
             (F.col("doc_end_pos") + i).cast("int").alias("order"),
         ),
     )
-    return body.select(
+    out = body.select(
         "doc_id",
         F.concat("spans", F.when(F.size(title_toks) > 0, title_spans).otherwise(
             F.array().cast("array<struct<kind:string,text:string,media_ref:string,order:int>>")
         )).alias("spans"),
         (F.col("body_words") + F.size(title_toks)).cast("long").alias("nwords"),
     )
+    # multi-span (media-interleaved) docs: full-fidelity plain parse
+    plain = extract(fallback.withColumn("parser", F.lit("TXT")), config=config)
+    return out.unionByName(plain.select("doc_id", "spans", "nwords"))
 
 
 def _xml_cut_scan(text: str, seg_chars: int, flush_tags: frozenset = _FLUSH_TAGS):
@@ -796,5 +823,9 @@ def extract_xml_segmented(
 ) -> DataFrame:
     """XML mega-doc segmentation with full per-document reassembly;
     parity contract identical to the HTML path."""
-    rows = extract_xml_segmented_rows(docs, config, seg_chars, num_partitions)
-    return _reassemble_markup(rows, config, "XML")
+    simple = docs.where(_single_text_span(docs))
+    fallback = docs.where(~_single_text_span(docs))
+    rows = extract_xml_segmented_rows(simple, config, seg_chars, num_partitions)
+    out = _reassemble_markup(rows, config, "XML")
+    plain = extract(fallback.withColumn("parser", F.lit("XML")), config=config)
+    return out.unionByName(plain.select(*out.columns))

@@ -388,3 +388,57 @@ def test_segmentation_fuzz_parity(spark):
         for sc in (16, 64):
             seg = _spans(seg_fn(docs, seg_chars=sc))
             assert seg == plain, (parser, sc)
+
+
+def test_segmented_multi_span_docs_fall_back_to_plain(spark):
+    """Interleaved text+media docs can't ride the string segment
+    kernels — the document-level entries must route them through the
+    plain parser (NOT silently parse only spans[0]) and still return
+    every doc."""
+    from libswish3_spark.operators.megadoc import (
+        extract_html_segmented,
+        extract_txt_segmented,
+        extract_xml_segmented,
+        segmented_nwords,
+    )
+
+    multi = {
+        "doc_id": "mm",
+        "spans": [
+            {"kind": "text", "text": "before the image", "media_ref": "", "offset": 0},
+            {"kind": "media", "text": "", "media_ref": "img://x", "offset": 0},
+            {"kind": "text", "text": "after the image", "media_ref": "", "offset": 0},
+        ],
+    }
+    simple = {
+        "doc_id": "ss",
+        "spans": [{"kind": "text", "text": "plain words " * 200, "media_ref": "", "offset": 0}],
+    }
+    docs = spark.createDataFrame([multi, simple], schema=DOCS_SCHEMA)
+
+    for seg_fn, parser in (
+        (extract_txt_segmented, "TXT"),
+        (extract_html_segmented, "HTML"),
+        (extract_xml_segmented, "XML"),
+    ):
+        plain = {
+            r["doc_id"]: r
+            for r in lsw.extract(docs.withColumn("parser", F.lit(parser))).collect()
+        }
+        seg = {r["doc_id"]: r for r in seg_fn(docs, seg_chars=64).collect()}
+        assert set(seg) == {"mm", "ss"}, parser
+        for d in ("mm", "ss"):
+            assert seg[d]["nwords"] == plain[d]["nwords"], (parser, d)
+            assert [tuple(x) for x in seg[d]["spans"]] == [
+                tuple(x) for x in plain[d]["spans"]
+            ], (parser, d)
+        # the media span actually survived
+        kinds = [s["kind"] for s in seg["mm"]["spans"]]
+        assert "media" in kinds, parser
+
+    nw = {r["doc_id"]: r["nwords"] for r in segmented_nwords(docs, seg_chars=64).collect()}
+    plain_txt = {
+        r["doc_id"]: r["nwords"]
+        for r in lsw.extract(docs.withColumn("parser", F.lit("TXT"))).collect()
+    }
+    assert nw == plain_txt
