@@ -187,6 +187,11 @@ def extract_txt_segmented_rows(
     """The scalable form: one output row per segment with *globally
     correct* span orders (window prefix-sum of per-segment counts).
 
+    Contract: single-text-span docs only (the document-level
+    extract_txt_segmented routes multi-span docs to the plain parser;
+    callers of the rows form at scale should pre-filter with the same
+    predicate).
+
     This is the shape to keep at scale — a 10^9-token document stays
     exploded, and the span payload never shuffles: the position offset
     of every segment is precomputed by the segmentation kernel (which
