@@ -427,6 +427,13 @@ def simhash(tok_col, bits: int = SIMHASH_BITS) -> Column:
     return bind(tok_col, build)
 
 
+def _regex_quote(s: str) -> str:
+    """Java-regex literal quoting (Pattern.quote): \\Q...\\E with any
+    embedded \\E split out, so a separator like '.' or '||' splits as a
+    literal string — matching how array_join re-joins it literally."""
+    return "\\Q" + s.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+
+
 def drop_frequent_paragraphs(
     df: DataFrame,
     id_col: str,
@@ -447,12 +454,19 @@ def drop_frequent_paragraphs(
     once (the explode's groupBy-back); the frequent set never exceeds
     broadcast size by construction of the threshold.
 
-    Returns (id, clean_text, n_paras) — documents whose every paragraph
-    was boilerplate yield an empty clean_text.
+    ``sep`` is a literal string (regex-quoted for the split, joined
+    verbatim on reassembly — the round-trip holds for any separator).
+
+    Returns (id, clean_text, n_paras) — every input document appears in
+    the output; documents whose every paragraph was boilerplate yield
+    clean_text='' with n_paras=0 (the left join below restores them
+    after the anti-join removed all their rows).
     """
     paras = df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+        F.posexplode(F.split(F.col(text_col), _regex_quote(sep))).alias(
+            "pos", "para"
+        ),
     )
     frequent = (
         paras.groupBy(F.md5("para").alias("h"))
@@ -463,18 +477,22 @@ def drop_frequent_paragraphs(
     kept = paras.join(
         F.broadcast(frequent), F.md5(paras.para) == frequent.h, "left_anti"
     )
-    return (
-        kept.groupBy("id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("pos", "para"))
-                    ),
-                    lambda e: e["para"],
-                ),
-                sep,
-            ).alias("clean_text"),
-            F.count("*").alias("n_paras"),
-        )
+    surviving = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda e: e["para"],
+            ),
+            sep,
+        ).alias("clean_text"),
+        F.count("*").alias("n_paras"),
+    )
+    # all-boilerplate docs have zero surviving paragraphs — restore them
+    # with an empty clean_text instead of silently dropping the row
+    return df.select(F.col(id_col).alias("id")).join(
+        surviving, "id", "left"
+    ).select(
+        "id",
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        F.coalesce("n_paras", F.lit(0).cast("long")).alias("n_paras"),
     )

@@ -54,21 +54,29 @@ def sort_key(props_col, prop: Property) -> Column:
 
     NULL for ``sort=False`` properties (declared unsortable, like the
     default swishdescription); otherwise the bumper-joined, max-capped
-    value truncated to ``sort_length`` chars (0 = whole value) and
-    case-folded when ``ignore_case``. ``presort`` is an indexer-side
-    materialization hint — in Spark terms: compute this column once at
-    write time and sortWithinPartitions/Z-order on it, instead of
-    re-deriving it per query."""
+    value, case-folded when ``ignore_case``, truncated to
+    ``sort_length`` BYTES (0 = whole value). ``sort_length`` is a byte
+    count in the reference (unsigned int prefix of a C string,
+    libswish3.h:357), not a character count — so the truncated key is
+    the hex encoding of the first sort_length UTF-8 bytes: fixed two
+    chars per byte with digits '0-9A-F' in ascending ASCII order, so
+    lexicographic order on the key == memcmp on the byte prefix, which
+    is exactly the ordering a C consumer of the reference sees. Keys
+    are only ever compared within one property (same sort_length), so
+    the representation switch is consistent. ``presort`` is an
+    indexer-side materialization hint — in Spark terms: compute this
+    column once at write time and sortWithinPartitions/Z-order on it,
+    instead of re-deriving it per query."""
     if not prop.sort:
         return F.lit(None).cast("string")
     v = F.element_at(props_col, prop.alias_for or prop.name)
     v = F.regexp_replace(v, TOKENPOS_BUMPER, " ")
     if prop.max and prop.max > 0:
         v = F.substring(v, 1, prop.max)
-    if prop.sort_length and prop.sort_length > 0:
-        v = F.substring(v, 1, prop.sort_length)
     if prop.ignore_case:
         v = F.lower(v)
+    if prop.sort_length and prop.sort_length > 0:
+        v = F.substring(F.hex(F.encode(v, "utf-8")), 1, 2 * prop.sort_length)
     return v
 
 

@@ -288,8 +288,9 @@ def q_properties_typed(spark, sf_dir):
         F.col("num").alias("num_val"),
         F.col("when").alias("when_ts"),
         F.col("desc").alias("desc_trunc"),
-        # consumer ordering key: sort_length-truncated, case-folded
-        # (property.c:41-43 hints, functions/props.py sort_key)
+        # consumer ordering key: case-folded, truncated to sort_length
+        # BYTES and hex-represented (property.c:41-43 hints,
+        # functions/props.py sort_key — byte parity with the C prefix)
         F.col("desc_sortkey"),
     )
 
@@ -300,7 +301,7 @@ SELECT doc_id,
        CAST('2020-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
             AS TIMESTAMP) AS when_ts,
        substr(text, 1, 40) AS desc_trunc,
-       lower(substr(text, 1, 12)) AS desc_sortkey
+       substring(hex(encode(lower(text))), 1, 24) AS desc_sortkey
 FROM documents
 """
 

@@ -418,28 +418,37 @@ def reconcile_actions(docs: DataFrame) -> DataFrame:
     whose latest action is delete. One groupBy shuffle on doc_id;
     max_by keeps the whole surviving row without a self-join.
 
-    For inputs without a ``seq`` column (or with null seq rows) the
-    tiebreak falls back to monotonically_increasing_id, which follows
+    The equal-mtime tiebreak is a TWO-field key (seq, arrival): null
+    seq sorts explicitly AFTER every genuine seq value (coalesced to
+    Long.MAX — a mixed coalesce of real seqs with
+    monotonically_increasing_id would let a null-seq row in partition 0
+    compare as *earlier* than a seq-carrying row), and rows tied on
+    that still break by monotonically_increasing_id, which follows
     arrival order only when the partition layout does (and is not
     stable under task retry) — carry a real ``seq`` when equal-mtime
     replays must resolve identically to the streaming twin.
     """
-    order = (
-        F.coalesce(F.col("seq"), F.monotonically_increasing_id())
+    _LONG_MAX = (1 << 63) - 1
+    seq_col = (
+        F.coalesce(F.col("seq"), F.lit(_LONG_MAX))
         if "seq" in docs.columns
-        else F.monotonically_increasing_id()
+        else F.lit(_LONG_MAX)
     )
-    seq = docs.withColumn("_seq", order)
+    seq = docs.withColumn("_seq", seq_col).withColumn(
+        "_arrival", F.monotonically_increasing_id()
+    )
     latest = (
         seq.groupBy("doc_id")
         .agg(
             F.max_by(
                 F.struct(*[c for c in seq.columns if c != "doc_id"]),
-                F.struct(F.coalesce("mtime", F.lit(0)), F.col("_seq")),
+                F.struct(
+                    F.coalesce("mtime", F.lit(0)), F.col("_seq"), F.col("_arrival")
+                ),
             ).alias("r")
         )
         .select("doc_id", "r.*")
-        .drop("_seq")
+        .drop("_seq", "_arrival")
     )
     return latest.where(
         F.coalesce(F.lower("action"), F.lit("add")) != "delete"

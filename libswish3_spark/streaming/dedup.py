@@ -48,12 +48,17 @@ def _keep_first(key, pdf_iter, state: GroupState):
             pass
         yield pd.DataFrame({"fp": [], "doc_id": [], "text": []})
         return
-    first_seq = first_doc = first_text = None
+    # within-batch keeper = min over (seq, doc_id) — the SAME two-field
+    # ordering the batch twin keep_first uses (min_by struct(seq,
+    # doc_id)), so equal/missing-seq ties resolve identically instead
+    # of by pandas iteration order (which varies with partitioning and
+    # task retries)
+    first_key = first_doc = first_text = None
     for pdf in pdf_iter:
         for doc_id, text, seq in zip(pdf["doc_id"], pdf["text"], pdf["seq"]):
-            s = 0 if pd.isnull(seq) else int(seq)
-            if first_seq is None or s < first_seq:
-                first_seq, first_doc, first_text = s, doc_id, text
+            key = (0 if pd.isnull(seq) else int(seq), doc_id)
+            if first_key is None or key < first_key:
+                first_key, first_doc, first_text = key, doc_id, text
     state.update((first_doc,))
     yield pd.DataFrame({"fp": [fp], "doc_id": [first_doc], "text": [first_text]})
 

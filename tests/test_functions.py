@@ -294,7 +294,10 @@ def test_drop_frequent_paragraphs(spark):
     }
     assert out[3]["clean_text"] == "unique line 3"
     assert out[3]["n_paras"] == 1
-    assert 99 not in out  # every paragraph was boilerplate
+    # all-boilerplate doc survives as a row with an empty clean_text
+    # (the documented contract — not silent document loss)
+    assert out[99]["clean_text"] == ""
+    assert out[99]["n_paras"] == 0
     # under the threshold nothing is dropped
     kept_all = D.drop_frequent_paragraphs(df, "doc_id", "text", max_doc_freq=13)
     assert {r["n_paras"] for r in kept_all.collect()} == {1, 2}
@@ -306,6 +309,23 @@ def test_drop_frequent_paragraphs_preserves_order(spark):
     )
     out = D.drop_frequent_paragraphs(df, "doc_id", "text").collect()[0]
     assert out["clean_text"] == "z last\na first\nm mid"  # original order
+
+
+def test_drop_frequent_paragraphs_literal_separator(spark):
+    # sep containing regex metacharacters splits literally and the
+    # split/join round-trip holds (sep is Pattern.quote'd for the split)
+    df = spark.createDataFrame(
+        [(1, "alpha || beta || gamma"), (2, "delta || beta || epsilon")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["id"]: r
+        for r in D.drop_frequent_paragraphs(
+            df, "doc_id", "text", sep=" || ", max_doc_freq=1
+        ).collect()
+    }
+    assert out[1]["clean_text"] == "alpha || gamma"
+    assert out[2]["clean_text"] == "delta || epsilon"
 
 
 def test_gopher_filter_rules(spark):

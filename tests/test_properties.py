@@ -180,7 +180,9 @@ def test_property_sort_hints(spark):
     row = typed_properties(
         extract(docs, config=cfg), cfg, with_sort_keys=True
     ).collect()[0]
-    assert row["name_sortkey"] == "bront"  # first sort_length chars, folded
+    # first sort_length BYTES, folded, hex-represented (byte parity with
+    # the reference's C-string prefix; see functions/props.py sort_key)
+    assert row["name_sortkey"] == "62726F6E74"  # hex(b"bront")
     assert "blob_sortkey" not in row.asDict()  # sort=0: no key column
     assert row["exact_sortkey"] == "MixedCase"  # ignore_case=0 keeps case
     # hints round-trip through the config header (C3)

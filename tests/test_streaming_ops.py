@@ -202,3 +202,36 @@ def test_dedup_stream_first_seen_survives_restart(spark, tmp_path):
     # run 2 (restart): d duplicates a ACROSS the restart; e is new
     got2 = run([row("d", "alpha text", 3), row("e", "gamma text", 4)], 2)
     assert got2 == {"e"}
+
+
+def test_keep_first_equal_seq_tiebreak_matches_batch_twin():
+    """Within-batch keeper under equal/missing seq = min (seq, doc_id),
+    exactly the batch twin's min_by(struct(seq, doc_id)) ordering —
+    NOT pandas iteration order, which varies with partitioning/retries."""
+    import pandas as pd
+
+    from libswish3_spark.streaming.dedup import _keep_first
+
+    class FakeState:
+        exists = False
+
+        def update(self, v):
+            self.value = v
+
+    # doc 'z' arrives first in iteration order but ties on seq with 'a';
+    # the (seq, doc_id) ordering must pick 'a'
+    pdf = pd.DataFrame(
+        {"doc_id": ["z", "a", "m"], "text": ["tz", "ta", "tm"], "seq": [5, 5, 9]}
+    )
+    state = FakeState()
+    out = pd.concat(list(_keep_first(("fp1",), iter([pdf]), state)))
+    assert list(out["doc_id"]) == ["a"]
+    assert state.value == ("a",)
+
+    # all-null seq coerces to 0 for every row → doc_id decides
+    pdf2 = pd.DataFrame(
+        {"doc_id": ["q", "b"], "text": ["tq", "tb"], "seq": [None, None]}
+    )
+    state2 = FakeState()
+    out2 = pd.concat(list(_keep_first(("fp2",), iter([pdf2]), state2)))
+    assert list(out2["doc_id"]) == ["b"]
