@@ -31,11 +31,21 @@ by construction of the reference's semantics:
 * configs with statically-declared mid-body MetaNames ARE handled: the
   cut scanners derive the buffer-flush tag set from the config
   (_config_flush_tags) and the reassembly inserts the inter-flush
-  bumper _nb_add would (test: custom <chapter/> MetaName parity). Still
-  out of scope — use the unsegmented path for: dynamically
-  auto-vivified metanames (UndefinedMetaTags auto/autoall), flattened
-  DOM-path aliases, and XML attribute metanames, none of which the
-  literal scanner models.
+  bumper _nb_add would (test: custom <chapter/> MetaName parity).
+  Configs the literal scanner can NOT model — dynamically auto-vivified
+  metanames (UndefinedMetaTags auto/autoall/ignore/error), flattened
+  DOM-path aliases, XML attribute metanames (XMLClassAttributes /
+  UndefinedXMLAttributes), cascade-meta-context — are GUARDED at
+  runtime (config_supports_segmentation): the router parses every
+  document whole through the plain parser instead of silently
+  producing shifted positions.
+
+Routing is a SINGLE pass: one Arrow kernel per entry point reads each
+input row once and emits either per-segment rows (parser=TXTSEG/
+HTMLSEG/XMLSEG) or one whole-document row (parser=TXTW/HTMLW/XMLW —
+plain parse, doc_id tail-marked for the uniform downstream strip).
+The old where(pred)/where(~pred) union read the source twice; at
+100 TB that doubled scan I/O for every segmented job.
 """
 
 from __future__ import annotations
@@ -47,18 +57,6 @@ from libswish3_spark.pipeline import extract
 
 _SEG_SEP = "\x02"  # rides inside doc_id through the fixed kernel schema
 
-
-def _single_text_span(docs: DataFrame):
-    """Segmentable predicate: exactly one span and it is text. Docs
-    with interleaved media (or null spans) cannot ride the string-only
-    segment kernels — the document-level entry points route them
-    through the plain (unsegmented) parser instead of silently parsing
-    only spans[0]."""
-    sp = F.col("spans")
-    return F.coalesce(
-        (F.size(sp) == 1) & (F.element_at(sp, 1)["kind"] == F.lit("text")),
-        F.lit(False),
-    )
 
 def _config_flush_tags(config=None) -> frozenset:
     """Tags whose open/close flushes (empties) the parser's meta buffer:
@@ -79,6 +77,50 @@ def _config_flush_tags(config=None) -> frozenset:
     return frozenset(tags)
 
 
+def config_supports_segmentation(config=None) -> bool:
+    """True iff the cut scanners model this config's flush/position
+    semantics exactly. The scanners are LITERAL tag matchers: any
+    config feature that decides flushes or content suppression from
+    runtime state they don't track must run unsegmented (reference
+    semantics: parser.c:454-498, 565-672, 679-720, 728-747):
+
+    * ``UndefinedMetaTags`` other than the default ``index`` —
+      auto/autoall vivify new metanames (new flush tags) mid-parse,
+      ignore suppresses content regions, error aborts;
+    * ``UndefinedXMLAttributes`` other than ``disable`` and
+      ``XMLClassAttributes`` — attributes become metaname/composite-tag
+      candidates the scanners don't see;
+    * dotted (flattened-DOM-path) metanames or tag aliases — flush
+      decisions depend on the full element path, not the bare tag;
+    * ``CascadeMetaContext`` — buffer fan-out to every open metaname.
+
+    The megadoc router consults this ONCE (driver-side) and routes the
+    whole input through the plain parser when it returns False — wrong
+    answers are not an acceptable failure mode for a config knob.
+    """
+    from libswish3_spark.config import (
+        CLASS_ATTRIBUTES,
+        UNDEF_DISABLE,
+        UNDEF_INDEX,
+        default_config,
+    )
+
+    cfg = config or default_config()
+    if cfg.undef_metas != UNDEF_INDEX:
+        return False
+    if cfg.undef_attrs != UNDEF_DISABLE:
+        return False
+    if cfg.stringlists.get(CLASS_ATTRIBUTES):
+        return False
+    if cfg.cascade_meta_context:
+        return False
+    if any("." in n for n in cfg.metanames):
+        return False
+    if any("." in a or "." in t for a, t in cfg.tag_aliases.items()):
+        return False
+    return True
+
+
 _FLUSH_TAGS = _config_flush_tags(None)  # default-config set
 import re as _re
 
@@ -86,65 +128,142 @@ _META_NAME_RE = _re.compile(r"""name\s*=\s*["']?([^"'\s>]+)""", _re.I)
 _META_CONTENT_RE = _re.compile(r"content\s*=", _re.I)
 
 
-def _segment_kernel(seg_chars: int, config=None):
+def _txt_segments(doc_id: str, text: str, seg_chars: int, count) -> list:
+    """One TXT document → [(tail-encoded id, segment text)].
+
+    Slices at whitespace just past each seg_chars boundary so no token
+    straddles a cut. The position prefix-sum is computed HERE, where the
+    doc is whole — no cluster-wide window over the span payload later.
+    count() end-pos includes bumper gaps, so segment-local positions +
+    offset == global positions, and the doc total seeds the title tail
+    exactly where the unsegmented position counter would sit.
+    Count-only: the full tokenize happens exactly once, in extract().
+    """
+    segs: list[str] = []
+    start = 0
+    n = len(text)
+    while n - start > seg_chars:
+        cut = start + seg_chars
+        while cut < n and not text[cut].isspace():
+            cut += 1
+        segs.append(text[start:cut])
+        start = cut
+    segs.append(text[start:])
+    offsets = []
+    pos = 0
+    for seg in segs:
+        offsets.append(pos)
+        pos += count(seg)
+    return [
+        (f"{doc_id}{_SEG_SEP}{i}{_SEG_SEP}{offsets[i]}{_SEG_SEP}{pos}", seg)
+        for i, seg in enumerate(segs)
+    ]
+
+
+_SEG_LABEL = {"txt": "TXTSEG", "html": "HTMLSEG", "xml": "XMLSEG"}
+_WHOLE_LABEL = {"txt": "TXTW", "html": "HTMLW", "xml": "XMLW"}
+_ROUTER_SCHEMA = (
+    "doc_id string, spans array<struct<kind:string,text:string,"
+    "media_ref:string,offset:int>>, parser string"
+)
+
+
+def _router_kernel(family: str, seg_chars: int, config=None):
+    """ONE input pass that both segments and routes (the old
+    where(pred)/where(~pred) union scanned the source twice).
+
+    Per row: a single-text-span document under a scanner-supported
+    config emits per-segment rows (parser=*SEG); anything else —
+    multi-span/media docs, null spans, or ANY doc when
+    config_supports_segmentation is False — emits one whole-document
+    row (parser=*W: plain parse downstream, full fidelity). Whole rows
+    carry the same 3-field doc_id tail (idx 0, 0, nseg/total marker) so
+    the downstream tail-strip is uniform; parse_to_state strips it
+    before plain parsing.
+    """
+    seg_label = _SEG_LABEL[family]
+    whole_label = _WHOLE_LABEL[family]
+    allow = config_supports_segmentation(config)
+    flush_tags = _config_flush_tags(config)
+    whole_tail = f"{_SEG_SEP}0{_SEG_SEP}0{_SEG_SEP}" + ("0" if family == "txt" else "1")
+
     def fn(batches):
         import pyarrow as pa
 
-        from libswish3_spark.tokenizer import (
-            count_positions,
-            count_positions_with,
-            resolve_tokenizer,
-            split_tokens,
+        if family == "txt":
+            from libswish3_spark.tokenizer import (
+                count_positions,
+                count_positions_with,
+                resolve_tokenizer,
+                split_tokens,
+            )
+
+            # offsets must be counted with the tokenizer extract() will
+            # use: the fast finditer counter only matches the default
+            tok = (
+                resolve_tokenizer(config) if config is not None else split_tokens
+            )
+            if tok is split_tokens:
+                count = count_positions
+            else:
+                count = lambda text: count_positions_with(text, tok)
+
+        spans_type = pa.list_(
+            pa.struct(
+                [
+                    pa.field("kind", pa.string()),
+                    pa.field("text", pa.string()),
+                    pa.field("media_ref", pa.string()),
+                    pa.field("offset", pa.int32()),
+                ]
+            )
         )
-
-        # offsets must be counted with the tokenizer extract() will use:
-        # the fast finditer counter only matches the default tokenizer
-        tok = resolve_tokenizer(config) if config is not None else split_tokens
-        if tok is split_tokens:
-            count = count_positions
-        else:
-            count = lambda text: count_positions_with(text, tok)
-
         out_schema = pa.schema(
-            [("doc_id", pa.string()), ("seg_text", pa.string())]
+            [("doc_id", pa.string()), ("spans", spans_type), ("parser", pa.string())]
         )
         for batch in batches:
             doc_ids = batch.column("doc_id").to_pylist()
-            texts = batch.column("text").to_pylist()
-            o_id, o_txt = [], []
-            for doc_id, text in zip(doc_ids, texts):
-                text = text or ""
-                segs: list[str] = []
-                start = 0
-                n = len(text)
-                while n - start > seg_chars:
-                    # cut at the next whitespace after the target so no
-                    # token straddles a boundary
-                    cut = start + seg_chars
-                    while cut < n and not text[cut].isspace():
-                        cut += 1
-                    segs.append(text[start:cut])
-                    start = cut
-                segs.append(text[start:])
-                # prefix-sum computed HERE, where the doc is whole — no
-                # cluster-wide window over the span payload later.
-                # count_positions end-pos includes bumper gaps, so
-                # segment-local positions + offset == global positions,
-                # and the doc total seeds the title tail exactly where the
-                # unsegmented position counter would sit. Count-only: the
-                # full tokenize happens exactly once, in extract().
-                offsets = []
-                pos = 0
-                for seg in segs:
-                    offsets.append(pos)
-                    pos += count(seg)
-                for idx, seg in enumerate(segs):
-                    o_id.append(
-                        f"{doc_id}{_SEG_SEP}{idx}{_SEG_SEP}{offsets[idx]}{_SEG_SEP}{pos}"
-                    )
-                    o_txt.append(seg)
+            spans_py = batch.column("spans").to_pylist()
+            o_id: list[str] = []
+            o_spans: list = []
+            o_parser: list[str] = []
+            for doc_id, spans in zip(doc_ids, spans_py):
+                if (
+                    allow
+                    and spans is not None
+                    and len(spans) == 1
+                    and spans[0]["kind"] == "text"
+                ):
+                    text = spans[0]["text"] or ""
+                    if family == "txt":
+                        pieces = _txt_segments(doc_id, text, seg_chars, count)
+                    elif family == "html":
+                        pieces = _html_segments(doc_id, text, seg_chars, flush_tags)
+                    else:
+                        pieces = _xml_segments(doc_id, text, seg_chars, flush_tags)
+                    for tail_id, seg_text in pieces:
+                        o_id.append(tail_id)
+                        o_spans.append(
+                            [
+                                {
+                                    "kind": "text",
+                                    "text": seg_text,
+                                    "media_ref": "",
+                                    "offset": 0,
+                                }
+                            ]
+                        )
+                        o_parser.append(seg_label)
+                else:
+                    o_id.append(f"{doc_id}{whole_tail}")
+                    o_spans.append(spans)
+                    o_parser.append(whole_label)
             yield pa.RecordBatch.from_arrays(
-                [pa.array(o_id, pa.string()), pa.array(o_txt, pa.string())],
+                [
+                    pa.array(o_id, pa.string()),
+                    pa.array(o_spans, spans_type),
+                    pa.array(o_parser, pa.string()),
+                ],
                 schema=out_schema,
             )
 
@@ -154,29 +273,15 @@ def _segment_kernel(seg_chars: int, config=None):
 def segment_text_docs(
     docs: DataFrame, seg_chars: int = 1 << 20, config=None
 ) -> DataFrame:
-    """docs(doc_id, spans[single text span]) → one row per segment.
+    """docs(doc_id, spans) → one row per TXT segment (plus one whole-doc
+    TXTW row per non-segmentable document; see _router_kernel).
 
     Segmentation runs in an Arrow kernel (O(length) string slicing at
     whitespace boundaries) — JVM array formulations re-evaluate the
     word split per segment, which is quadratic on mega-documents.
     """
-    base = docs.select(
-        "doc_id", F.element_at("spans", 1)["text"].alias("text")
-    )
-    seg = base.mapInArrow(
-        _segment_kernel(seg_chars, config), schema="doc_id string, seg_text string"
-    )
-    return seg.select(
-        "doc_id",
-        F.array(
-            F.struct(
-                F.lit("text").alias("kind"),
-                F.col("seg_text").alias("text"),
-                F.lit("").alias("media_ref"),
-                F.lit(0).alias("offset"),
-            )
-        ).alias("spans"),
-        F.lit("TXTSEG").alias("parser"),  # TXT semantics, no title-from-path
+    return docs.select("doc_id", "spans").mapInArrow(
+        _router_kernel("txt", seg_chars, config), schema=_ROUTER_SCHEMA
     )
 
 
@@ -186,11 +291,9 @@ def extract_txt_segmented_rows(
 ) -> DataFrame:
     """The scalable form: one output row per segment with *globally
     correct* span orders (window prefix-sum of per-segment counts).
-
-    Contract: single-text-span docs only (the document-level
-    extract_txt_segmented routes multi-span docs to the plain parser;
-    callers of the rows form at scale should pre-filter with the same
-    predicate).
+    Accepts ANY docs: non-segmentable rows (multi-span/media, or any
+    row under a guarded config) come back as single whole-document rows
+    with parser='TXTW' (plain parse, title already included).
 
     This is the shape to keep at scale — a 10^9-token document stays
     exploded, and the span payload never shuffles: the position offset
@@ -206,7 +309,7 @@ def extract_txt_segmented_rows(
     seg = seg.repartition(num_partitions or sc.defaultParallelism * 2, "doc_id")
     # the extraction kernel applies the offset at span-append time (it
     # reads the doc_id tail for TXTSEG), so orders arrive global already.
-    # The two kernel-appended fields are parsed from the RIGHT so a
+    # The three kernel-appended fields are parsed from the RIGHT so a
     # doc_id that itself contains the separator stays intact.
     seg_out = extract(seg, config=config)
     parts = F.split("doc_id", _SEG_SEP)
@@ -216,26 +319,30 @@ def extract_txt_segmented_rows(
         F.element_at(parts, -1).cast("int").alias("doc_end_pos"),
         "nwords",
         "spans",
+        "parser",
     )
 
 
 def segmented_nwords(docs: DataFrame, config=None, seg_chars: int = 1 << 20) -> DataFrame:
     """doc_id → nwords via the segmented path (counts only — no span
-    payload ever shuffles). Includes the title-from-path tokens."""
-    simple = docs.where(_single_text_span(docs))
-    fallback = docs.where(~_single_text_span(docs))
-    rows = extract_txt_segmented_rows(simple, config, seg_chars)
+    payload ever shuffles). Includes the title-from-path tokens (whole
+    TXTW rows already counted theirs in the plain parse)."""
+    rows = extract_txt_segmented_rows(docs, config, seg_chars)
     title_toks = F.regexp_extract_all(F.lower("doc_id"), F.lit(TOKEN_PATTERN), 0)
-    out = (
+    return (
         rows.groupBy(F.col("orig_id").alias("doc_id"))
-        .agg(F.sum("nwords").alias("body_words"))
+        .agg(
+            F.sum("nwords").alias("body_words"),
+            F.max(F.col("parser") == "TXTW").alias("is_whole"),
+        )
         .select(
             "doc_id",
-            (F.col("body_words") + F.size(title_toks)).cast("long").alias("nwords"),
+            F.when(F.col("is_whole"), F.col("body_words"))
+            .otherwise(F.col("body_words") + F.size(title_toks))
+            .cast("long")
+            .alias("nwords"),
         )
     )
-    plain = extract(fallback.withColumn("parser", F.lit("TXT")), config=config)
-    return out.unionByName(plain.select("doc_id", "nwords"))
 
 
 def _html_cut_scan(text: str, seg_chars: int, flush_tags: frozenset = _FLUSH_TAGS):
@@ -369,66 +476,34 @@ def _html_cut_scan(text: str, seg_chars: int, flush_tags: frozenset = _FLUSH_TAG
     return cuts, seeds, chains
 
 
-def _html_segment_kernel(seg_chars: int, config=None):
-    flush_tags = _config_flush_tags(config)
-
-    def fn(batches):
-        import pyarrow as pa
-
-        out_schema = pa.schema(
-            [("doc_id", pa.string()), ("seg_text", pa.string())]
-        )
-        for batch in batches:
-            doc_ids = batch.column("doc_id").to_pylist()
-            texts = batch.column("text").to_pylist()
-            o_id, o_txt = [], []
-            for doc_id, text in zip(doc_ids, texts):
-                text = text or ""
-                cuts, seeds, chains = _html_cut_scan(text, seg_chars, flush_tags)
-                bounds = [0] + cuts + [len(text)]
-                nseg = len(bounds) - 1
-                for idx in range(nseg):
-                    seg = text[bounds[idx] : bounds[idx + 1]]
-                    if idx > 0:
-                        # re-open the elements still open at the cut so
-                        # stacks (and DOM paths) match the single pass
-                        seg = "".join(f"<{t}>" for t in chains[idx - 1]) + seg
-                    seed = seeds[idx - 1] if idx > 0 else 0
-                    o_id.append(
-                        f"{doc_id}{_SEG_SEP}{idx}{_SEG_SEP}{seed}{_SEG_SEP}{nseg}"
-                    )
-                    o_txt.append(seg)
-            yield pa.RecordBatch.from_arrays(
-                [pa.array(o_id, pa.string()), pa.array(o_txt, pa.string())],
-                schema=out_schema,
-            )
-
-    return fn
+def _html_segments(
+    doc_id: str, text: str, seg_chars: int, flush_tags: frozenset
+) -> list:
+    """One HTML document → [(tail-encoded id, segment text)].
+    Continuation segments re-open the elements still open at the cut so
+    stacks (and DOM paths) match the single pass."""
+    cuts, seeds, chains = _html_cut_scan(text, seg_chars, flush_tags)
+    bounds = [0] + cuts + [len(text)]
+    nseg = len(bounds) - 1
+    out = []
+    for idx in range(nseg):
+        seg = text[bounds[idx] : bounds[idx + 1]]
+        if idx > 0:
+            seg = "".join(f"<{t}>" for t in chains[idx - 1]) + seg
+        seed = seeds[idx - 1] if idx > 0 else 0
+        out.append((f"{doc_id}{_SEG_SEP}{idx}{_SEG_SEP}{seed}{_SEG_SEP}{nseg}", seg))
+    return out
 
 
 def segment_html_docs(
     docs: DataFrame, seg_chars: int = 1 << 20, config=None
 ) -> DataFrame:
-    """docs(doc_id, spans[single HTML text span]) → one row per segment
-    with parser=HTMLSEG (continuation segments re-open html/body and
-    carry the pending-bumper seed in the doc_id tail)."""
-    base = docs.select(
-        "doc_id", F.element_at("spans", 1)["text"].alias("text")
-    )
-    seg = base.mapInArrow(
-        _html_segment_kernel(seg_chars, config), schema="doc_id string, seg_text string"
-    )
-    return seg.select(
-        "doc_id",
-        F.array(
-            F.struct(
-                F.lit("text").alias("kind"),
-                F.col("seg_text").alias("text"),
-                F.lit("").alias("media_ref"),
-                F.lit(0).alias("offset"),
-            )
-        ).alias("spans"),
-        F.lit("HTMLSEG").alias("parser"),
+    """docs(doc_id, spans) → one row per HTML segment with parser=HTMLSEG
+    (continuation segments re-open html/body and carry the pending-bumper
+    seed in the doc_id tail), plus one whole-doc HTMLW row per
+    non-segmentable document (see _router_kernel)."""
+    return docs.select("doc_id", "spans").mapInArrow(
+        _router_kernel("html", seg_chars, config), schema=_ROUTER_SCHEMA
     )
 
 
@@ -467,12 +542,16 @@ def _markup_segmented_rows(
         "properties",
         "nwords",
         "spans",
+        "parser",
+        "error",
     )
     w = (
         Window.partitionBy("orig_id")
         .orderBy("seg_idx")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # whole-document (*W) rows have no SEG_INFO_KEY → null end_pos, but
+    # they are single-"segment" groups, so the prefix-sum shift is 0
     off = F.coalesce(F.sum("end_pos").over(w), F.lit(0)).cast("int")
     return rows.select(
         "orig_id",
@@ -490,6 +569,8 @@ def _markup_segmented_rows(
                 (s["order"] + off).cast("int").alias("order"),
             ),
         ).alias("spans"),
+        "parser",
+        "error",
     )
 
 
@@ -501,26 +582,21 @@ def extract_html_segmented(
     nwords and metanames match the unsegmented HTML extraction exactly
     (property values may differ in cut-adjacent whitespace — module
     docstring). Parity-check / modest-doc form; at scale keep
-    :func:`extract_html_segmented_rows` exploded."""
-    import pandas as pd
-
-    from libswish3_spark.config import TOKENPOS_BUMPER, default_config
-    from libswish3_spark.pipeline import EXTRACTED_SCHEMA
-
-    simple = docs.where(_single_text_span(docs))
-    fallback = docs.where(~_single_text_span(docs))
-    rows = extract_html_segmented_rows(simple, config, seg_chars, num_partitions)
-    out = _reassemble_markup(rows, config, "HTML")
-    # multi-span (media-interleaved) docs: full-fidelity plain parse
-    plain = extract(fallback.withColumn("parser", F.lit("HTML")), config=config)
-    return out.unionByName(plain.select(*out.columns))
+    :func:`extract_html_segmented_rows` exploded. Single input scan:
+    non-segmentable docs ride the same kernel output as whole HTMLW
+    rows (identity reassembly)."""
+    rows = extract_html_segmented_rows(docs, config, seg_chars, num_partitions)
+    return _reassemble_markup(rows, config, "HTML")
 
 
 def _reassemble_markup(rows: DataFrame, config, parser_label: str) -> DataFrame:
     """Per-document reassembly, entirely JVM-side (a per-doc
     applyInPandas pays pandas overhead for every group — at 10^12 docs
-    that is the whole job). Three aggregates on orig_id (AQE coalesces
-    them onto one exchange footprint):
+    that is the whole job). ONE aggregate on orig_id — maps travel as
+    orderable entry-arrays so a single sorted collect_list feeds spans,
+    metanames and properties (an earlier three-subtree formulation
+    re-ran the extraction kernel once per subtree: ReuseExchange shares
+    the shuffle below extract, not the map above it). Merge rules:
 
     * spans: sorted-flatten of the already-shifted segment arrays;
     * metanames: per-key idx-ordered concat, inserting the \\x03 that
@@ -537,45 +613,44 @@ def _reassemble_markup(rows: DataFrame, config, parser_label: str) -> DataFrame:
     cfg = config or default_config()
     verbatim = [n for n, p in cfg.properties.items() if p.verbatim]
 
-    base = rows.groupBy("orig_id").agg(
-        F.flatten(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("seg_idx").alias("i"), "spans"))
-                ),
-                lambda e: e["spans"],
+    agg = rows.groupBy("orig_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("seg_idx").alias("i"),
+                    F.col("spans").alias("sp"),
+                    F.map_entries("metanames").alias("mn"),
+                    F.map_entries("properties").alias("pr"),
+                )
             )
-        ).alias("spans"),
+        ).alias("segs"),
         F.sum("nwords").cast("long").alias("nwords"),
+        # any segment's (or a whole-row plain parse's) error surfaces —
+        # max over strings ignores nulls, so clean docs stay error-null
+        F.max("error").alias("error"),
     )
 
-    def merged_map(col_name: str, join_for_key):
-        ent = rows.select(
-            "orig_id", "seg_idx", F.explode(F.col(col_name)).alias("key", "value")
-        )
-        per_key = ent.groupBy("orig_id", "key").agg(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(F.col("seg_idx").alias("i"), F.col("value").alias("v"))
+    def keys_of(field):
+        return F.array_distinct(
+            F.flatten(
+                F.transform(
+                    F.col("segs"), lambda e: F.transform(e[field], lambda kv: kv["key"])
                 )
-            ).alias("vs")
-        )
-        joined = per_key.select(
-            "orig_id",
-            "key",
-            join_for_key(
-                F.col("key"), F.transform("vs", lambda e: e["v"])
-            ).alias("value"),
-        )
-        return joined.groupBy("orig_id").agg(
-            F.map_from_entries(
-                F.collect_list(F.struct("key", "value"))
-            ).alias(col_name)
+            )
         )
 
-    def meta_join(_k, vs):
+    def vals_of(field, k):
+        # per segment (in idx order): this key's value, absent → null,
+        # then drop the nulls. F.get is OOB-null-safe under ANSI mode.
+        per_seg = F.transform(
+            F.col("segs"),
+            lambda e: F.get(F.filter(e[field], lambda kv: kv["key"] == k), 0)["value"],
+        )
+        return F.filter(per_seg, lambda v: v.isNotNull())
+
+    def meta_val(k):
         return F.aggregate(
-            vs,
+            vals_of("mn", k),
             F.lit(""),
             lambda acc, v: F.when(acc == "", v).otherwise(
                 F.when(v.startswith(TOKENPOS_BUMPER), F.concat(acc, v)).otherwise(
@@ -584,29 +659,24 @@ def _reassemble_markup(rows: DataFrame, config, parser_label: str) -> DataFrame:
             ),
         )
 
-    metas = merged_map("metanames", meta_join)
-
-    def prop_join(k, vs):
+    def prop_val(k):
         verb = k.isin(*verbatim) if verbatim else F.lit(False)
-        return F.when(verb, F.array_join(vs, TOKENPOS_BUMPER)).otherwise(
-            F.array_join(vs, " ")
-        )
+        return F.when(
+            verb, F.array_join(vals_of("pr", k), TOKENPOS_BUMPER)
+        ).otherwise(F.array_join(vals_of("pr", k), " "))
 
-    props = merged_map("properties", prop_join)
-
-    empty_map = F.from_json(F.lit("{}"), "map<string,string>")
-    return (
-        base.join(metas, "orig_id", "left")
-        .join(props, "orig_id", "left")
-        .select(
-            F.col("orig_id").alias("doc_id"),
-            "spans",
-            F.coalesce("metanames", empty_map).alias("metanames"),
-            F.coalesce("properties", empty_map).alias("properties"),
-            "nwords",
-            F.lit(parser_label).alias("parser"),
-            F.lit(None).cast("string").alias("error"),
-        )
+    return agg.select(
+        F.col("orig_id").alias("doc_id"),
+        F.flatten(F.transform("segs", lambda e: e["sp"])).alias("spans"),
+        F.map_from_entries(
+            F.transform(keys_of("mn"), lambda k: F.struct(k.alias("key"), meta_val(k).alias("value")))
+        ).alias("metanames"),
+        F.map_from_entries(
+            F.transform(keys_of("pr"), lambda k: F.struct(k.alias("key"), prop_val(k).alias("value")))
+        ).alias("properties"),
+        "nwords",
+        F.lit(parser_label).alias("parser"),
+        "error",
     )
 
 
@@ -621,11 +691,13 @@ def extract_txt_segmented(
     is only sane for parity checks and modest documents — the terminal
     groupBy funnels every span of a document through one reducer. At
     scale use :func:`extract_txt_segmented_rows` (exploded, no funnel).
+
+    Single input scan: non-segmentable docs arrive as whole TXTW rows
+    (plain parse, title-from-path already included) and bypass the
+    title-tail append below.
     """
-    simple = docs.where(_single_text_span(docs))
-    fallback = docs.where(~_single_text_span(docs))
     shifted = extract_txt_segmented_rows(
-        simple, config, seg_chars, num_partitions
+        docs, config, seg_chars, num_partitions
     )
     body = shifted.groupBy(F.col("orig_id").alias("doc_id")).agg(
         F.flatten(
@@ -638,6 +710,7 @@ def extract_txt_segmented(
         ).alias("spans"),
         F.sum("nwords").alias("body_words"),
         F.max("doc_end_pos").alias("doc_end_pos"),
+        F.max(F.col("parser") == "TXTW").alias("is_whole"),
     )
     # title-from-path tail (TXT semantics, parser.c:2690-2699). ASCII token
     # pattern matches the engine tokenizer for path-like doc_ids. Title
@@ -654,16 +727,22 @@ def extract_txt_segmented(
             (F.col("doc_end_pos") + i).cast("int").alias("order"),
         ),
     )
-    out = body.select(
-        "doc_id",
-        F.concat("spans", F.when(F.size(title_toks) > 0, title_spans).otherwise(
-            F.array().cast("array<struct<kind:string,text:string,media_ref:string,order:int>>")
-        )).alias("spans"),
-        (F.col("body_words") + F.size(title_toks)).cast("long").alias("nwords"),
+    with_title = F.concat(
+        "spans",
+        F.when(F.size(title_toks) > 0, title_spans).otherwise(
+            F.array().cast(
+                "array<struct<kind:string,text:string,media_ref:string,order:int>>"
+            )
+        ),
     )
-    # multi-span (media-interleaved) docs: full-fidelity plain parse
-    plain = extract(fallback.withColumn("parser", F.lit("TXT")), config=config)
-    return out.unionByName(plain.select("doc_id", "spans", "nwords"))
+    return body.select(
+        "doc_id",
+        F.when(F.col("is_whole"), F.col("spans")).otherwise(with_title).alias("spans"),
+        F.when(F.col("is_whole"), F.col("body_words"))
+        .otherwise(F.col("body_words") + F.size(title_toks))
+        .cast("long")
+        .alias("nwords"),
+    )
 
 
 def _xml_cut_scan(text: str, seg_chars: int, flush_tags: frozenset = _FLUSH_TAGS):
@@ -751,66 +830,36 @@ def _xml_cut_scan(text: str, seg_chars: int, flush_tags: frozenset = _FLUSH_TAGS
     return cuts, seeds, root_raw
 
 
-def _xml_segment_kernel(seg_chars: int, config=None):
-    flush_tags = _config_flush_tags(config)
-
-    def fn(batches):
-        import pyarrow as pa
-
-        out_schema = pa.schema(
-            [("doc_id", pa.string()), ("seg_text", pa.string())]
-        )
-        for batch in batches:
-            doc_ids = batch.column("doc_id").to_pylist()
-            texts = batch.column("text").to_pylist()
-            o_id, o_txt = [], []
-            for doc_id, text in zip(doc_ids, texts):
-                text = text or ""
-                cuts, seeds, root_raw = _xml_cut_scan(text, seg_chars, flush_tags)
-                bounds = [0] + cuts + [len(text)]
-                nseg = len(bounds) - 1
-                for idx in range(nseg):
-                    seg = text[bounds[idx] : bounds[idx + 1]]
-                    if idx > 0:
-                        seg = (root_raw or "") + seg
-                    seed = seeds[idx - 1] if idx > 0 else 0
-                    o_id.append(
-                        f"{doc_id}{_SEG_SEP}{idx}{_SEG_SEP}{seed}{_SEG_SEP}{nseg}"
-                    )
-                    o_txt.append(seg)
-            yield pa.RecordBatch.from_arrays(
-                [pa.array(o_id, pa.string()), pa.array(o_txt, pa.string())],
-                schema=out_schema,
-            )
-
-    return fn
+def _xml_segments(
+    doc_id: str, text: str, seg_chars: int, flush_tags: frozenset
+) -> list:
+    """One XML document → [(tail-encoded id, segment text)].
+    Continuation segments replay the root open tag verbatim so
+    prefixes/attrs bake identically; a malformed doc yields one
+    segment (the cut scan bails)."""
+    cuts, seeds, root_raw = _xml_cut_scan(text, seg_chars, flush_tags)
+    bounds = [0] + cuts + [len(text)]
+    nseg = len(bounds) - 1
+    out = []
+    for idx in range(nseg):
+        seg = text[bounds[idx] : bounds[idx + 1]]
+        if idx > 0:
+            seg = (root_raw or "") + seg
+        seed = seeds[idx - 1] if idx > 0 else 0
+        out.append((f"{doc_id}{_SEG_SEP}{idx}{_SEG_SEP}{seed}{_SEG_SEP}{nseg}", seg))
+    return out
 
 
 def segment_xml_docs(
     docs: DataFrame, seg_chars: int = 1 << 20, config=None
 ) -> DataFrame:
-    """docs(doc_id, spans[single XML text span]) → one row per segment
-    with parser=XMLSEG. Constraints mirror the HTML path (module
-    docstring): default-config semantics — a root that is itself a
-    metaname/property, attr-metaname policies, or XInclude within the
-    document need the unsegmented path."""
-    base = docs.select(
-        "doc_id", F.element_at("spans", 1)["text"].alias("text")
-    )
-    seg = base.mapInArrow(
-        _xml_segment_kernel(seg_chars, config), schema="doc_id string, seg_text string"
-    )
-    return seg.select(
-        "doc_id",
-        F.array(
-            F.struct(
-                F.lit("text").alias("kind"),
-                F.col("seg_text").alias("text"),
-                F.lit("").alias("media_ref"),
-                F.lit(0).alias("offset"),
-            )
-        ).alias("spans"),
-        F.lit("XMLSEG").alias("parser"),
+    """docs(doc_id, spans) → one row per XML segment with parser=XMLSEG,
+    plus one whole-doc XMLW row per non-segmentable document (see
+    _router_kernel). Exotic configs (attr metanames, DOM-path aliases,
+    UndefinedMetaTags != index, …) route EVERY doc whole — see
+    config_supports_segmentation."""
+    return docs.select("doc_id", "spans").mapInArrow(
+        _router_kernel("xml", seg_chars, config), schema=_ROUTER_SCHEMA
     )
 
 
@@ -827,10 +876,7 @@ def extract_xml_segmented(
     num_partitions: int | None = None,
 ) -> DataFrame:
     """XML mega-doc segmentation with full per-document reassembly;
-    parity contract identical to the HTML path."""
-    simple = docs.where(_single_text_span(docs))
-    fallback = docs.where(~_single_text_span(docs))
-    rows = extract_xml_segmented_rows(simple, config, seg_chars, num_partitions)
-    out = _reassemble_markup(rows, config, "XML")
-    plain = extract(fallback.withColumn("parser", F.lit("XML")), config=config)
-    return out.unionByName(plain.select(*out.columns))
+    parity contract identical to the HTML path. Single input scan —
+    non-segmentable docs ride as whole XMLW rows."""
+    rows = extract_xml_segmented_rows(docs, config, seg_chars, num_partitions)
+    return _reassemble_markup(rows, config, "XML")

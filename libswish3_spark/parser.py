@@ -535,6 +535,16 @@ def parse_to_state(
 ) -> DocState:
     """Core parse returning the raw DocState (span tuples, not dicts) —
     the Arrow fast path builds columnar output from this directly."""
+    # TXTW/HTMLW/XMLW: a WHOLE (unsegmented) document routed through the
+    # megadoc single-pass router (operators/megadoc.py) — plain TXT/HTML/
+    # XML semantics, but the doc_id carries the router's 3-field \x02
+    # tail (stripped here so TXT title-from-path and XInclude href
+    # resolution see the real id; the tail stays on the OUTPUT doc_id
+    # for the uniform downstream strip).
+    if parser in ("TXTW", "HTMLW", "XMLW"):
+        if "\x02" in doc_id:
+            doc_id = doc_id.rsplit("\x02", 3)[0]
+        parser = parser[:-1]
     state = DocState(cfg, is_html=parser.startswith("H"), uri=doc_id)
     state.keep_token_meta = keep_token_meta
 

@@ -442,3 +442,91 @@ def test_segmented_multi_span_docs_fall_back_to_plain(spark):
         for r in lsw.extract(docs.withColumn("parser", F.lit("TXT"))).collect()
     }
     assert nw == plain_txt
+
+
+def test_exotic_configs_route_whole_with_full_parity(spark):
+    """The segmented-path config guard: configs the cut scanners can't
+    model (UndefinedMetaTags auto, attr metanames, DOM-path aliases,
+    cascade) must route EVERY document through the plain parser — equal
+    to plain extract span-for-span, never silently shifted positions."""
+    from libswish3_spark.config import load_config_xml
+    from libswish3_spark.operators.megadoc import (
+        config_supports_segmentation,
+        extract_xml_segmented,
+        segment_xml_docs,
+    )
+
+    exotic_xmls = [
+        "<swish><UndefinedMetaTags>auto</UndefinedMetaTags></swish>",
+        "<swish><UndefinedMetaTags>autoall</UndefinedMetaTags></swish>",
+        "<swish><UndefinedMetaTags>ignore</UndefinedMetaTags></swish>",
+        "<swish><UndefinedXMLAttributes>auto</UndefinedXMLAttributes></swish>",
+        "<swish><XMLClassAttributes>class id</XMLClassAttributes></swish>",
+        "<swish><TagAlias><swishtitle>doc.one.two</swishtitle></TagAlias></swish>",
+        "<swish><MetaNames><doc.part/></MetaNames></swish>",
+        "<swish><CascadeMetaContext>1</CascadeMetaContext></swish>",
+    ]
+    for cx in exotic_xmls:
+        assert not config_supports_segmentation(load_config_xml(cx)), cx
+    assert config_supports_segmentation(None)
+    assert config_supports_segmentation(
+        load_config_xml("<swish><MetaNames><chapter/></MetaNames></swish>")
+    )
+
+    # end-to-end: UndefinedMetaTags auto vivifies <item>/<doc> metanames —
+    # the literal scanner would mis-seed flushes; the guard must route
+    # whole. Long doc ensures seg_chars WOULD have cut it.
+    cfg = load_config_xml(
+        "<swish><UndefinedMetaTags>auto</UndefinedMetaTags></swish>"
+    )
+    xml = (
+        "<doc>lead words "
+        + "".join(f"<item>auto item {j} words</item>" for j in range(12))
+        + "tail words</doc>"
+    )
+    docs = spark.createDataFrame(
+        [("e0", [("text", xml, "", 0)])],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    # the router actually went whole (no *SEG rows)
+    labels = {
+        r["parser"] for r in segment_xml_docs(docs, seg_chars=40, config=cfg).collect()
+    }
+    assert labels == {"XMLW"}
+    plain = lsw.extract(docs.withColumn("parser", F.lit("XML")), config=cfg).collect()[0]
+    seg = extract_xml_segmented(docs, config=cfg, seg_chars=40).collect()[0]
+    assert seg["nwords"] == plain["nwords"]
+    assert [tuple(x) for x in seg["spans"]] == [tuple(x) for x in plain["spans"]]
+    assert dict(seg["metanames"]) == dict(plain["metanames"])
+    # sanity: the vivified metanames really exist (the config mattered)
+    assert "item" in dict(plain["metanames"])
+
+
+def test_segmented_entries_scan_input_once(spark, tmp_path):
+    """Single-pass routing: the executed plan of every segmented entry
+    over a parquet source contains exactly ONE file scan (the old
+    where(pred)/where(~pred) union read the source twice — 2x scan I/O
+    at 100 TB)."""
+    from libswish3_spark.operators.megadoc import (
+        extract_html_segmented,
+        extract_txt_segmented,
+        extract_xml_segmented,
+        segmented_nwords,
+    )
+
+    path = str(tmp_path / "docs")
+    _docs_df(spark, [_html_doc(i) for i in range(3)]).drop("parser").write.parquet(path)
+    docs = spark.read.parquet(path)
+    for fn in (
+        extract_html_segmented,
+        extract_xml_segmented,
+        extract_txt_segmented,
+        segmented_nwords,
+    ):
+        out = fn(docs, seg_chars=120)
+        out.count()  # execute so AQE finalizes the plan (ReusedExchange)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan")[0] if "== Initial Plan" in plan else plan
+        assert final.count("Scan parquet") == 1, (fn.__name__, final[:2000])
+        # and the kernels each run once: router + extract, nothing re-run
+        assert final.count("MapInArrow") == 2, (fn.__name__, final[:2000])
