@@ -69,6 +69,7 @@ HEADLINE = [
     "quality_filter",
     "pii_redact",
     "curation_pipeline",
+    "minhash_bucket_index",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_resolved",
@@ -76,6 +77,7 @@ HEADLINE = [
     "dedup_embedding",
     "ann_cosine_topk",
     "ann_lsh_topk",
+    "ann_lsh_topk_stored",
     "media_ppm_features",
     "sample_mix",
     "pack_sequences",

@@ -202,13 +202,15 @@ def doc_band_buckets(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return packed.select("id", F.explode("bks").alias("bucket"))
 
 
-def minhash_candidates(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    max_bucket: int | None = 1000,
+def candidate_pairs_from_buckets(
+    exploded: DataFrame, max_bucket: int | None = 1000
 ) -> DataFrame:
-    """LSH candidate pairs (a < b) sharing at least one band bucket.
+    """(id, bucket) table → candidate pairs (a < b) sharing a bucket.
+
+    Works over a freshly computed :func:`doc_band_buckets` OR a STORED
+    bucket-index table (operators/signatures.py) — at 100 TB the index
+    is written once at ingest and every dedup query starts here,
+    skipping the md5 signature fold entirely.
 
     ``max_bucket`` caps bucket fan-out: a band bucket with more than
     max_bucket members (boilerplate, templated pages) would contribute
@@ -217,7 +219,6 @@ def minhash_candidates(
     reachable through their other (bands-1) buckets, and genuinely
     templated near-dup farms are better handled by exact dedup first.
     """
-    exploded = doc_band_buckets(df, id_col, text_col)
     if max_bucket is not None:
         # tiny (bucket, count) aggregate — partial map-side, rows are
         # bands-per-doc, orders of magnitude smaller than the corpus
@@ -241,6 +242,20 @@ def minhash_candidates(
     )
 
 
+def minhash_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """LSH candidate pairs (a < b) sharing at least one band bucket —
+    signature chain computed inline; see candidate_pairs_from_buckets
+    for the stored-index entry and the max_bucket semantics."""
+    return candidate_pairs_from_buckets(
+        doc_band_buckets(df, id_col, text_col), max_bucket
+    )
+
+
 def jaccard_verify(
     df: DataFrame,
     candidates: DataFrame,
@@ -251,12 +266,22 @@ def jaccard_verify(
 ) -> DataFrame:
     """Exact n-gram Jaccard on candidate pairs only — the scale path.
 
-    Two linear joins attach each side's (distinct) shingle array, then
-    one array_intersect per pair. Candidate count is near-dup-bounded,
-    so this never goes quadratic in the corpus. Jaccard is returned
-    ×10000 as a bigint for engine-portable hashing.
+    Shingle arrays are computed ONLY for documents that appear in a
+    candidate pair (semi-join first): candidates are near-dup-bounded,
+    so the expensive tokenize+shingle fold runs over a tiny fraction of
+    the corpus instead of all of it — at 100 TB that is the difference
+    between a full second scan and a lookup. Then two linear joins
+    attach each side's (distinct) shingle array and one array_intersect
+    scores each pair; never quadratic in the corpus. Jaccard is
+    returned ×10000 as a bigint for engine-portable hashing.
     """
-    sh = df.select(
+    cand_ids = (
+        candidates.select(F.col("a").alias("cid"))
+        .union(candidates.select(F.col("b").alias("cid")))
+        .distinct()
+    )
+    gated = df.join(cand_ids, F.col(id_col) == F.col("cid"), "left_semi")
+    sh = gated.select(
         F.col(id_col).alias("id"),
         shingles(tokens(F.col(text_col)), n).alias("sh"),
     )

@@ -109,9 +109,10 @@ def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str,
     vec_col: str,
-    planes: list[list[float]],
+    planes: list[list[float]] | None = None,
     min_score_bp: int = 3000,
     max_bucket: int | None = 1000,
+    sig_col: str | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup candidate pairs (a < b) within
     random-hyperplane signature buckets, exact cosine within bucket.
@@ -129,8 +130,13 @@ def embedding_near_dup_pairs(
 
     The within-bucket self-join shuffles only (id, vec, sig) rows
     hash-partitioned on sig — never the document payload.
+
+    Pass ``sig_col`` to read a STORED signature column (computed once at
+    ingest by operators/signatures.py) instead of folding the planes in
+    the scan — the 100 TB shape, where every near-dup query starts from
+    the materialized index.
     """
-    sig = plane_signature(vec_col, planes)
+    sig = F.col(sig_col) if sig_col is not None else plane_signature(vec_col, planes)
     b = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), sig.alias("sig")
     )
@@ -217,3 +223,31 @@ def lsh_bucketed_topk(
     return brute_force_topk(
         df.where(F.expr(" OR ".join(conds))), id_col, vec_col, query_vec, k
     )
+
+
+def ann_topk_from_signatures(
+    sig_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec,
+    k: int = 10,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+    probe_radius: int = 2,
+) -> DataFrame:
+    """ANN over a STORED signature-index table (columns sig0..sig{L-1}
+    written once at ingest, operators/signatures.py): the probe filter
+    is L tiny integer IN-lists over stored columns — no per-query plane
+    fold, no ~2000-node literal tree for Catalyst to chew (the in-scan
+    lsh_bucketed_topk pays ~1.4 s of analysis per query; this plans in
+    milliseconds), and on a bucketed/partitioned index the IN-lists
+    prune partitions. Same result set as lsh_bucketed_topk by
+    construction — identical planes, identical probes."""
+    cond = None
+    for t in range(n_tables):
+        planes = random_planes(len(query_vec), n_planes, seed + t)
+        probes = [int(p) for p in query_probes(query_vec, planes, probe_radius)]
+        c = F.col(f"sig{t}").isin(probes)
+        cond = c if cond is None else (cond | c)
+    return brute_force_topk(sig_df.where(cond), id_col, vec_col, query_vec, k)

@@ -1135,9 +1135,29 @@ JACCARD_GATE_BP = 2000  # verification threshold for the gated query
 RESOLVE_BP = 5000  # cluster-membership threshold for keeper resolution
 
 
-def q_dedup_minhash_lsh(spark, sf_dir):
+def _index_tables(spark, sf_dir):
+    """Stored signature indexes (operators/signatures.py): materialized
+    once per corpus — the ingest step of the 100 TB design — then every
+    dedup/ANN query below reads them instead of re-folding signatures."""
+    from libswish3_spark.operators.signatures import ensure_index_tables
+
+    return ensure_index_tables(spark, sf_dir)
+
+
+def q_minhash_bucket_index(spark, sf_dir):
+    """The ingest-side index build itself, under the correctness gate:
+    per-doc minhash band buckets (id, bucket) exactly as stored."""
+    from libswish3_spark.operators.signatures import build_minhash_bucket_index
+
     docs = ensure_parallelism(_docs(spark, sf_dir))
-    return D.minhash_candidates(docs, "doc_id", "text", max_bucket=MAX_BUCKET)
+    return build_minhash_bucket_index(docs, "doc_id", "text")
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """LSH candidate pairs from the STORED bucket index — the query-side
+    plan contains no signature computation at all."""
+    idx = _index_tables(spark, sf_dir)["minhash_buckets"]
+    return D.candidate_pairs_from_buckets(idx, max_bucket=MAX_BUCKET)
 
 
 def _minhash_sql(j):
@@ -1175,13 +1195,21 @@ cand AS (
 
 ORACLE_DEDUP_MINHASH = f"WITH {_minhash_cand_ctes()} SELECT a, b FROM cand"
 
+# the stored index itself (id, bucket) — the bk CTE without cap/join
+ORACLE_MINHASH_BUCKET_INDEX = (
+    f"WITH {_minhash_cand_ctes()} SELECT id, bucket FROM bk"
+)
+
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
     """The dedup verify stage: exact jaccard on LSH candidates only
     (never the raw all-pairs shingle join — that is quadratic on any
-    shared shingle and detonates at scale)."""
+    shared shingle and detonates at scale). Candidates come from the
+    stored bucket index; shingles are computed only for candidate docs
+    (jaccard_verify's semi-join gate)."""
     docs = ensure_parallelism(_docs(spark, sf_dir))
-    cand = D.minhash_candidates(docs, "doc_id", "text", max_bucket=MAX_BUCKET)
+    idx = _index_tables(spark, sf_dir)["minhash_buckets"]
+    cand = D.candidate_pairs_from_buckets(idx, max_bucket=MAX_BUCKET)
     return D.jaccard_verify(
         docs, cand, "doc_id", "text", threshold=JACCARD_GATE_BP / 10000
     )
@@ -1206,9 +1234,12 @@ def q_dedup_resolved(spark, sf_dir):
     """End-to-end near-dup dedup: LSH candidates → jaccard-verified
     pairs → connected-components keeper sets. The output is what a
     training pipeline actually filters on: every near-dup doc labeled
-    with its cluster keeper (min doc_id in the component)."""
+    with its cluster keeper (min doc_id in the component). The whole
+    chain starts from the stored bucket index — candidates, verify and
+    resolve never re-fold a signature."""
     docs = ensure_parallelism(_docs(spark, sf_dir))
-    cand = D.minhash_candidates(docs, "doc_id", "text", max_bucket=MAX_BUCKET)
+    idx = _index_tables(spark, sf_dir)["minhash_buckets"]
+    cand = D.candidate_pairs_from_buckets(idx, max_bucket=MAX_BUCKET)
     verified = D.jaccard_verify(
         docs, cand, "doc_id", "text", threshold=RESOLVE_BP / 10000
     )
@@ -1234,7 +1265,8 @@ def q_dedup_apply(spark, sf_dir):
     drops every non-keeper; exact duplicates collapse to min-id first.
     This is the row count a training run actually trains on."""
     docs = ensure_parallelism(_docs(spark, sf_dir))
-    cand = D.minhash_candidates(docs, "doc_id", "text", max_bucket=MAX_BUCKET)
+    idx = _index_tables(spark, sf_dir)["minhash_buckets"]
+    cand = D.candidate_pairs_from_buckets(idx, max_bucket=MAX_BUCKET)
     verified = D.jaccard_verify(
         docs, cand, "doc_id", "text", threshold=RESOLVE_BP / 10000
     )
@@ -1408,6 +1440,25 @@ ORDER BY score_bp DESC, vec_id LIMIT 10
 ORACLE_ANN_LSH_TOPK = _build_ann_lsh_oracle()
 
 
+def q_ann_lsh_topk_stored(spark, sf_dir):
+    """The stored-index twin of ann_lsh_topk: signatures read from the
+    materialized (vec_id, embedding, sig0..sig3) table, probes are four
+    integer IN-lists — plans in milliseconds where the in-scan form
+    pays ~1.4 s of Catalyst analysis per query, and at 100 TB the
+    IN-lists prune a bucketed index instead of rescanning the corpus.
+    Identical result set to ann_lsh_topk (same planes, same probes)."""
+    sigs = _index_tables(spark, sf_dir)["embedding_sigs"]
+    return S.ann_topk_from_signatures(
+        sigs,
+        "vec_id",
+        "embedding",
+        _query_vec(spark, sf_dir),
+        n_planes=ANN_PLANES,
+        n_tables=ANN_TABLES,
+        seed=ANN_SEED,
+    )
+
+
 # --------------------------------------------------------------------------
 # Stream-table analytics + relational coverage
 # --------------------------------------------------------------------------
@@ -1555,15 +1606,17 @@ _EMB_MAX_BUCKET = 1000
 def q_dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-dup pairs within capped random-hyperplane
     buckets (the scale path: anisotropy-proof planes + hot-bucket
-    cap-and-drop, mirroring minhash_candidates)."""
-    emb = _read(spark, sf_dir, "embeddings")
+    cap-and-drop, mirroring minhash_candidates). The signature comes
+    from the STORED index table (sig0 = table-0 planes, seed 42 — the
+    same literals the oracle embeds): no plane fold in the query plan."""
+    sigs = _index_tables(spark, sf_dir)["embedding_sigs"]
     return S.embedding_near_dup_pairs(
-        emb,
+        sigs,
         "vec_id",
         "embedding",
-        _EMB_PLANES,
         min_score_bp=3000,
         max_bucket=_EMB_MAX_BUCKET,
+        sig_col="sig0",
     )
 
 
@@ -1804,6 +1857,7 @@ QUERIES: dict[str, tuple] = {
     "quality_filter": (q_quality_filter, ORACLE_QUALITY_FILTER),
     "pii_redact": (q_pii_redact, ORACLE_PII_REDACT),
     "curation_pipeline": (q_curation_pipeline, ORACLE_CURATION_PIPELINE),
+    "minhash_bucket_index": (q_minhash_bucket_index, ORACLE_MINHASH_BUCKET_INDEX),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, ORACLE_DEDUP_MINHASH),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, ORACLE_DEDUP_NGRAM_JACCARD),
     "dedup_resolved": (q_dedup_resolved, ORACLE_DEDUP_RESOLVED),
@@ -1815,6 +1869,7 @@ QUERIES: dict[str, tuple] = {
     "dedup_embedding_resolved": (q_dedup_embedding_resolved, ORACLE_DEDUP_EMBEDDING_RESOLVED),
     "ann_cosine_topk": (q_ann_cosine_topk, ORACLE_ANN_COSINE_TOPK),
     "ann_lsh_topk": (q_ann_lsh_topk, ORACLE_ANN_LSH_TOPK),
+    "ann_lsh_topk_stored": (q_ann_lsh_topk_stored, ORACLE_ANN_LSH_TOPK),
     "events_windowed": (q_events_windowed, ORACLE_EVENTS_WINDOWED),
     "sessionize": (q_sessionize, ORACLE_SESSIONIZE),
     "lineitem_metrics": (q_lineitem_metrics, ORACLE_LINEITEM_METRICS),

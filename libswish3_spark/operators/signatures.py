@@ -1,0 +1,114 @@
+"""Stored LSH signature/index tables: compute once at ingest, query many.
+
+The dedup/ANN layer's signature chains (minhash band buckets over text,
+random-hyperplane signatures over embeddings) are deterministic
+functions of the corpus — at 100 TB they belong in materialized index
+tables written ONCE at ingest, not re-folded per query (the md5 shingle
+fold dominates every minhash query; the plane fold plus its ~2000-node
+literal probe tree dominates every ANN query's plan time).
+
+Two index tables:
+
+* minhash bucket index ``(id, bucket)`` — the exploded band-bucket
+  table (functions/dedup.doc_band_buckets). Every minhash-family query
+  (candidates, jaccard verify, cluster resolve, dedup apply) starts
+  from it via ``dedup.candidate_pairs_from_buckets``. Written
+  partitioned-by-nothing but bucketable on ``bucket`` in a real
+  deployment (the candidate self-join then co-locates).
+* embedding signature index ``(id, vec, sig0..sig{L-1})`` — one stored
+  int per LSH table. ANN reads it through
+  ``similarity.ann_topk_from_signatures`` (integer IN-list probes, no
+  per-query plane fold); near-dup bucketing reads ``sig0`` through
+  ``embedding_near_dup_pairs(sig_col=...)``.
+
+``ensure_index_tables`` is the sandbox stand-in for the ingest job: it
+materializes both tables to parquet next to the tmp dir, keyed by the
+source directory identity (path + file mtime/size), and returns readers.
+In production this is a write to the Iceberg index tables at the end of
+the ingest pipeline; the query-side call sites are identical.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, functions as F
+
+from libswish3_spark.functions import dedup as D, similarity as S
+
+ANN_DIMS = 64
+ANN_PLANES = 8
+ANN_TABLES = 4
+ANN_SEED = 42
+
+
+def build_minhash_bucket_index(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, bucket) exploded band-bucket table — the storable minhash
+    index (K/bands per functions/dedup defaults, recall-measured)."""
+    return D.doc_band_buckets(docs, id_col, text_col)
+
+
+def build_embedding_signature_index(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = ANN_PLANES,
+    n_tables: int = ANN_TABLES,
+    seed: int = ANN_SEED,
+    dims: int = ANN_DIMS,
+) -> DataFrame:
+    """(id, vec, sig0..sig{L-1}) — one signature int per LSH table,
+    identical plane literals to the in-scan path (similarity.
+    random_planes) so stored and computed results are bit-equal."""
+    cols = [F.col(id_col), F.col(vec_col)]
+    for t in range(n_tables):
+        planes = S.random_planes(dims, n_planes, seed + t)
+        cols.append(S.plane_signature(vec_col, planes).alias(f"sig{t}"))
+    return emb.select(*cols)
+
+
+def _index_root(sf_dir: str) -> str:
+    """Cache location keyed by source identity: path plus mtime/size of
+    the source parquet files, so a regenerated sf_dir invalidates."""
+    h = hashlib.md5(os.path.abspath(sf_dir).encode())
+    for name in ("documents.parquet", "embeddings.parquet"):
+        p = os.path.join(sf_dir, name)
+        try:
+            st = os.stat(p)
+            h.update(f"{name}:{st.st_mtime_ns}:{st.st_size}".encode())
+        except OSError:
+            pass
+    return os.path.join(
+        tempfile.gettempdir(), f"lsw_index_{h.hexdigest()[:16]}"
+    )
+
+
+def ensure_index_tables(spark, sf_dir: str) -> dict[str, DataFrame]:
+    """Ingest-time index materialization (idempotent): build + write the
+    minhash bucket index over ``documents`` and the embedding signature
+    index over ``embeddings`` if absent, return parquet readers.
+
+    The build is the one-time cost every subsequent query amortizes —
+    the query-side plans contain NO signature computation at all.
+    """
+    root = _index_root(sf_dir)
+    out: dict[str, DataFrame] = {}
+    specs = {
+        "minhash_buckets": lambda: build_minhash_bucket_index(
+            spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        ),
+        "embedding_sigs": lambda: build_embedding_signature_index(
+            spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        ),
+    }
+    for name, build in specs.items():
+        path = os.path.join(root, name)
+        done = os.path.join(path, "_SUCCESS")
+        if not os.path.exists(done):
+            build().write.mode("overwrite").parquet(path)
+        out[name] = spark.read.parquet(path)
+    return out

@@ -1,0 +1,96 @@
+"""Stored LSH signature/index tables (operators/signatures.py):
+ingest-once materialization must be bit-equal to the in-scan chains."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from libswish3_spark.functions import dedup as D, similarity as S
+
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_stored_bucket_candidates_equal_inline(spark):
+    """Candidates from the materialized (id, bucket) table == candidates
+    from the inline signature chain — same pairs, same cap semantics."""
+    from libswish3_spark.operators.signatures import ensure_index_tables
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    inline = {
+        (r["a"], r["b"])
+        for r in D.minhash_candidates(docs, "doc_id", "text", max_bucket=50).collect()
+    }
+    idx = ensure_index_tables(spark, SF)["minhash_buckets"]
+    stored = {
+        (r["a"], r["b"])
+        for r in D.candidate_pairs_from_buckets(idx, max_bucket=50).collect()
+    }
+    assert stored == inline
+
+
+def test_stored_ann_equals_in_scan(spark):
+    """ann_topk_from_signatures over the stored sig columns returns the
+    identical result set to lsh_bucketed_topk's in-scan computation
+    (same planes, same probes)."""
+    from libswish3_spark.operators.signatures import ensure_index_tables
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qv = list(emb.orderBy("vec_id").limit(1).collect()[0]["embedding"])
+    in_scan = [
+        (r["vec_id"], r["score_bp"])
+        for r in S.lsh_bucketed_topk(emb, "vec_id", "embedding", qv).collect()
+    ]
+    sigs = ensure_index_tables(spark, SF)["embedding_sigs"]
+    stored = [
+        (r["vec_id"], r["score_bp"])
+        for r in S.ann_topk_from_signatures(sigs, "vec_id", "embedding", qv).collect()
+    ]
+    assert stored == in_scan
+    # and the stored-path plan has no per-row plane fold: the signature
+    # computation is a chain of CASE WHEN aggregate(...) bit terms in the
+    # in-scan form; the only remaining lambda math is the cosine score
+    plan = S.ann_topk_from_signatures(
+        sigs, "vec_id", "embedding", qv
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CASE WHEN" not in plan
+    assert "sig0" in plan  # probes filter on the stored columns
+
+
+def test_stored_near_dup_equals_inline(spark):
+    """embedding_near_dup_pairs(sig_col=...) over stored sig0 == the
+    plane-folding form with the table-0 planes."""
+    from libswish3_spark.operators.signatures import (
+        ANN_SEED,
+        build_embedding_signature_index,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    planes = S.random_planes(64, 8, ANN_SEED)
+    inline = {
+        (r["a"], r["b"], r["score_bp"])
+        for r in S.embedding_near_dup_pairs(
+            emb, "vec_id", "embedding", planes, min_score_bp=2000
+        ).collect()
+    }
+    sigs = build_embedding_signature_index(emb)
+    stored = {
+        (r["a"], r["b"], r["score_bp"])
+        for r in S.embedding_near_dup_pairs(
+            sigs, "vec_id", "embedding", min_score_bp=2000, sig_col="sig0"
+        ).collect()
+    }
+    assert stored == inline
+
+
+def test_index_build_is_idempotent(spark):
+    """ensure_index_tables: second call reuses the materialized parquet
+    (the ingest-once contract) — no rewrite."""
+    from libswish3_spark.operators.signatures import _index_root, ensure_index_tables
+
+    ensure_index_tables(spark, SF)
+    root = _index_root(SF)
+    marker = os.path.join(root, "minhash_buckets", "_SUCCESS")
+    mtime = os.path.getmtime(marker)
+    ensure_index_tables(spark, SF)
+    assert os.path.getmtime(marker) == mtime
