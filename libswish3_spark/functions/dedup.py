@@ -256,6 +256,30 @@ def minhash_candidates(
     )
 
 
+def cap_drop_metrics(
+    bucketed: DataFrame, key: str = "bucket", max_bucket: int = 1000
+) -> DataFrame:
+    """Observability for the hot-bucket cap: ONE row
+    (dropped_buckets, dropped_rows) counting what the cap-and-drop in
+    :func:`candidate_pairs_from_buckets` /
+    ``similarity.embedding_near_dup_pairs`` silently removes from pair
+    coverage. At 100 TB the cap is the right call, but a dedup run must
+    be able to report 'N rows lost pair coverage to M hot buckets' next
+    to its other counters — silent coverage loss is not a metric, it's
+    a surprise. Works over the same (id, key) exploded table (or stored
+    index) the candidate join consumes; the aggregate is tiny (one row
+    per over-cap bucket before the final fold)."""
+    return (
+        bucketed.groupBy(key)
+        .agg(F.count("*").alias("_n"))
+        .where(F.col("_n") > max_bucket)
+        .agg(
+            F.count("*").alias("dropped_buckets"),
+            F.coalesce(F.sum("_n"), F.lit(0)).cast("long").alias("dropped_rows"),
+        )
+    )
+
+
 def jaccard_verify(
     df: DataFrame,
     candidates: DataFrame,
@@ -332,16 +356,26 @@ def ngram_jaccard_pairs(
     )
 
 
-def resolve_clusters(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
+def resolve_clusters(
+    pairs: DataFrame, max_rounds: int = 20, require_converged: bool = False
+) -> DataFrame:
     """Near-dup pairs → (doc_id, keeper): connected components by min-id
-    label propagation.
+    label propagation with per-round POINTER DOUBLING (label ←
+    min(label, label-of-label)), so even a pure chain of diameter d
+    converges in O(log d) rounds — a 25-hop chain resolves in ~5 rounds
+    where plain propagation needs 25. Near-dup clusters are usually
+    shallow (dup farms are star-shaped around a template), so typical
+    runs still finish in 2-3 rounds. Each round is two joins + one
+    aggregate on the (node, label) table — skinny rows, never the
+    document payload. localCheckpoint truncates lineage so round k
+    doesn't replay rounds 0..k-1.
 
-    Converges in O(component diameter) rounds — near-dup clusters are
-    shallow (dup farms are star-shaped around a template), so the bound
-    is small in practice and ``max_rounds`` hard-stops pathology. Each
-    round is one join + one aggregate on the (node, label) table —
-    skinny rows, never the document payload. localCheckpoint truncates
-    lineage so round k doesn't replay rounds 0..k-1.
+    Convergence is SURFACED, not assumed: if ``max_rounds`` elapse
+    without the label fixpoint, a warning is emitted (or ValueError
+    when ``require_converged``) — returning silently-unconverged labels
+    would mislabel keepers with no signal. With doubling, 20 rounds
+    covers diameters beyond 2^19 — hitting the cap means something is
+    genuinely wrong with the input.
 
     Keeper sets here are what actually lets dedup DROP rows:
     ``docs.join(resolve_clusters(...), on=id, 'left_anti' for non-
@@ -364,27 +398,51 @@ def resolve_clusters(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
     # xxhash64 label-sum changes too (a numeric cast here would NULL out
     # string doc_ids, the library's native id type per DOCS_SCHEMA, and
     # silently stop after one round on any component of diameter > 2)
-    prev_sum = None
+    # sentinel, not None: an EMPTY labels table aggregates to a None
+    # sum, which must still compare equal across rounds (trivial
+    # fixpoint) instead of spuriously never converging
+    prev_sum = object()
+    converged = False
     for _ in range(max_rounds):
         neigh = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
             .agg(F.min("label").alias("nlabel"))
         )
+        stepped = labels.join(neigh, labels.id == neigh.src, "left").select(
+            labels.id,
+            F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+        )
+        # pointer doubling: jump to the label's own label — halves the
+        # remaining chain length every round (O(log d) convergence)
+        x, y = stepped.alias("x"), stepped.alias("y")
         labels = (
-            labels.join(neigh, labels.id == neigh.src, "left")
+            x.join(y, F.col("x.label") == F.col("y.id"), "left")
             .select(
-                labels.id,
-                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+                F.col("x.id").alias("id"),
+                F.least(
+                    F.col("x.label"), F.coalesce(F.col("y.label"), F.col("x.label"))
+                ).alias("label"),
             )
             .localCheckpoint(eager=True)
         )
         cur_sum = labels.agg(
             F.sum(F.xxhash64("label").cast("decimal(38,0)")).alias("s")
         ).collect()[0][0]
-        if prev_sum is not None and cur_sum == prev_sum:
+        if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        msg = (
+            f"resolve_clusters: label propagation did not reach a fixpoint "
+            f"within max_rounds={max_rounds}; keeper labels may be wrong"
+        )
+        if require_converged:
+            raise ValueError(msg)
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("keeper"))
 
 

@@ -127,6 +127,9 @@ def embedding_near_dup_pairs(
       pairs at 100 TB; buckets above the cap are dropped entirely
       (their members remain reachable through exact dedup upstream and
       the pairs they'd contribute are dominated by boilerplate).
+      Report what the cap removed with ``dedup.cap_drop_metrics(b,
+      "sig", max_bucket)`` — the drops must land in the run's metrics,
+      never pass silently.
 
     The within-bucket self-join shuffles only (id, vec, sig) rows
     hash-partitioned on sig — never the document payload.

@@ -1200,6 +1200,32 @@ ORACLE_MINHASH_BUCKET_INDEX = (
     f"WITH {_minhash_cand_ctes()} SELECT id, bucket FROM bk"
 )
 
+# small cap so the sf corpora actually drop buckets and the metric row
+# carries non-zero counts under the hash check
+_METRICS_CAP = 2
+
+
+def q_dedup_drop_metrics(spark, sf_dir):
+    """Cap-and-drop observability (functions/dedup.cap_drop_metrics):
+    how many hot buckets — and how many member rows — the max_bucket
+    guard removes from pair coverage. The side-output a 100 TB dedup
+    run writes next to its other counters; silent coverage loss is a
+    surprise, not a policy."""
+    idx = _index_tables(spark, sf_dir)["minhash_buckets"]
+    return D.cap_drop_metrics(idx, "bucket", max_bucket=_METRICS_CAP)
+
+
+ORACLE_DEDUP_DROP_METRICS = f"""
+WITH {_minhash_cand_ctes()},
+hot AS (
+  SELECT bucket, count(*) AS n FROM bk GROUP BY bucket
+  HAVING count(*) > {_METRICS_CAP}
+)
+SELECT count(*) AS dropped_buckets,
+       CAST(coalesce(sum(n), 0) AS BIGINT) AS dropped_rows
+FROM hot
+"""
+
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
     """The dedup verify stage: exact jaccard on LSH candidates only
@@ -1858,6 +1884,7 @@ QUERIES: dict[str, tuple] = {
     "pii_redact": (q_pii_redact, ORACLE_PII_REDACT),
     "curation_pipeline": (q_curation_pipeline, ORACLE_CURATION_PIPELINE),
     "minhash_bucket_index": (q_minhash_bucket_index, ORACLE_MINHASH_BUCKET_INDEX),
+    "dedup_drop_metrics": (q_dedup_drop_metrics, ORACLE_DEDUP_DROP_METRICS),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, ORACLE_DEDUP_MINHASH),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, ORACLE_DEDUP_NGRAM_JACCARD),
     "dedup_resolved": (q_dedup_resolved, ORACLE_DEDUP_RESOLVED),

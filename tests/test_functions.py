@@ -282,6 +282,57 @@ def test_ann_lsh_recall_vs_brute_force(spark):
     assert sum(recalls) / len(recalls) >= 0.9, recalls
 
 
+def test_cap_drop_metrics_planted_hot_bucket(spark):
+    """The max_bucket guard's drops must be countable: plant a hot
+    bucket (12 identical docs → every band bucket has 12 members) and
+    assert the metric row reports exactly the dropped buckets/rows the
+    candidate join excluded."""
+    rows = [(f"dup{i}", "identical boilerplate text repeated verbatim here")
+            for i in range(12)]
+    rows += [(f"uniq{i}", f"completely different document number {i} with its own words")
+             for i in range(5)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    bucketed = D.doc_band_buckets(df, "doc_id", "text")
+    m = D.cap_drop_metrics(bucketed, "bucket", max_bucket=10).collect()[0]
+    # the 12 clones share all 8 band buckets; every one is over the cap
+    assert m["dropped_buckets"] == D.MINHASH_BANDS
+    assert m["dropped_rows"] == 12 * D.MINHASH_BANDS
+    # and the candidate join really dropped them: no pair among clones
+    cands = D.minhash_candidates(df, "doc_id", "text", max_bucket=10)
+    assert not [r for r in cands.collect() if r["a"].startswith("dup")]
+    # under no cap the metric row is zeros
+    z = D.cap_drop_metrics(bucketed, "bucket", max_bucket=10**6).collect()[0]
+    assert (z["dropped_buckets"], z["dropped_rows"]) == (0, 0)
+
+
+def test_resolve_clusters_long_chain_converges(spark):
+    """Pointer doubling: a pure chain of 25 nodes (diameter 24) must
+    resolve every node to keeper 'n00' well within the default round
+    budget (plain propagation would need 24 rounds)."""
+    pairs = spark.createDataFrame(
+        [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(24)], ["a", "b"]
+    )
+    out = {r["doc_id"]: r["keeper"] for r in D.resolve_clusters(pairs, max_rounds=8).collect()}
+    assert len(out) == 25
+    assert set(out.values()) == {"n00"}
+
+
+def test_resolve_clusters_nonconvergence_is_signaled(spark):
+    """Hitting max_rounds without a fixpoint must warn (or raise with
+    require_converged) — never return silently-wrong keepers."""
+    import warnings
+
+    pairs = spark.createDataFrame(
+        [(f"c{i:02d}", f"c{i + 1:02d}") for i in range(30)], ["a", "b"]
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        D.resolve_clusters(pairs, max_rounds=1)
+    assert any("fixpoint" in str(w.message) for w in caught)
+    with pytest.raises(ValueError, match="fixpoint"):
+        D.resolve_clusters(pairs, max_rounds=1, require_converged=True)
+
+
 def test_drop_frequent_paragraphs(spark):
     # 12 docs share a boilerplate line (df=12 > 10 → dropped); each has
     # a unique line (kept); doc 99 is ALL boilerplate → empty clean_text
