@@ -84,13 +84,31 @@ def real_decode(content: bytes, media_type: str) -> list[float]:
     return _pixel_features(w, h, channels, px)
 
 
-def auto_decode(content: bytes, media_type: str) -> list[float]:
-    """Real decode when the format is stdlib-decodable, md5 fake
-    otherwise — the default router for mixed-format corpora."""
+def auto_decode(content: bytes, media_type: str, codec=None) -> list[float]:
+    """Real decode when the format is stdlib-decodable; otherwise the
+    injected ``codec`` callable if one is provided (the seam for
+    JPEG/PNG/audio/video libraries this container doesn't ship —
+    signature ``codec(content, media_type) -> list[float]``), else the
+    deterministic md5 fake. Keeps the package stdlib-pure while proving
+    the production wiring: a deployment passes its codec once and every
+    format routes through the same batch kernel."""
     try:
         return real_decode(content, media_type)
     except NotImplementedError:
+        if codec is not None:
+            return codec(content, media_type)
         return fake_decode(content, media_type)
+
+
+def make_auto_decoder(codec=None):
+    """Decoder callable for :func:`extract_media_features`: stdlib
+    formats decode for real, everything else goes to the injected
+    ``codec`` (or the md5 fake when none is given)."""
+
+    def decode(content: bytes, media_type: str) -> list[float]:
+        return auto_decode(content, media_type, codec)
+
+    return decode
 
 
 def _parse_pnm(data: bytes) -> tuple[int, int, int, bytes]:

@@ -1077,6 +1077,76 @@ FROM kept k JOIN keepers USING (doc_id)
 ORACLE_CURATION_PIPELINE = _build_curation_pipeline_oracle()
 
 
+def q_xinclude_merge(spark, sf_dir):
+    """P10 XInclude under the driver oracle (reference parser.c:990-1079
+    merge semantics): per document, a parent XML doc includes a child
+    doc via <xi:include href>; the distributed resolution join
+    (operators/xinclude.py) attaches child payloads and the parser
+    merges child tokens with renumbered positions, child buffers with
+    the \\x03 concat joiner (namedbuffer.c:284-291), and child nwords
+    into the parent. Checked: merged nwords, word-span count, contiguous
+    final position, merged swishtitle, and the exact merged
+    swishdefault buffer bytes (md5)."""
+    from libswish3_spark.operators.xinclude import extract_with_xinclude
+
+    base = _docs(spark, sf_dir)
+
+    def wrap(doc_id_col, xml_col):
+        return F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                xml_col.alias("text"),
+                F.lit("").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans")
+
+    sid = F.col("doc_id").cast("string")
+    child = base.select(
+        F.concat(F.lit("inc/c"), sid, F.lit(".xml")).alias("doc_id"),
+        wrap(sid, F.concat(F.lit("<doc>"), F.col("text"), F.lit("</doc>"))),
+        F.lit("XML").alias("parser"),
+    )
+    parent_xml = F.concat(
+        F.lit("<doc><title>parent "),
+        sid,
+        F.lit(" title</title>lead words "),
+        F.lit('<xi:include xmlns:xi="http://www.w3.org/2001/XInclude" href="inc/c'),
+        sid,
+        F.lit('.xml"/> tail words</doc>'),
+    )
+    parent = base.select(
+        F.concat(F.lit("p"), sid, F.lit(".xml")).alias("doc_id"),
+        wrap(sid, parent_xml),
+        F.lit("XML").alias("parser"),
+    )
+    out = extract_with_xinclude(parent.unionByName(child))
+    words = F.filter("spans", lambda s: s["kind"] == F.lit("word"))
+    return out.where(F.col("doc_id").startswith("p")).select(
+        F.regexp_extract("doc_id", r"p(\d+)\.xml", 1).cast("long").alias("doc_id"),
+        "nwords",
+        F.size(words).alias("n_word_spans"),
+        F.element_at(words, -1)["order"].cast("long").alias("last_pos"),
+        F.element_at("metanames", "swishtitle").alias("title"),
+        F.md5(F.element_at("metanames", "swishdefault")).alias("body_fp"),
+    )
+
+
+# parent contributes 7 tokens (parent <id> title / lead words / tail
+# words); child contributes len(tokens(text)); merged buffer is
+# 'lead words ' <x03> child-text <x03> ' tail words' (chr(3) = the
+# TOKENPOS_BUMPER joiner swish_buffer_concat uses)
+ORACLE_XINCLUDE_MERGE = f"""
+SELECT doc_id,
+       len({TOKS_SQL}) + 7 AS nwords,
+       len({TOKS_SQL}) + 7 AS n_word_spans,
+       len({TOKS_SQL}) + 7 AS last_pos,
+       'parent ' || doc_id || ' title' AS title,
+       md5('lead words ' || chr(3) || text || chr(3) || ' tail words') AS body_fp
+FROM documents
+"""
+
+
 def q_dedup_keep_first(spark, sf_dir):
     """Arrival-order exact dedup (batch twin of streaming/dedup.py's
     checkpointed first-seen filter): per content fingerprint keep the
@@ -1879,6 +1949,7 @@ QUERIES: dict[str, tuple] = {
     "doc_fingerprint": (q_doc_fingerprint, ORACLE_DOC_FINGERPRINT),
     "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
     "dedup_keep_first": (q_dedup_keep_first, ORACLE_DEDUP_KEEP_FIRST),
+    "xinclude_merge": (q_xinclude_merge, ORACLE_XINCLUDE_MERGE),
     "dedup_paragraphs": (q_dedup_paragraphs, ORACLE_DEDUP_PARAGRAPHS),
     "quality_filter": (q_quality_filter, ORACLE_QUALITY_FILTER),
     "pii_redact": (q_pii_redact, ORACLE_PII_REDACT),

@@ -213,6 +213,48 @@ def test_real_decode_truncated_blob_isolated(spark):
     )
 
 
+def test_injected_codec_seam(spark):
+    """Codec injection (make_auto_decoder): stdlib formats still decode
+    for real, codec-needing formats route to the injected callable, and
+    without one they fall back to the md5 fake — the production seam
+    for JPEG/PNG/audio libs, proven with a toy codec."""
+    from libswish3_spark.functions.media import make_auto_decoder
+
+    def toy_codec(content, mtype):
+        # pretend-JPEG decoder: recognizable constant vector
+        if content.startswith(b"\xff\xd8"):
+            return [float(len(content))] * 16
+        raise RuntimeError("toy codec: unknown format")
+
+    media = spark.createDataFrame(
+        [
+            ("ppm", "image", _ppm(2, 2, range(12))),
+            ("jpeg", "image", b"\xff\xd8\xff\xe0fakejpegbytes"),
+            ("weird", "image", b"zzz not decodable"),
+        ],
+        ["media_ref", "media_type", "content"],
+    )
+    out = {
+        r["media_ref"]: r
+        for r in extract_media_features(
+            media, decoder=make_auto_decoder(toy_codec)
+        ).collect()
+    }
+    assert out["ppm"]["decode_error"] is None and out["ppm"]["feature"][0] == 2.0
+    assert out["jpeg"]["feature"] == [17.0] * 16  # toy codec handled it
+    assert "toy codec" in out["weird"]["decode_error"]  # codec error isolated
+    # same corpus without a codec: jpeg falls back to the md5 fake
+    no_codec = {
+        r["media_ref"]: r
+        for r in extract_media_features(
+            media, decoder=make_auto_decoder()
+        ).collect()
+    }
+    assert no_codec["jpeg"]["feature"] == pytest.approx(
+        fake_decode(b"\xff\xd8\xff\xe0fakejpegbytes", "image"), abs=1e-7
+    )
+
+
 def test_media_decode_error_isolated(spark):
     def angry(content, mtype):
         if content == b"poison":
