@@ -78,6 +78,7 @@ HEADLINE = [
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_lsh_topk_stored",
+    "ann_ivf_topk",
     "media_ppm_features",
     "sample_mix",
     "pack_sequences",

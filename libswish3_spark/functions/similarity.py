@@ -228,6 +228,97 @@ def lsh_bucketed_topk(
     )
 
 
+IVF_CELLS = 16
+IVF_NPROBE = 4
+
+
+def ivf_centroids(emb_df: DataFrame, id_col: str, vec_col: str, n_cells: int = IVF_CELLS):
+    """Deterministic IVF coarse centroids: the ``n_cells`` corpus
+    vectors ranked first by md5(id) (a seeded spread sample — id order
+    would risk correlated picks; md5 order is uniform and reproducible
+    in SQL, so the DuckDB oracle selects the identical rows). A k-means
+    refinement would tighten cells but costs iterations and breaks
+    closed-form oracling; for inverted-file PRUNING the spread sample
+    is the standard cheap choice. One driver-side collect of n_cells
+    rows (same pattern as the cached query vector)."""
+    rows = (
+        emb_df.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .orderBy(F.md5(F.col("i").cast("string")), F.col("i"))
+        .limit(n_cells)
+        .collect()
+    )
+    return [list(r["v"]) for r in rows]
+
+
+def _sql_arr(vals) -> str:
+    return "array(" + ", ".join(f"CAST({float(w)!r} AS DOUBLE)" for w in vals) + ")"
+
+
+def ivf_cell_sql(vec_sql: str, centroids: list[list[float]]) -> str:
+    """SQL text: 1-based index of the centroid with the highest
+    direction-normalized dot product (dot(v,c)/||c|| — the vector's own
+    norm is constant across cells, so it cannot change the argmax and
+    is omitted). First-max-wins on exact ties (array_position), which
+    the oracle mirrors as ORDER BY d DESC, cnum."""
+    parts = []
+    for c in centroids:
+        arr = _sql_arr(c)
+        dot_ = (
+            f"aggregate(zip_with({vec_sql}, {arr},"
+            " (x, y) -> CAST(x * y AS DOUBLE)),"
+            " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        cc = (
+            f"aggregate(zip_with({arr}, {arr},"
+            " (x, y) -> CAST(x * y AS DOUBLE)),"
+            " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        parts.append(f"({dot_} / sqrt({cc}))")
+    ds = "array(" + ", ".join(parts) + ")"
+    return f"array_position({ds}, array_max({ds}))"
+
+
+def ivf_query_probes(
+    query_vec, centroids: list[list[float]], nprobe: int = IVF_NPROBE
+) -> list[int]:
+    """Top-``nprobe`` cell numbers (1-based) for a query vector —
+    Python double math folds left like the SQL expressions, so the
+    probe set matches what the oracle derives."""
+    import math
+
+    scored = []
+    for idx, c in enumerate(centroids):
+        d = 0.0
+        cc = 0.0
+        for x, y in zip(query_vec, c):
+            d += float(x) * float(y)
+        for y in c:
+            cc += float(y) * float(y)
+        scored.append((-(d / math.sqrt(cc)), idx + 1))
+    return [cell for _, cell in sorted(scored)[:nprobe]]
+
+
+def ann_ivf_topk(
+    indexed: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec,
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = IVF_NPROBE,
+    cell_col: str = "ivf_cell",
+) -> DataFrame:
+    """IVF ANN over a stored cell assignment: scan only the rows whose
+    cell is among the query's top-``nprobe`` centroid cells, exact
+    cosine within. The coarse-quantizer complement to the LSH tables —
+    at 100 TB the index is PARTITIONED BY cell, so the probe filter is
+    partition pruning, not a scan."""
+    probes = ivf_query_probes(query_vec, centroids, nprobe)
+    return brute_force_topk(
+        indexed.where(F.col(cell_col).isin(probes)), id_col, vec_col, query_vec, k
+    )
+
+
 def ann_topk_from_signatures(
     sig_df: DataFrame,
     id_col: str,

@@ -1536,6 +1536,83 @@ ORDER BY score_bp DESC, vec_id LIMIT 10
 ORACLE_ANN_LSH_TOPK = _build_ann_lsh_oracle()
 
 
+_IVF_CENTROID_CACHE: dict[str, list] = {}
+
+
+def _ivf_centroids(spark, sf_dir):
+    """Deterministic IVF centroids for this corpus — cached per sf_dir
+    like the query vector (16-row collect)."""
+    if sf_dir not in _IVF_CENTROID_CACHE:
+        _IVF_CENTROID_CACHE[sf_dir] = S.ivf_centroids(
+            _read(spark, sf_dir, "embeddings"), "vec_id", "embedding"
+        )
+    return _IVF_CENTROID_CACHE[sf_dir]
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN: the coarse-quantizer complement to the LSH tables.
+    Cell assignments are STORED in the signature index (written once at
+    ingest; at scale the table is partitioned by cell so the probe
+    filter is partition pruning); the query scans only its top-nprobe
+    cells and brute-forces cosine within them. Centroids are a
+    deterministic md5-ranked spread sample, so the DuckDB oracle
+    derives the identical cells, probes, and result set."""
+    sigs = _index_tables(spark, sf_dir)["embedding_sigs"]
+    return S.ann_ivf_topk(
+        sigs,
+        "vec_id",
+        "embedding",
+        _query_vec(spark, sf_dir),
+        _ivf_centroids(spark, sf_dir),
+    )
+
+
+_IVF_DOT = (
+    "list_sum(list_transform(range(1, len(c.cvec)+1),"
+    " i -> CAST({v}[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE)))"
+    " / sqrt(list_sum(list_transform(range(1, len(c.cvec)+1),"
+    " i -> CAST(c.cvec[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE))))"
+)
+
+ORACLE_ANN_IVF_TOPK = f"""
+WITH cent AS (
+  SELECT cvec, cnum FROM (
+    SELECT embedding AS cvec,
+           row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cnum
+    FROM embeddings)
+  WHERE cnum <= {S.IVF_CELLS}
+),
+q AS (SELECT embedding AS qv FROM embeddings ORDER BY vec_id LIMIT 1),
+cd AS (SELECT c.cnum, {_IVF_DOT.format(v='q.qv')} AS d FROM cent c, q),
+probes AS (SELECT cnum FROM cd ORDER BY d DESC, cnum LIMIT {S.IVF_NPROBE}),
+rowd AS (
+  SELECT e.vec_id, c.cnum, {_IVF_DOT.format(v='e.embedding')} AS d
+  FROM embeddings e CROSS JOIN cent c
+),
+assign AS (
+  SELECT vec_id, cnum AS cell FROM (
+    SELECT vec_id, cnum,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cnum) AS rn
+    FROM rowd)
+  WHERE rn = 1
+),
+scored AS (
+  SELECT vec_id,
+       CAST(floor(
+         list_sum(list_transform(range(1, len(embedding)+1),
+                  i -> CAST(embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+          * sqrt(list_sum(list_transform(range(1, len(q.qv)+1),     i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))))
+         * 10000) AS BIGINT) AS score_bp
+  FROM embeddings, q
+)
+SELECT s.vec_id, s.score_bp
+FROM scored s JOIN assign a ON s.vec_id = a.vec_id
+WHERE a.cell IN (SELECT cnum FROM probes)
+ORDER BY s.score_bp DESC, s.vec_id LIMIT 10
+"""
+
+
 def q_ann_lsh_topk_stored(spark, sf_dir):
     """The stored-index twin of ann_lsh_topk: signatures read from the
     materialized (vec_id, embedding, sig0..sig3) table, probes are four
@@ -1968,6 +2045,7 @@ QUERIES: dict[str, tuple] = {
     "ann_cosine_topk": (q_ann_cosine_topk, ORACLE_ANN_COSINE_TOPK),
     "ann_lsh_topk": (q_ann_lsh_topk, ORACLE_ANN_LSH_TOPK),
     "ann_lsh_topk_stored": (q_ann_lsh_topk_stored, ORACLE_ANN_LSH_TOPK),
+    "ann_ivf_topk": (q_ann_ivf_topk, ORACLE_ANN_IVF_TOPK),
     "events_windowed": (q_events_windowed, ORACLE_EVENTS_WINDOWED),
     "sessionize": (q_sessionize, ORACLE_SESSIONIZE),
     "lineitem_metrics": (q_lineitem_metrics, ORACLE_LINEITEM_METRICS),

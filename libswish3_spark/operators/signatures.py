@@ -42,6 +42,9 @@ ANN_DIMS = 64
 ANN_PLANES = 8
 ANN_TABLES = 4
 ANN_SEED = 42
+# bump when the index schema/content rule changes — keys the on-disk
+# cache so stale layouts rebuild instead of being read back silently
+_INDEX_VERSION = 2
 
 
 def build_minhash_bucket_index(
@@ -60,21 +63,30 @@ def build_embedding_signature_index(
     n_tables: int = ANN_TABLES,
     seed: int = ANN_SEED,
     dims: int = ANN_DIMS,
+    centroids: list | None = None,
 ) -> DataFrame:
-    """(id, vec, sig0..sig{L-1}) — one signature int per LSH table,
-    identical plane literals to the in-scan path (similarity.
-    random_planes) so stored and computed results are bit-equal."""
+    """(id, vec, sig0..sig{L-1}, ivf_cell) — one signature int per LSH
+    table plus the IVF coarse-cell assignment, identical plane/centroid
+    literals to the in-scan paths (similarity.random_planes /
+    ivf_centroids) so stored and computed results are bit-equal. In a
+    real deployment this table is PARTITIONED BY ivf_cell (probe filter
+    = partition pruning) and bucketed on the sig columns."""
+    if centroids is None:
+        centroids = S.ivf_centroids(emb, id_col, vec_col)
     cols = [F.col(id_col), F.col(vec_col)]
     for t in range(n_tables):
         planes = S.random_planes(dims, n_planes, seed + t)
         cols.append(S.plane_signature(vec_col, planes).alias(f"sig{t}"))
+    cols.append(
+        F.expr(S.ivf_cell_sql(vec_col, centroids)).cast("int").alias("ivf_cell")
+    )
     return emb.select(*cols)
 
 
 def _index_root(sf_dir: str) -> str:
     """Cache location keyed by source identity: path plus mtime/size of
     the source parquet files, so a regenerated sf_dir invalidates."""
-    h = hashlib.md5(os.path.abspath(sf_dir).encode())
+    h = hashlib.md5(f"v{_INDEX_VERSION}:{os.path.abspath(sf_dir)}".encode())
     for name in ("documents.parquet", "embeddings.parquet"):
         p = os.path.join(sf_dir, name)
         try:

@@ -83,6 +83,43 @@ def test_stored_near_dup_equals_inline(spark):
     assert stored == inline
 
 
+def test_ivf_finds_planted_near_duplicates(spark):
+    """IVF semantics that matter for dedup/similarity: a vector that is
+    a tiny perturbation of a corpus vector must land in the same cell
+    as its original and be retrieved at rank 1 with the default nprobe.
+    Also: cells actually partition (more than one cell in use), and the
+    probe filter really prunes rows."""
+    import random
+
+    from libswish3_spark.operators.signatures import (
+        build_embedding_signature_index,
+    )
+
+    rng = random.Random(7)
+    base = [[rng.uniform(-1, 1) for _ in range(16)] for _ in range(200)]
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = S.ivf_centroids(emb, "vec_id", "embedding", 8)
+    idx = build_embedding_signature_index(
+        emb, dims=16, centroids=cents
+    ).cache()
+    cells = {r["vec_id"]: r["ivf_cell"] for r in idx.collect()}
+    assert len(set(cells.values())) > 1  # real partitioning
+    hits = 0
+    for probe_i in (3, 57, 121, 180):
+        q = [x + rng.uniform(-1e-3, 1e-3) for x in base[probe_i]]
+        got = S.ann_ivf_topk(
+            idx, "vec_id", "embedding", q, cents, k=1, nprobe=4
+        ).collect()
+        if got and got[0]["vec_id"] == probe_i:
+            hits += 1
+    assert hits == 4  # near-identical vectors always retrieved
+    # pruning: a 4-of-8-cell probe scans a strict subset
+    probes = S.ivf_query_probes(base[0], cents, nprobe=4)
+    pruned = idx.where(F.col("ivf_cell").isin(probes)).count()
+    assert 0 < pruned < len(base)
+
+
 def test_index_build_is_idempotent(spark):
     """ensure_index_tables: second call reuses the materialized parquet
     (the ingest-once contract) — no rewrite."""
