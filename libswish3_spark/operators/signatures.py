@@ -44,7 +44,7 @@ ANN_TABLES = 4
 ANN_SEED = 42
 # bump when the index schema/content rule changes — keys the on-disk
 # cache so stale layouts rebuild instead of being read back silently
-_INDEX_VERSION = 2
+_INDEX_VERSION = 3
 
 
 def build_minhash_bucket_index(
@@ -109,18 +109,31 @@ def ensure_index_tables(spark, sf_dir: str) -> dict[str, DataFrame]:
     """
     root = _index_root(sf_dir)
     out: dict[str, DataFrame] = {}
+    # embedding_sigs is PARTITIONED BY the IVF cell: the ANN probe
+    # filter (ivf_cell IN probes) then prunes whole partitions at the
+    # scan — at 100 TB the query touches nprobe/n_cells of the index
+    # files, not a filtered full scan (plan-gated in test_signatures)
     specs = {
-        "minhash_buckets": lambda: build_minhash_bucket_index(
-            spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        "minhash_buckets": (
+            lambda: build_minhash_bucket_index(
+                spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            ),
+            (),
         ),
-        "embedding_sigs": lambda: build_embedding_signature_index(
-            spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        "embedding_sigs": (
+            lambda: build_embedding_signature_index(
+                spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+            ),
+            ("ivf_cell",),
         ),
     }
-    for name, build in specs.items():
+    for name, (build, part_cols) in specs.items():
         path = os.path.join(root, name)
         done = os.path.join(path, "_SUCCESS")
         if not os.path.exists(done):
-            build().write.mode("overwrite").parquet(path)
+            w = build().write.mode("overwrite")
+            if part_cols:
+                w = w.partitionBy(*part_cols)
+            w.parquet(path)
         out[name] = spark.read.parquet(path)
     return out

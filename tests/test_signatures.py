@@ -120,6 +120,23 @@ def test_ivf_finds_planted_near_duplicates(spark):
     assert 0 < pruned < len(base)
 
 
+def test_ivf_probe_filter_is_partition_pruning(spark):
+    """The stored embedding index is partitioned by ivf_cell, so the
+    ANN probe filter must reach the scan as a PartitionFilter (whole
+    partitions skipped), not a post-scan row filter."""
+    from libswish3_spark.operators.signatures import ensure_index_tables
+
+    sigs = ensure_index_tables(spark, SF)["embedding_sigs"]
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qv = list(emb.orderBy("vec_id").limit(1).collect()[0]["embedding"])
+    cents = S.ivf_centroids(emb, "vec_id", "embedding")
+    out = S.ann_ivf_topk(sigs, "vec_id", "embedding", qv, cents)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [ivf_cell" in plan
+    # and it still returns real results
+    assert out.count() == 10
+
+
 def test_index_build_is_idempotent(spark):
     """ensure_index_tables: second call reuses the materialized parquet
     (the ingest-once contract) — no rewrite."""
