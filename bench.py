@@ -88,6 +88,7 @@ HEADLINE = [
     "events_windowed",
     "lineitem_metrics",
     "region_order_counts",
+    "part_type_revenue",
 ]
 
 

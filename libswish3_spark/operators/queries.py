@@ -1734,6 +1734,41 @@ GROUP BY 1
 """
 
 
+def q_part_type_revenue(spark, sf_dir):
+    """Fact-to-two-dims star join (lineitem ⋈ part ⋈ supplier): revenue
+    and discount-adjusted revenue per part type per supplier nation.
+    Both dims broadcast (small by construction); the fact table never
+    shuffles for the join — the one aggregate shuffle is on the tiny
+    (type, nation) grouping key with map-side partials."""
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part")
+    supp = _read(spark, sf_dir, "supplier")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy(F.col("p_type").alias("part_type"), F.col("s_nationkey").alias("nation"))
+        .agg(
+            F.count("*").alias("n_items"),
+            F.floor(F.sum("l_extendedprice")).cast("long").alias("revenue_floor"),
+            F.floor(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).cast("long").alias("discounted_floor"),
+        )
+    )
+
+
+ORACLE_PART_TYPE_REVENUE = """
+SELECT p_type AS part_type, s_nationkey AS nation,
+       count(*) AS n_items,
+       CAST(floor(sum(l_extendedprice)) AS BIGINT) AS revenue_floor,
+       CAST(floor(sum(l_extendedprice * (1 - l_discount))) AS BIGINT) AS discounted_floor
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY 1, 2
+"""
+
+
 def q_stemmed_terms(spark, sf_dir):
     """T10 pluggable stemmer hook, applied over the token stream."""
     return (
@@ -2050,6 +2085,7 @@ QUERIES: dict[str, tuple] = {
     "sessionize": (q_sessionize, ORACLE_SESSIONIZE),
     "lineitem_metrics": (q_lineitem_metrics, ORACLE_LINEITEM_METRICS),
     "region_order_counts": (q_region_order_counts, ORACLE_REGION_ORDER_COUNTS),
+    "part_type_revenue": (q_part_type_revenue, ORACLE_PART_TYPE_REVENUE),
     "media_features": (q_media_features, ORACLE_MEDIA_FEATURES),
     "media_ppm_features": (q_media_ppm_features, ORACLE_MEDIA_PPM_FEATURES),
 }
