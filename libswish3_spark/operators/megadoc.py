@@ -232,6 +232,7 @@ def _router_kernel(family: str, seg_chars: int, config=None):
                     allow
                     and spans is not None
                     and len(spans) == 1
+                    and spans[0] is not None  # null struct element
                     and spans[0]["kind"] == "text"
                 ):
                     text = spans[0]["text"] or ""

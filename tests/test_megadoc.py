@@ -359,7 +359,9 @@ def test_segmentation_fuzz_parity(spark):
     """Seeded fuzz: 60 random XML + 60 random HTML documents (nested
     elements, flush tags, noindex, media, rawtext) — segmented at two
     aggressive seg_chars must equal the single pass span-for-span.
-    One Spark job per (parser, seg_chars), not per document."""
+    Every third document is MULTI-SPAN (text split at a random point,
+    media span interleaved), exercising the router's whole-doc path in
+    the same sweep. One Spark job per (parser, seg_chars)."""
     import random
 
     from libswish3_spark.operators.megadoc import (
@@ -374,20 +376,50 @@ def test_segmentation_fuzz_parity(spark):
         (_rand_xml, "XML", extract_xml_segmented),
         (_rand_html, "HTML", extract_html_segmented),
     ):
-        rows = [
-            {
-                "doc_id": f"f{i}",
-                "spans": [
-                    {"kind": "text", "text": gen(rng, vocab), "media_ref": "", "offset": 0}
-                ],
-            }
-            for i in range(60)
-        ]
+        rows = []
+        for i in range(60):
+            text = gen(rng, vocab)
+            if i % 3 == 2 and len(text) > 10:
+                cut = rng.randint(1, len(text) - 1)
+                spans = [
+                    {"kind": "text", "text": text[:cut], "media_ref": "", "offset": 0},
+                    {"kind": "media", "text": "", "media_ref": f"img://{i}", "offset": 0},
+                    {"kind": "text", "text": text[cut:], "media_ref": "", "offset": 0},
+                ]
+            else:
+                spans = [
+                    {"kind": "text", "text": text, "media_ref": "", "offset": 0}
+                ]
+            rows.append({"doc_id": f"f{i}", "spans": spans})
         docs = spark.createDataFrame(rows, schema=DOCS_SCHEMA)
         plain = _spans(lsw.extract(docs.withColumn("parser", F.lit(parser))))
         for sc in (16, 64):
             seg = _spans(seg_fn(docs, seg_chars=sc))
             assert seg == plain, (parser, sc)
+
+
+def test_segmented_null_and_empty_spans_rows_survive(spark):
+    """Degenerate rows (spans=NULL, spans=[], null struct element) must
+    flow through the segmented entries exactly as through plain extract
+    — router edge guard, not a kernel crash."""
+    from libswish3_spark.operators.megadoc import extract_txt_segmented
+
+    rows = [
+        {"doc_id": "null.txt", "spans": None},
+        {"doc_id": "empty.txt", "spans": []},
+        {"doc_id": "ok.txt",
+         "spans": [{"kind": "text", "text": "three words here", "media_ref": "", "offset": 0}]},
+    ]
+    docs = spark.createDataFrame(rows, schema=DOCS_SCHEMA)
+    plain = {
+        r["doc_id"]: (r["nwords"], [tuple(x) for x in r["spans"]])
+        for r in lsw.extract(docs.withColumn("parser", F.lit("TXT"))).collect()
+    }
+    seg = {
+        r["doc_id"]: (r["nwords"], [tuple(x) for x in r["spans"]])
+        for r in extract_txt_segmented(docs, seg_chars=8).collect()
+    }
+    assert seg == plain
 
 
 def test_segmented_multi_span_docs_fall_back_to_plain(spark):
