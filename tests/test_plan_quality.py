@@ -29,6 +29,15 @@ def test_parser_dispatch_broadcasts(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_part_supplier_star_join_broadcasts(spark):
+    """Both dims of the star join broadcast; the fact table never
+    sort-merges, and the aggregate has a map-side partial."""
+    plan = _plan(QUERIES["part_type_revenue"][0](spark, SF))
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
 def test_filter_pushdown_reaches_scan(spark, tmp_path):
     """A filter before extract() must reach the parquet scan, not sit
     above the mapInArrow."""
