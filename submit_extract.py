@@ -6,7 +6,8 @@
         --output s3://bucket/extracted/       \\
         --buckets 4096 --salt-partitions 8192 \\
         [--config swish.xml] [--streaming --checkpoint s3://.../ck] \\
-        [--xinclude] [--postings s3://bucket/postings/]
+        [--xinclude] [--postings s3://bucket/postings/] \\
+        [--minhash-index s3://bucket/minhash_buckets/]
 
 Batch mode resumes idempotently from the output's bucket manifest
 (plans/checkpoint.py); streaming mode resumes from the sink checkpoint.
@@ -33,6 +34,12 @@ def main(argv=None) -> int:
     p.add_argument("--salt-partitions", type=int, default=0, help="mega-doc skew salt")
     p.add_argument("--xinclude", action="store_true", help="resolve XIncludes (joins)")
     p.add_argument("--postings", help="also write index postings here")
+    p.add_argument(
+        "--minhash-index",
+        help="also write the minhash band-bucket signature index here "
+        "(operators/signatures.py — computed once at ingest so no dedup "
+        "query ever re-folds signatures over the corpus)",
+    )
     p.add_argument("--streaming", action="store_true")
     p.add_argument("--checkpoint", help="streaming checkpoint location")
     p.add_argument("--run-id", default="run0")
@@ -88,6 +95,18 @@ def main(argv=None) -> int:
 
         extract_index_postings(docs, cfg).write.mode("overwrite").parquet(
             args.postings
+        )
+    if args.minhash_index:
+        from pyspark.sql import functions as F
+
+        from libswish3_spark.operators.signatures import build_minhash_bucket_index
+
+        corpus = extracted.select(
+            "doc_id",
+            F.element_at("metanames", "swishdefault").alias("text"),
+        ).where(F.col("text").isNotNull())
+        build_minhash_bucket_index(corpus).write.mode("overwrite").parquet(
+            args.minhash_index
         )
     print(
         f"processed buckets: {len(result['processed'])}, "

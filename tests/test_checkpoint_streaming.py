@@ -101,12 +101,14 @@ def test_submit_extract_cli_batch(spark, tmp_path):
     postings = str(tmp_path / "postings_out")
     _docs(spark).write.mode("overwrite").parquet(src)
 
+    mh_index = str(tmp_path / "minhash_idx")
     rc = submit_extract.main(
         [
             "--input", src,
             "--output", out,
             "--buckets", "4",
             "--postings", postings,
+            "--minhash-index", mh_index,
             "--run-id", "t1",
         ]
     )
@@ -120,6 +122,10 @@ def test_submit_extract_cli_batch(spark, tmp_path):
     metrics = spark.read.parquet(os.path.join(out, "_metrics"))
     assert metrics.agg(F.sum("docs")).collect()[0][0] == n
     assert spark.read.parquet(postings).count() > 0
+    # ingest-side signature index: (id, bucket) rows, bands per doc
+    idx = spark.read.parquet(mh_index)
+    assert set(idx.columns) == {"id", "bucket"}
+    assert idx.count() > 0
     # second invocation resumes to a no-op (idempotent)
     rc2 = submit_extract.main(
         ["--input", src, "--output", out, "--buckets", "4", "--run-id", "t2"]
