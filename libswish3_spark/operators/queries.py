@@ -1237,15 +1237,21 @@ def _minhash_sql(j):
     return f"list_min(list_transform(sh, s -> substr(md5(s || '#{g}'), {off}, 8)))"
 
 
-def _minhash_cand_ctes():
-    """Shared CTE block: shingles → band buckets (capped) → candidate
-    pairs, mirroring minhash_candidates(max_bucket=MAX_BUCKET)."""
+def _bucket_list_sql():
+    """SQL list literal of the 8 band-bucket keys over a shingle column
+    ``sh`` — mirrors functions/dedup.band_buckets exactly."""
     r = D.MINHASH_K // D.MINHASH_BANDS
     buckets = []
     for b in range(D.MINHASH_BANDS):
         parts = " || '|' || ".join(_minhash_sql(b * r + j) for j in range(r))
         buckets.append(f"md5('{b}' || '|' || {parts})")
-    bucket_list = "[" + ", ".join(buckets) + "]"
+    return "[" + ", ".join(buckets) + "]"
+
+
+def _minhash_cand_ctes():
+    """Shared CTE block: shingles → band buckets (capped) → candidate
+    pairs, mirroring minhash_candidates(max_bucket=MAX_BUCKET)."""
+    bucket_list = _bucket_list_sql()
     return f"""
 sh AS (
   SELECT doc_id AS id, {_SHINGLE_SQL} AS sh FROM documents
@@ -1269,6 +1275,57 @@ ORACLE_DEDUP_MINHASH = f"WITH {_minhash_cand_ctes()} SELECT a, b FROM cand"
 ORACLE_MINHASH_BUCKET_INDEX = (
     f"WITH {_minhash_cand_ctes()} SELECT id, bucket FROM bk"
 )
+
+def q_neardup_incremental(spark, sf_dir):
+    """Ingest-time near-dup detection, batch twin of
+    streaming/neardup.near_dup_stream (the same DataFrame ops run under
+    a stream): a batch of arrivals (every 10th doc replayed under a new
+    id) band-bucketed within-row and joined against the STORED bucket
+    index — candidates of new content vs the already-indexed corpus."""
+    from libswish3_spark.streaming.neardup import near_dup_stream
+
+    idx = _index_tables(spark, sf_dir)["minhash_buckets"]
+    base = _docs(spark, sf_dir).where(F.col("doc_id") % 10 == 0)
+    arrivals = base.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.col("text").alias("text"),
+                F.lit("").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+    )
+    return (
+        near_dup_stream(arrivals, idx)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("matched_id").cast("long").alias("matched_id"),
+        )
+        .distinct()
+    )
+
+
+ORACLE_NEARDUP_INCREMENTAL = f"""
+WITH sh AS (
+  SELECT doc_id AS id, {_SHINGLE_SQL} AS sh FROM documents
+),
+bk AS (
+  SELECT id, unnest({_bucket_list_sql()}) AS bucket FROM sh WHERE len(sh) > 0
+),
+ash AS (
+  SELECT doc_id + 100000 AS id, {_SHINGLE_SQL} AS sh
+  FROM documents WHERE doc_id % 10 = 0
+),
+abk AS (
+  SELECT id, unnest({_bucket_list_sql()}) AS bucket FROM ash WHERE len(sh) > 0
+)
+SELECT DISTINCT a.id AS doc_id, b.id AS matched_id
+FROM abk a JOIN bk b USING (bucket)
+WHERE a.id <> b.id
+"""
+
 
 # small cap so the sf corpora actually drop buckets and the metric row
 # carries non-zero counts under the hash check
@@ -2068,6 +2125,7 @@ QUERIES: dict[str, tuple] = {
     "curation_pipeline": (q_curation_pipeline, ORACLE_CURATION_PIPELINE),
     "minhash_bucket_index": (q_minhash_bucket_index, ORACLE_MINHASH_BUCKET_INDEX),
     "dedup_drop_metrics": (q_dedup_drop_metrics, ORACLE_DEDUP_DROP_METRICS),
+    "neardup_incremental": (q_neardup_incremental, ORACLE_NEARDUP_INCREMENTAL),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, ORACLE_DEDUP_MINHASH),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, ORACLE_DEDUP_NGRAM_JACCARD),
     "dedup_resolved": (q_dedup_resolved, ORACLE_DEDUP_RESOLVED),

@@ -204,6 +204,55 @@ def test_dedup_stream_first_seen_survives_restart(spark, tmp_path):
     assert got2 == {"e"}
 
 
+def test_streaming_near_dup_against_stored_index(spark, tmp_path):
+    """Ingest-time near-dup detection: an arriving copy of an
+    already-indexed document must surface as a candidate pair via the
+    stream-static join against the stored bucket index; novel content
+    must not. Stateless — no watermark, no state store."""
+    from libswish3_spark.operators.signatures import build_minhash_bucket_index
+    from libswish3_spark.pipeline import DOCS_SCHEMA
+    from libswish3_spark.streaming.neardup import near_dup_stream
+
+    corpus_text = "the quick brown fox jumps over the lazy dog again and again"
+    static = spark.createDataFrame(
+        [("old1", corpus_text), ("old2", "completely unrelated corpus words here")],
+        ["doc_id", "text"],
+    )
+    idx_path = str(tmp_path / "bucket_idx")
+    build_minhash_bucket_index(static, "doc_id", "text").write.parquet(idx_path)
+
+    src = str(tmp_path / "arrivals")
+    out = str(tmp_path / "pairs")
+
+    def row(doc_id, text):
+        return {
+            "doc_id": doc_id,
+            "spans": [{"kind": "text", "text": text, "media_ref": "", "offset": 0}],
+        }
+
+    spark.createDataFrame(
+        [row("new_dup", corpus_text), row("new_novel", "entirely fresh never seen tokens")],
+        schema=DOCS_SCHEMA,
+    ).write.parquet(src)
+
+    stream = spark.readStream.schema(DOCS_SCHEMA).parquet(src)
+    pairs = near_dup_stream(stream, spark.read.parquet(idx_path))
+
+    def sink(df, bid):
+        df.dropDuplicates(["doc_id", "matched_id"]).write.mode("append").parquet(out)
+
+    q = (
+        pairs.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["doc_id"], r["matched_id"]) for r in spark.read.parquet(out).collect()}
+    assert ("new_dup", "old1") in got  # identical text → same buckets, guaranteed
+    assert not [p for p in got if p[0] == "new_novel"]
+
+
 def test_keep_first_equal_seq_tiebreak_matches_batch_twin():
     """Within-batch keeper under equal/missing seq = min (seq, doc_id),
     exactly the batch twin's min_by(struct(seq, doc_id)) ordering —
