@@ -66,6 +66,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_keep_first",
     "dedup_paragraphs",
+    "dedup_ngram_spans",
     "quality_filter",
     "pii_redact",
     "curation_pipeline",

@@ -510,6 +510,92 @@ def simhash(tok_col, bits: int = SIMHASH_BITS) -> Column:
     return bind(tok_col, build)
 
 
+def duplicated_ngram_starts(
+    df: DataFrame, id_col: str, text_col: str, n: int = 8, min_count: int = 2
+) -> DataFrame:
+    """(id, pos) start positions of every token n-gram whose exact
+    content occurs at least ``min_count`` times across the corpus
+    (including repeats within one document) — the detection half of
+    exact substring dedup (the sequence-level dedup of Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better",
+    published recipe; 50-token windows there, parameterized here).
+
+    Shape at scale: per-row window hashes (one narrow projection,
+    O(tokens·n) bytes hashed), ONE explode to (id, pos, gram-hash)
+    rows, one count aggregate on the hash (partial map-side, uniform
+    md5 keys — skew-free), one join back. Nothing quadratic; the
+    duplicated-hash set is boilerplate-sized, not corpus-sized.
+    """
+    toks = tokens(F.col(text_col))
+
+    def gram_hashes(ts):
+        grams = F.transform(
+            F.sequence(F.lit(0), F.size(ts) - n),
+            lambda j: F.md5(F.concat_ws(" ", F.slice(ts, j + 1, n))),
+        )
+        return F.when(F.size(ts) >= n, grams).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(bind(toks, gram_hashes)).alias("pos", "gh"),
+    )
+    dup = (
+        exploded.groupBy("gh")
+        .agg(F.count("*").alias("_c"))
+        .where(F.col("_c") >= min_count)
+        .select("gh")
+    )
+    return exploded.join(dup, "gh").select("id", "pos")
+
+
+def remove_duplicated_ngrams(
+    df: DataFrame, id_col: str, text_col: str, n: int = 8, min_count: int = 2
+) -> DataFrame:
+    """Exact substring dedup: drop every token covered by a duplicated
+    n-gram window, rebuild the text from the survivors.
+
+    Returns (id, clean_text, n_kept, n_removed) for EVERY input doc
+    (fully-duplicated docs come back with clean_text='' — same
+    no-silent-loss contract as drop_frequent_paragraphs). Coverage is
+    computed by exploding each duplicated window start to its n token
+    positions (O(dup-windows·n), boilerplate-bounded) and anti-joining
+    the token stream; reassembly is the ordered collect used across
+    this module. The token stream shuffles once (groupBy id).
+    """
+    starts = duplicated_ngram_starts(df, id_col, text_col, n, min_count)
+    covered = starts.select(
+        "id", F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias("tpos")
+    ).distinct()
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(F.col(text_col))).alias("tpos", "tok"),
+    )
+    kept = toks.join(covered, ["id", "tpos"], "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tpos", "tok"))),
+                lambda e: e["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    totals = df.select(
+        F.col(id_col).alias("id"), F.size(tokens(F.col(text_col))).alias("n_total")
+    )
+    return totals.join(rebuilt, "id", "left").select(
+        "id",
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+        (F.col("n_total") - F.coalesce("n_kept", F.lit(0))).cast("long").alias(
+            "n_removed"
+        ),
+    )
+
+
 def _regex_quote(s: str) -> str:
     """Java-regex literal quoting (Pattern.quote): \\Q...\\E with any
     embedded \\E split out, so a separator like '.' or '||' splits as a

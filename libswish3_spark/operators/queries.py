@@ -1077,6 +1077,61 @@ FROM kept k JOIN keepers USING (doc_id)
 ORACLE_CURATION_PIPELINE = _build_curation_pipeline_oracle()
 
 
+NGRAM_SPAN_N = 8
+
+
+def q_dedup_ngram_spans(spark, sf_dir):
+    """Exact substring dedup (sequence-level, Lee et al. recipe): every
+    token covered by an n-gram that occurs >= 2 times anywhere in the
+    corpus is dropped, text rebuilt from survivors. Detection is one
+    explode + one count aggregate on uniform md5 keys; coverage is
+    boilerplate-bounded. Every doc returns (all-duplicated ->
+    clean_text='')."""
+    return D.remove_duplicated_ngrams(
+        _docs(spark, sf_dir), "doc_id", "text", n=NGRAM_SPAN_N
+    ).select(
+        F.col("id").alias("doc_id"), "clean_text", "n_kept", "n_removed"
+    )
+
+
+def _build_ngram_spans_oracle(n=NGRAM_SPAN_N):
+    gram = " || ' ' || ".join(f"toks[j+{i}]" for i in range(n))
+    return f"""
+WITH t AS (SELECT doc_id AS id, {TOKS_SQL} AS toks FROM documents),
+g AS (
+  SELECT id, j - 1 AS pos, md5({gram}) AS gh
+  FROM t, unnest(range(1, greatest(len(toks) - {n - 2}, 1))) AS u(j)
+),
+dup AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
+cov AS (
+  SELECT DISTINCT g.id, g.pos + k AS tpos
+  FROM g JOIN dup USING (gh), unnest(range(0, {n})) AS ks(k)
+),
+tok AS (
+  SELECT id, k - 1 AS tpos, toks[k] AS tok
+  FROM t, unnest(range(1, len(toks) + 1)) AS tk(k)
+),
+kept AS (
+  SELECT tok.id, tok.tpos, tok.tok
+  FROM tok LEFT JOIN cov ON tok.id = cov.id AND tok.tpos = cov.tpos
+  WHERE cov.id IS NULL
+),
+reb AS (
+  SELECT id, string_agg(tok, ' ' ORDER BY tpos) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY id
+)
+SELECT t.id AS doc_id,
+       coalesce(reb.clean_text, '') AS clean_text,
+       coalesce(reb.n_kept, 0) AS n_kept,
+       CAST(len(t.toks) - coalesce(reb.n_kept, 0) AS BIGINT) AS n_removed
+FROM t LEFT JOIN reb USING (id)
+"""
+
+
+ORACLE_DEDUP_NGRAM_SPANS = _build_ngram_spans_oracle()
+
+
 def q_xinclude_merge(spark, sf_dir):
     """P10 XInclude under the driver oracle (reference parser.c:990-1079
     merge semantics): per document, a parent XML doc includes a child
@@ -2126,6 +2181,7 @@ QUERIES: dict[str, tuple] = {
     "minhash_bucket_index": (q_minhash_bucket_index, ORACLE_MINHASH_BUCKET_INDEX),
     "dedup_drop_metrics": (q_dedup_drop_metrics, ORACLE_DEDUP_DROP_METRICS),
     "neardup_incremental": (q_neardup_incremental, ORACLE_NEARDUP_INCREMENTAL),
+    "dedup_ngram_spans": (q_dedup_ngram_spans, ORACLE_DEDUP_NGRAM_SPANS),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, ORACLE_DEDUP_MINHASH),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, ORACLE_DEDUP_NGRAM_JACCARD),
     "dedup_resolved": (q_dedup_resolved, ORACLE_DEDUP_RESOLVED),

@@ -324,6 +324,36 @@ def test_ann_lsh_recall_vs_brute_force(spark):
     assert sum(recalls) / len(recalls) >= 0.9, recalls
 
 
+def test_remove_duplicated_ngrams(spark):
+    """Exact substring dedup: tokens covered by a corpus-repeated
+    n-gram vanish, unique content survives verbatim, fully-duplicated
+    docs return empty (not dropped), short docs pass through."""
+    boiler = "this exact boilerplate sentence repeats across many documents verbatim"
+    rows = [
+        (1, f"unique alpha opening words here {boiler} and unique alpha tail content"),
+        (2, f"different beta lead-in text now {boiler} plus another distinct ending"),
+        (3, boiler),  # nothing but the duplicated span
+        (4, "entirely original document with no repeated window at all in it"),
+        (5, "tiny doc"),  # shorter than n: no windows, untouched
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["id"]: r
+        for r in D.remove_duplicated_ngrams(df, "doc_id", "text", n=8).collect()
+    }
+    assert len(out) == 5  # every doc present
+    for tok in boiler.split():
+        # boilerplate-only tokens are gone from every doc that had them
+        assert tok not in out[3]["clean_text"].split()
+    assert out[3]["clean_text"] == "" and out[3]["n_kept"] == 0
+    assert "unique" in out[1]["clean_text"] and "alpha" in out[1]["clean_text"]
+    assert "distinct" in out[2]["clean_text"]
+    assert out[4]["n_removed"] == 0  # untouched
+    assert out[5]["clean_text"] == "tiny doc" and out[5]["n_removed"] == 0
+    # removal counts: doc 3 lost all its tokens
+    assert out[3]["n_removed"] == len(boiler.split())
+
+
 def test_cap_drop_metrics_planted_hot_bucket(spark):
     """The max_bucket guard's drops must be countable: plant a hot
     bucket (12 identical docs → every band bucket has 12 members) and
