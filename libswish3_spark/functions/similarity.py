@@ -228,6 +228,70 @@ def lsh_bucketed_topk(
     )
 
 
+def _hexval(ch) -> Column:
+    return F.instr(F.lit("0123456789abcdef"), ch) - 1
+
+
+def hashed_tf_embedding(tok_col, dim: int = 64, normalize: bool = True) -> Column:
+    """Feature-hashing document embedding (the hashing trick): token t
+    adds ±1 to component (16·h3 + h4) mod dim of an integer
+    accumulator, where h3/h4/h5 are md5(t) hex digits and the sign is
+    the parity of h5 (the classic sign debiasing); the result is the
+    L2-normalized vector as array<double>.
+
+    This is the bridge from the TEXT ops to the EMBEDDING ops: hashed
+    vectors feed embedding_near_dup_pairs / the IVF/LSH indexes
+    directly, giving a no-model vector path for corpora without
+    learned embeddings. Integer accumulation is order-independent, so
+    the value is deterministic under any partitioning and exactly
+    reproducible by a relational GROUP BY in the SQL oracle; md5 keeps
+    it engine-portable. Computed WITHIN the row (one fold over the
+    token array, like minhash/simhash) — zero shuffle.
+    """
+
+    def build(toks):
+        def contrib(t):
+            def fromdigest(digest):
+                bucket = (
+                    _hexval(F.substring(digest, 3, 1)) * 16
+                    + _hexval(F.substring(digest, 4, 1))
+                ) % dim
+                sign = F.when(
+                    _hexval(F.substring(digest, 5, 1)) % 2 == 0, F.lit(1)
+                ).otherwise(F.lit(-1)).cast("long")
+                return F.transform(
+                    F.sequence(F.lit(0), F.lit(dim - 1)),
+                    lambda j: F.when(j == bucket, sign).otherwise(F.lit(0).cast("long")),
+                )
+
+            return F.element_at(
+                F.transform(F.array(F.md5(t)), fromdigest), 1
+            )
+
+        acc = F.aggregate(
+            toks,
+            F.array_repeat(F.lit(0).cast("long"), dim),
+            lambda a, t: F.zip_with(a, contrib(t), lambda x, y: x + y),
+        )
+
+        if not normalize:
+            return acc
+
+        def l2(a):
+            nrm = F.sqrt(
+                F.aggregate(
+                    a, F.lit(0.0), lambda s, v: s + (v * v).cast("double")
+                )
+            )
+            return F.when(
+                nrm > 0, F.transform(a, lambda v: v.cast("double") / nrm)
+            ).otherwise(F.transform(a, lambda v: F.lit(0.0)))
+
+        return F.element_at(F.transform(F.array(acc), l2), 1)
+
+    return F.element_at(F.transform(F.array(tok_col), build), 1)
+
+
 IVF_CELLS = 16
 IVF_NPROBE = 4
 

@@ -1077,6 +1077,61 @@ FROM kept k JOIN keepers USING (doc_id)
 ORACLE_CURATION_PIPELINE = _build_curation_pipeline_oracle()
 
 
+def q_doc_embedding_hash(spark, sf_dir):
+    """Feature-hashing doc embeddings (the text→vector bridge): ±1
+    hashed-TF accumulation per md5 bucket, within-row fold, zero
+    shuffle. Integer accumulator stats plus the first normalized
+    component in basis points go under the driver hash; the normalized
+    vectors feed embedding_near_dup_pairs / the IVF and LSH indexes
+    directly (composition pytest)."""
+    raw = S.hashed_tf_embedding(T.tokens(F.col("text")), normalize=False)
+    base = _docs(spark, sf_dir).select("doc_id", raw.alias("acc"))
+    sumsq = F.aggregate(
+        F.col("acc"), F.lit(0.0), lambda s, v: s + (v * v).cast("double")
+    )
+    return base.select(
+        "doc_id",
+        F.size(F.filter(F.col("acc"), lambda v: v != 0)).alias("n_nonzero"),
+        F.aggregate(
+            F.col("acc"), F.lit(0).cast("long"), lambda s, v: s + F.abs(v)
+        ).alias("l1"),
+        F.when(
+            sumsq > 0,
+            F.floor(F.element_at(F.col("acc"), 1) / F.sqrt(sumsq) * 10000),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("comp0_bp"),
+    )
+
+
+_HB = "(instr('0123456789abcdef', substr(md5(t), {i}, 1)) - 1)"
+ORACLE_DOC_EMBEDDING_HASH = f"""
+WITH tokb AS (
+  SELECT doc_id,
+         ({_HB.format(i=3)} * 16 + {_HB.format(i=4)}) % 64 AS bucket,
+         CASE WHEN {_HB.format(i=5)} % 2 = 0 THEN 1 ELSE -1 END AS sign
+  FROM (SELECT doc_id, unnest({TOKS_SQL}) AS t FROM documents)
+),
+acc AS (SELECT doc_id, bucket, sum(sign) AS v FROM tokb GROUP BY 1, 2),
+st AS (
+  SELECT doc_id,
+         count(*) FILTER (WHERE v <> 0) AS n_nonzero,
+         sum(abs(v)) AS l1,
+         sum(v * v) AS sumsq,
+         coalesce(max(CASE WHEN bucket = 0 THEN v END), 0) AS comp0
+  FROM acc GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(st.n_nonzero, 0) AS INT) AS n_nonzero,
+       CAST(coalesce(st.l1, 0) AS BIGINT) AS l1,
+       CAST(CASE WHEN coalesce(st.sumsq, 0) > 0
+                 THEN floor(st.comp0 / sqrt(st.sumsq) * 10000)
+                 ELSE 0 END AS BIGINT) AS comp0_bp
+FROM documents d LEFT JOIN st USING (doc_id)
+"""
+
+
 NGRAM_SPAN_N = 8
 
 
@@ -2182,6 +2237,7 @@ QUERIES: dict[str, tuple] = {
     "dedup_drop_metrics": (q_dedup_drop_metrics, ORACLE_DEDUP_DROP_METRICS),
     "neardup_incremental": (q_neardup_incremental, ORACLE_NEARDUP_INCREMENTAL),
     "dedup_ngram_spans": (q_dedup_ngram_spans, ORACLE_DEDUP_NGRAM_SPANS),
+    "doc_embedding_hash": (q_doc_embedding_hash, ORACLE_DOC_EMBEDDING_HASH),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, ORACLE_DEDUP_MINHASH),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, ORACLE_DEDUP_NGRAM_JACCARD),
     "dedup_resolved": (q_dedup_resolved, ORACLE_DEDUP_RESOLVED),

@@ -137,6 +137,46 @@ def test_ivf_probe_filter_is_partition_pruning(spark):
     assert out.count() == 10
 
 
+def test_hashed_embedding_feeds_embedding_ops(spark):
+    """The text→vector bridge composes: hashed-TF embeddings of two
+    near-identical documents must surface as an embedding near-dup
+    pair through the SAME plane-bucketed operator the embeddings table
+    uses; a distinct document must not pair with either."""
+    from libswish3_spark.functions.text import tokens
+
+    base = ("the training corpus contains many documents and this one "
+            "talks about feature hashing tricks for vectors at scale " * 3)
+    near = base.replace("tricks", "methods", 1)
+    other = ("completely different topic entirely unrelated words "
+             "about cooking pasta recipes and olive oil " * 3)
+    # b = exact content dup of a (identical vector → identical bucket,
+    # deterministic); n = one-word edit (cosine ≈ 0.99 but may flip a
+    # marginal plane — the single-table gap multi-probe exists for)
+    df = spark.createDataFrame(
+        [("a", base), ("b", base), ("n", near), ("c", other)],
+        ["doc_id", "text"],
+    )
+    emb = df.select(
+        "doc_id",
+        S.hashed_tf_embedding(tokens(F.col("text"))).alias("embedding"),
+    ).cache()
+    planes = S.random_planes(64, 8, seed=42)
+    pairs = {
+        (r["a"], r["b"]): r["score_bp"]
+        for r in S.embedding_near_dup_pairs(
+            emb, "doc_id", "embedding", planes, min_score_bp=8000
+        ).collect()
+    }
+    assert ("a", "b") in pairs and pairs[("a", "b")] == 10000
+    assert not [p for p in pairs if "c" in p]
+    # the one-word edit is recovered by the multi-probe multi-table ANN
+    qv = list(emb.where(F.col("doc_id") == "n").collect()[0]["embedding"])
+    got = [r["vec_id"] for r in S.lsh_bucketed_topk(
+        emb.withColumnRenamed("doc_id", "vec_id"), "vec_id", "embedding", qv, k=3
+    ).collect()]
+    assert "a" in got and "b" in got and "c" not in got
+
+
 def test_index_build_is_idempotent(spark):
     """ensure_index_tables: second call reuses the materialized parquet
     (the ingest-once contract) — no rewrite."""
