@@ -10,7 +10,7 @@ operator here has an independent oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 TOKEN_PATTERN = "[a-z0-9'_]+"
 
@@ -205,6 +205,59 @@ def repetition_bp(text_col, n: int = 3) -> Column:
 # Deterministic PII redaction patterns: semantics identical in Java
 # regex (Spark) and RE2 (DuckDB) — character classes, bounded
 # quantifiers, no backrefs/lookaround.
+def corpus_rarity_features(
+    df: DataFrame, id_col: str, text_col: str, rare_max_count: int = 2
+) -> DataFrame:
+    """Corpus-statistics quality features — the no-model stand-in for
+    LM-perplexity filtering: documents dominated by corpus-rare tokens
+    are gibberish/OCR noise; documents of only ultra-common tokens are
+    boilerplate. Two integer-exact signals per doc:
+
+    * ``rare_bp``      — basis points of tokens whose corpus count is
+      ≤ ``rare_max_count`` (the rare-token ratio);
+    * ``surprisal_c``  — 100 × mean over tokens of the DIGIT COUNT of
+      floor(total_tokens / count(token)) — an exact integer bucketing
+      of log10 unigram surprisal (a float log would hash differently
+      across engines; digit count is the same everywhere).
+
+    Shape at scale: one explode over tokens, one corpus frequency
+    aggregate (map-side combined; the frequency table is
+    vocabulary-sized — broadcast it when it fits, which it does for any
+    natural-language corpus), one lookup join, one per-doc aggregate.
+    The hot-key skew of stopwords lives in the lookup join's PROBE side
+    only (hash join: no sort on the skewed key).
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = freq.agg(F.sum("cnt").alias("total"))
+    scored = (
+        toks.join(F.broadcast(freq), "tok")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "id",
+            (F.col("cnt") <= rare_max_count).cast("int").alias("is_rare"),
+            F.length(
+                F.floor(F.col("total") / F.col("cnt")).cast("long").cast("string")
+            ).alias("digits"),
+        )
+    )
+    per_doc = scored.groupBy("id").agg(
+        F.count("*").alias("n_tokens"),
+        F.floor(F.sum("is_rare") * 10000 / F.count("*")).cast("long").alias("rare_bp"),
+        F.floor(F.sum("digits") * 100 / F.count("*")).cast("long").alias("surprisal_c"),
+    )
+    # token-less docs still get a row (zeroes), per the no-silent-loss
+    # contract shared across this layer
+    return df.select(F.col(id_col).alias("id")).join(per_doc, "id", "left").select(
+        "id",
+        F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
+        F.coalesce("rare_bp", F.lit(0).cast("long")).alias("rare_bp"),
+        F.coalesce("surprisal_c", F.lit(0).cast("long")).alias("surprisal_c"),
+    )
+
+
 EMAIL_PATTERN = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
 LONG_NUMBER_PATTERN = "[0-9]{9,}"
 

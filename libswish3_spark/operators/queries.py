@@ -1077,6 +1077,42 @@ FROM kept k JOIN keepers USING (doc_id)
 ORACLE_CURATION_PIPELINE = _build_curation_pipeline_oracle()
 
 
+def q_corpus_rarity(spark, sf_dir):
+    """Corpus-statistics quality scoring (the no-model perplexity
+    stand-in): rare-token ratio + integer-exact unigram-surprisal
+    bucketing per doc. One explode, one vocabulary-sized frequency
+    aggregate (broadcast), one lookup join, one per-doc aggregate."""
+    from libswish3_spark.functions.text import corpus_rarity_features
+
+    return corpus_rarity_features(_docs(spark, sf_dir), "doc_id", "text").select(
+        F.col("id").alias("doc_id"), "n_tokens", "rare_bp", "surprisal_c"
+    )
+
+
+ORACLE_CORPUS_RARITY = f"""
+WITH tok AS (SELECT doc_id AS id, unnest({TOKS_SQL}) AS tok FROM documents),
+freq AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY 1),
+tot AS (SELECT sum(cnt) AS total FROM freq),
+sc AS (
+  SELECT id,
+         CASE WHEN cnt <= 2 THEN 1 ELSE 0 END AS is_rare,
+         length(CAST(CAST(floor(total / cnt) AS BIGINT) AS VARCHAR)) AS digits
+  FROM tok JOIN freq USING (tok), tot
+),
+pd AS (
+  SELECT id, count(*) AS n_tokens,
+         CAST(floor(sum(is_rare) * 10000 / count(*)) AS BIGINT) AS rare_bp,
+         CAST(floor(sum(digits) * 100 / count(*)) AS BIGINT) AS surprisal_c
+  FROM sc GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(pd.n_tokens, 0) AS n_tokens,
+       coalesce(pd.rare_bp, 0) AS rare_bp,
+       coalesce(pd.surprisal_c, 0) AS surprisal_c
+FROM documents d LEFT JOIN pd ON d.doc_id = pd.id
+"""
+
+
 def q_doc_embedding_hash(spark, sf_dir):
     """Feature-hashing doc embeddings (the text→vector bridge): ±1
     hashed-TF accumulation per md5 bucket, within-row fold, zero
@@ -2238,6 +2274,7 @@ QUERIES: dict[str, tuple] = {
     "neardup_incremental": (q_neardup_incremental, ORACLE_NEARDUP_INCREMENTAL),
     "dedup_ngram_spans": (q_dedup_ngram_spans, ORACLE_DEDUP_NGRAM_SPANS),
     "doc_embedding_hash": (q_doc_embedding_hash, ORACLE_DOC_EMBEDDING_HASH),
+    "corpus_rarity": (q_corpus_rarity, ORACLE_CORPUS_RARITY),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, ORACLE_DEDUP_MINHASH),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, ORACLE_DEDUP_NGRAM_JACCARD),
     "dedup_resolved": (q_dedup_resolved, ORACLE_DEDUP_RESOLVED),

@@ -324,6 +324,28 @@ def test_ann_lsh_recall_vs_brute_force(spark):
     assert sum(recalls) / len(recalls) >= 0.9, recalls
 
 
+def test_corpus_rarity_features(spark):
+    """Rare-token ratio + surprisal bucketing: a gibberish doc of
+    corpus-unique tokens scores maximal rare_bp and higher surprisal
+    than a doc made of corpus-common words; empty docs survive as
+    zero rows."""
+    from libswish3_spark.functions.text import corpus_rarity_features
+
+    common = "the cat and the dog and the cat again"
+    rows = [(i, common) for i in range(5)]
+    rows.append((90, "zxqv wplk jmrt qqzx nvbh"))  # each token unique in corpus
+    rows.append((91, ""))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["id"]: r
+        for r in corpus_rarity_features(df, "doc_id", "text").collect()
+    }
+    assert out[90]["rare_bp"] == 10000  # all tokens rare
+    assert out[0]["rare_bp"] == 0  # every token occurs 5+ times
+    assert out[90]["surprisal_c"] > out[0]["surprisal_c"]
+    assert out[91]["n_tokens"] == 0 and out[91]["rare_bp"] == 0
+
+
 def test_remove_duplicated_ngrams(spark):
     """Exact substring dedup: tokens covered by a corpus-repeated
     n-gram vanish, unique content survives verbatim, fully-duplicated
