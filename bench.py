@@ -63,6 +63,8 @@ HEADLINE = [
     "tokenize_count",
     "term_frequencies",
     "doc_quality",
+    "corpus_rarity",
+    "doc_embedding_hash",
     "dedup_exact",
     "dedup_keep_first",
     "dedup_paragraphs",
