@@ -193,13 +193,24 @@ def doc_band_buckets(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     nested lambda expressions costs ~3× the projection itself. The
     barrier shuffle carries only (id, bands×32-hex) — skinny rows,
     negligible against the corpus at any scale, and the exploded output
-    immediately reshuffles on bucket anyway."""
+    immediately reshuffles on bucket anyway.
+
+    explode_OUTER + null filter, not plain explode: for a non-outer
+    Generate the optimizer infers a ``size(bks) > 0`` predicate and
+    pushes it through BOTH exchanges into the file scan's DataFilters —
+    re-evaluating the entire signature chain per row inside the scan
+    stage (which is as parallel as the file layout, i.e. ONE task for a
+    single-file source: measured 4-5× the whole job). The outer form
+    infers nothing; the post-Generate null filter is on the generated
+    column and cannot sink."""
     packed = df.select(
         F.col(id_col).alias("id"),
         band_buckets(shingles(tokens(F.col(text_col)))).alias("bks"),
     )
     packed = packed.repartition("id")
-    return packed.select("id", F.explode("bks").alias("bucket"))
+    return packed.select("id", F.explode_outer("bks").alias("bucket")).where(
+        F.col("bucket").isNotNull()
+    )
 
 
 def candidate_pairs_from_buckets(
@@ -332,10 +343,16 @@ def ngram_jaccard_pairs(
     scale gate behind LSH: ``jaccard_verify(df, minhash_candidates(df,
     ...), ...)``, which is what the registered dedup queries do.
     """
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        shingles(tokens(F.col(text_col)), n).alias("sh"),
-    ).select("id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle"))
+    sh = (
+        df.select(
+            F.col(id_col).alias("id"),
+            shingles(tokens(F.col(text_col)), n).alias("sh"),
+        )
+        # outer + null filter: see doc_band_buckets (a plain explode's
+        # inferred size()>0 predicate sinks the shingle chain into the scan)
+        .select("id", F.size("sh").alias("n_sh"), F.explode_outer("sh").alias("shingle"))
+        .where(F.col("shingle").isNotNull())
+    )
     l, r = sh.alias("l"), sh.alias("r")
     pairs = (
         l.join(r, (F.col("l.shingle") == F.col("r.shingle")) & (F.col("l.id") < F.col("r.id")))
@@ -537,10 +554,12 @@ def duplicated_ngram_starts(
             F.array().cast("array<string>")
         )
 
+    # outer + null filter: see doc_band_buckets (a plain posexplode's
+    # inferred size()>0 predicate sinks the window-hash chain into the scan)
     exploded = df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(bind(toks, gram_hashes)).alias("pos", "gh"),
-    )
+        F.posexplode_outer(bind(toks, gram_hashes)).alias("pos", "gh"),
+    ).where(F.col("gh").isNotNull())
     dup = (
         exploded.groupBy("gh")
         .agg(F.count("*").alias("_c"))

@@ -1431,7 +1431,9 @@ def q_neardup_incremental(spark, sf_dir):
     from libswish3_spark.streaming.neardup import near_dup_stream
 
     idx = _index_tables(spark, sf_dir)["minhash_buckets"]
-    base = _docs(spark, sf_dir).where(F.col("doc_id") % 10 == 0)
+    # parallelize the arrivals' within-row signature fold (the source is
+    # one parquet file → one task without this, serializing the md5 chain)
+    base = ensure_parallelism(_docs(spark, sf_dir)).where(F.col("doc_id") % 10 == 0)
     arrivals = base.select(
         (F.col("doc_id") + 100000).alias("doc_id"),
         F.array(

@@ -33,17 +33,23 @@ def stream_band_buckets(docs: DataFrame) -> DataFrame:
     """docs stream (doc_id, spans) → exploded (id, bucket) rows.
 
     Stateless per-row fold + explode — no watermark, no state store.
-    (The batch twin `doc_band_buckets` inserts an exchange barrier
-    before the explode; per-micro-batch volumes are small enough that
-    the barrier costs more than the inlined eval saves, so the stream
-    path explodes directly.)
+    Batch invocations get the same exchange barrier `doc_band_buckets`
+    uses (without it ColumnPruning inlines the hash chain into
+    Generate's interpreted eval, ~3× the projection); per-micro-batch
+    volumes are small enough that the stream path skips it.
     """
     text = F.element_at("spans", 1)["text"]
     packed = docs.select(
         F.col("doc_id").alias("id"),
         band_buckets(shingles(tokens(text))).alias("bks"),
     )
-    return packed.select("id", F.explode("bks").alias("bucket"))
+    if not docs.isStreaming:
+        packed = packed.repartition("id")
+    # outer + null filter: a plain explode's inferred size()>0 predicate
+    # sinks the signature chain into the scan (see doc_band_buckets)
+    return packed.select("id", F.explode_outer("bks").alias("bucket")).where(
+        F.col("bucket").isNotNull()
+    )
 
 
 def near_dup_stream(

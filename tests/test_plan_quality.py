@@ -108,6 +108,22 @@ def test_sample_mix_is_narrow(spark):
     assert "Exchange" not in plan
 
 
+def test_signature_chain_never_sinks_into_scan_filters(spark):
+    """A non-outer explode over a computed array makes the optimizer
+    infer size()>0 and push the WHOLE generating expression into the
+    file scan's DataFilters — serializing the signature chain into the
+    scan stage (one task per source file; measured 4-5x the job). The
+    explode_outer + null-filter formulation must keep every scan's
+    DataFilters free of the tokenize/hash chain."""
+    for name in ("minhash_bucket_index", "dedup_ngram_spans", "neardup_incremental",
+                 "dedup_ngram_jaccard"):
+        plan = _plan(QUERIES[name][0](spark, SF))
+        for seg in plan.split("DataFilters: [")[1:]:
+            filters = seg.split("]")[0]
+            assert "regexp_extract_all" not in filters, (name, filters[:300])
+            assert "md5" not in filters, (name, filters[:300])
+
+
 def test_no_query_plans_a_cartesian_join(spark):
     """Every registered query must plan without CartesianProduct or
     BroadcastNestedLoopJoin — the two shapes that detonate at scale."""
