@@ -231,17 +231,17 @@ def corpus_rarity_features(
         F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
     )
     freq = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
-    total = freq.agg(F.sum("cnt").alias("total"))
-    scored = (
-        toks.join(F.broadcast(freq), "tok")
-        .crossJoin(F.broadcast(total))
-        .select(
-            "id",
-            (F.col("cnt") <= rare_max_count).cast("int").alias("is_rare"),
-            F.length(
-                F.floor(F.col("total") / F.col("cnt")).cast("long").cast("string")
-            ).alias("digits"),
-        )
+    # corpus total as a one-row scalar fetch (like the ANN query
+    # vector) rather than a 1-row cross join — a BroadcastNestedLoopJoin
+    # even against one row is a plan shape the quality gates ban
+    total_row = freq.agg(F.sum("cnt")).collect()[0][0]
+    total = int(total_row or 0)
+    scored = toks.join(F.broadcast(freq), "tok").select(
+        "id",
+        (F.col("cnt") <= rare_max_count).cast("int").alias("is_rare"),
+        F.length(
+            F.floor(F.lit(total) / F.col("cnt")).cast("long").cast("string")
+        ).alias("digits"),
     )
     per_doc = scored.groupBy("id").agg(
         F.count("*").alias("n_tokens"),
