@@ -205,6 +205,56 @@ def repetition_bp(text_col, n: int = 3) -> Column:
 # Deterministic PII redaction patterns: semantics identical in Java
 # regex (Spark) and RE2 (DuckDB) — character classes, bounded
 # quantifiers, no backrefs/lookaround.
+def chunk_token_windows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 128,
+    stride: int = 128,
+) -> DataFrame:
+    """Context-window chunking: each document's token stream becomes
+    fixed-size training rows of ``chunk_tokens`` tokens starting every
+    ``stride`` tokens (stride < chunk_tokens → overlapping windows, the
+    standard LM data prep; the final window is short rather than
+    padded — padding is the trainer's concern).
+
+    Narrow per-row transform + explode, no shuffle: the chunk array is
+    built within the row (guarded sequence — Spark's sequence(0,-1)
+    DESCENDS for empty docs) and exploded with the outer+null-filter
+    form (see dedup.doc_band_buckets: a plain explode's inferred
+    size()>0 filter would sink the tokenize into the scan). Token-less
+    documents produce no training rows, by definition of the op.
+
+    Returns (id, chunk_idx, n_tokens, chunk_text).
+    """
+    toks = tokens(F.col(text_col))
+
+    def mk(ts):
+        starts = F.when(
+            F.size(ts) > 0,
+            F.sequence(F.lit(0), F.size(ts) - 1, F.lit(stride)),
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(
+            starts,
+            lambda s: F.struct(
+                (s / stride).cast("long").alias("chunk_idx"),
+                F.least(F.lit(chunk_tokens), F.size(ts) - s).cast("long").alias(
+                    "n_tokens"
+                ),
+                F.array_join(F.slice(ts, s + 1, chunk_tokens), " ").alias(
+                    "chunk_text"
+                ),
+            ),
+        )
+
+    bound = F.element_at(F.transform(F.array(toks), mk), 1)
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode_outer(bound).alias("c"))
+        .where(F.col("c").isNotNull())
+        .select("id", "c.chunk_idx", "c.n_tokens", "c.chunk_text")
+    )
+
+
 def corpus_rarity_features(
     df: DataFrame, id_col: str, text_col: str, rare_max_count: int = 2
 ) -> DataFrame:

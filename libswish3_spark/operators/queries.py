@@ -1077,6 +1077,42 @@ FROM kept k JOIN keepers USING (doc_id)
 ORACLE_CURATION_PIPELINE = _build_curation_pipeline_oracle()
 
 
+CHUNK_TOKENS = 48
+CHUNK_STRIDE = 32
+
+
+def q_chunk_windows(spark, sf_dir):
+    """Context-window chunking into training rows (overlapping: stride
+    32 under a 48-token window). Narrow transform + explode, zero
+    shuffle; chunk payloads fingerprinted for the hash check."""
+    from libswish3_spark.functions.text import chunk_token_windows
+
+    out = chunk_token_windows(
+        _docs(spark, sf_dir), "doc_id", "text",
+        chunk_tokens=CHUNK_TOKENS, stride=CHUNK_STRIDE,
+    )
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "chunk_idx",
+        "n_tokens",
+        F.md5("chunk_text").alias("chunk_fp"),
+    )
+
+
+ORACLE_CHUNK_WINDOWS = f"""
+WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+s AS (
+  SELECT doc_id, toks, unnest(range(0, len(toks), {CHUNK_STRIDE})) AS st
+  FROM t WHERE len(toks) > 0
+)
+SELECT doc_id,
+       CAST(st / {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+       CAST(least({CHUNK_TOKENS}, len(toks) - st) AS BIGINT) AS n_tokens,
+       md5(array_to_string(toks[st + 1 : st + {CHUNK_TOKENS}], ' ')) AS chunk_fp
+FROM s
+"""
+
+
 def q_corpus_rarity(spark, sf_dir):
     """Corpus-statistics quality scoring (the no-model perplexity
     stand-in): rare-token ratio + integer-exact unigram-surprisal
@@ -2277,6 +2313,7 @@ QUERIES: dict[str, tuple] = {
     "dedup_ngram_spans": (q_dedup_ngram_spans, ORACLE_DEDUP_NGRAM_SPANS),
     "doc_embedding_hash": (q_doc_embedding_hash, ORACLE_DOC_EMBEDDING_HASH),
     "corpus_rarity": (q_corpus_rarity, ORACLE_CORPUS_RARITY),
+    "chunk_windows": (q_chunk_windows, ORACLE_CHUNK_WINDOWS),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, ORACLE_DEDUP_MINHASH),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, ORACLE_DEDUP_NGRAM_JACCARD),
     "dedup_resolved": (q_dedup_resolved, ORACLE_DEDUP_RESOLVED),

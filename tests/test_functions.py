@@ -324,6 +324,29 @@ def test_ann_lsh_recall_vs_brute_force(spark):
     assert sum(recalls) / len(recalls) >= 0.9, recalls
 
 
+def test_chunk_token_windows(spark):
+    """Fixed-token window chunking: overlap per stride, short final
+    window kept unpadded, empty docs produce no rows."""
+    from libswish3_spark.functions.text import chunk_token_windows
+
+    text = " ".join(f"t{i}" for i in range(10))  # 10 tokens
+    df = spark.createDataFrame([(1, text), (2, "")], ["doc_id", "text"])
+    out = sorted(
+        (r["chunk_idx"], r["n_tokens"], r["chunk_text"])
+        for r in chunk_token_windows(
+            df, "doc_id", "text", chunk_tokens=4, stride=3
+        ).collect()
+    )
+    # starts 0,3,6,9 → windows of 4 tokens, final window has 1
+    assert [c[:2] for c in out] == [(0, 4), (1, 4), (2, 4), (3, 1)]
+    assert out[0][2] == "t0 t1 t2 t3"
+    assert out[1][2] == "t3 t4 t5 t6"  # stride-3 overlap
+    assert out[3][2] == "t9"  # short tail, not padded
+    # empty doc: zero chunks
+    ids = {r["id"] for r in chunk_token_windows(df, "doc_id", "text").collect()}
+    assert ids == {1}
+
+
 def test_corpus_rarity_features(spark):
     """Rare-token ratio + surprisal bucketing: a gibberish doc of
     corpus-unique tokens scores maximal rare_bp and higher surprisal
