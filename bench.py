@@ -85,6 +85,7 @@ HEADLINE = [
     "media_ppm_features",
     "sample_mix",
     "pack_sequences",
+    "chunk_windows",
     "quality_topk",
     "tfidf_topterms",
     "contamination",
