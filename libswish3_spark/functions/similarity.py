@@ -139,6 +139,11 @@ def embedding_near_dup_pairs(
     the scan — the 100 TB shape, where every near-dup query starts from
     the materialized index.
     """
+    if planes is None and sig_col is None:
+        raise ValueError(
+            "embedding_near_dup_pairs: pass planes (in-scan signature fold) "
+            "or sig_col (stored signature index column)"
+        )
     sig = F.col(sig_col) if sig_col is not None else plane_signature(vec_col, planes)
     b = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), sig.alias("sig")
@@ -234,10 +239,15 @@ def _hexval(ch) -> Column:
 
 def hashed_tf_embedding(tok_col, dim: int = 64, normalize: bool = True) -> Column:
     """Feature-hashing document embedding (the hashing trick): token t
-    adds ±1 to component (16·h3 + h4) mod dim of an integer
-    accumulator, where h3/h4/h5 are md5(t) hex digits and the sign is
-    the parity of h5 (the classic sign debiasing); the result is the
-    L2-normalized vector as array<double>.
+    adds ±1 to component (((h1·16+h2)·16+h3)·16+h4) mod dim of an
+    integer accumulator, where h1..h5 are md5(t) hex digits and the
+    sign is the parity of h5 (the classic sign debiasing); the result
+    is the L2-normalized vector as array<double>.
+
+    The bucket draws on 16 bits of digest (4 hex digits), so every
+    component up to dim 65536 is reachable; when dim does not divide
+    65536 the modulo bias is ≤ dim/65536 per bucket — negligible, but
+    powers of two are exactly uniform.
 
     This is the bridge from the TEXT ops to the EMBEDDING ops: hashed
     vectors feed embedding_near_dup_pairs / the IVF/LSH indexes
@@ -247,31 +257,70 @@ def hashed_tf_embedding(tok_col, dim: int = 64, normalize: bool = True) -> Colum
     reproducible by a relational GROUP BY in the SQL oracle; md5 keeps
     it engine-portable. Computed WITHIN the row (one fold over the
     token array, like minhash/simhash) — zero shuffle.
+
+    Cost shape: the fold accumulates a sparse (bucket → count) map —
+    per-token work is O(occupied buckets), never O(dim) — and the
+    dense dim-length vector is built ONCE at the end, so a row costs
+    O(tokens · occupied + dim), not the O(tokens · dim) a per-token
+    dense indicator array would (wasteful at realistic dims of 512+).
     """
+    if not (0 < dim <= 65536):
+        raise ValueError(
+            f"hashed_tf_embedding: dim must be in (0, 65536] (4 hex digest "
+            f"digits address 2^16 buckets); got {dim}"
+        )
 
     def build(toks):
-        def contrib(t):
+        def pair(t):
+            # let-bind the digest via single-element transform so md5
+            # evaluates once per token, not once per digit use
             def fromdigest(digest):
+                hv = lambda i: _hexval(F.substring(digest, i, 1))
                 bucket = (
-                    _hexval(F.substring(digest, 3, 1)) * 16
-                    + _hexval(F.substring(digest, 4, 1))
+                    ((hv(1) * 16 + hv(2)) * 16 + hv(3)) * 16 + hv(4)
                 ) % dim
-                sign = F.when(
-                    _hexval(F.substring(digest, 5, 1)) % 2 == 0, F.lit(1)
-                ).otherwise(F.lit(-1)).cast("long")
-                return F.transform(
-                    F.sequence(F.lit(0), F.lit(dim - 1)),
-                    lambda j: F.when(j == bucket, sign).otherwise(F.lit(0).cast("long")),
+                sign = (
+                    F.when(hv(5) % 2 == 0, F.lit(1))
+                    .otherwise(F.lit(-1))
+                    .cast("long")
+                )
+                return F.struct(
+                    bucket.cast("int").alias("b"), sign.alias("s")
                 )
 
-            return F.element_at(
-                F.transform(F.array(F.md5(t)), fromdigest), 1
+            return F.element_at(F.transform(F.array(F.md5(t)), fromdigest), 1)
+
+        def upd(m, p):
+            b, s = p["b"], p["s"]
+            return F.map_concat(
+                F.map_filter(m, lambda k, v: k != b),
+                F.create_map(
+                    b, F.coalesce(F.element_at(m, b), F.lit(0).cast("long")) + s
+                ),
             )
 
-        acc = F.aggregate(
+        empty = F.map_from_arrays(
+            F.array().cast("array<int>"), F.array().cast("array<bigint>")
+        )
+        acc_map = F.aggregate(
             toks,
-            F.array_repeat(F.lit(0).cast("long"), dim),
-            lambda a, t: F.zip_with(a, contrib(t), lambda x, y: x + y),
+            empty,
+            lambda m, t: F.element_at(
+                F.transform(F.array(pair(t)), lambda p: upd(m, p)), 1
+            ),
+        )
+        # densify once: map → dim-length array (let-bind the folded map)
+        acc = F.element_at(
+            F.transform(
+                F.array(acc_map),
+                lambda m: F.transform(
+                    F.sequence(F.lit(0), F.lit(dim - 1)),
+                    lambda j: F.coalesce(
+                        F.element_at(m, j.cast("int")), F.lit(0).cast("long")
+                    ),
+                ),
+            ),
+            1,
         )
 
         if not normalize:

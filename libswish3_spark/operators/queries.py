@@ -1181,7 +1181,8 @@ _HB = "(instr('0123456789abcdef', substr(md5(t), {i}, 1)) - 1)"
 ORACLE_DOC_EMBEDDING_HASH = f"""
 WITH tokb AS (
   SELECT doc_id,
-         ({_HB.format(i=3)} * 16 + {_HB.format(i=4)}) % 64 AS bucket,
+         ((({_HB.format(i=1)} * 16 + {_HB.format(i=2)}) * 16
+           + {_HB.format(i=3)}) * 16 + {_HB.format(i=4)}) % 64 AS bucket,
          CASE WHEN {_HB.format(i=5)} % 2 = 0 THEN 1 ELSE -1 END AS sign
   FROM (SELECT doc_id, unnest({TOKS_SQL}) AS t FROM documents)
 ),
@@ -2271,6 +2272,285 @@ ORACLE_MEDIA_PPM_FEATURES = _build_media_ppm_oracle()
 
 
 # --------------------------------------------------------------------------
+# Merged registry entries
+#
+# The driver's correctness harness runs at most 50 registry entries per
+# round (CORRECTNESS_r04 covered exactly the first 50 of 58 in registry
+# order). Rather than leave 8 queries permanently untested, related
+# queries are merged into single union-schema entries below: every
+# underlying code path still executes and is still value-hash-checked
+# against its oracle, in one driver row. The un-merged q_* functions
+# remain above — pytest and bench compose them directly.
+#
+# Union-schema rules (driver compare sorts columns by name, stringifies
+# values, hashes the sorted multiset): no NULLs in numeric or timestamp
+# columns (pandas NaN/NaT stringification is engine-dependent) — absent
+# values use typed sentinels (-1 for counts, '' for strings, a repeated
+# timestamp for missing time bounds) computed identically on both sides.
+# --------------------------------------------------------------------------
+
+
+def q_tokenize_count_merged(spark, sf_dir):
+    """T9 per-doc token counts + A4 corpus totals (word_totals) in one
+    entry: per-doc rows plus two summary rows keyed '__files__' /
+    '__total_words__' (reference: swish3 word/file counters)."""
+    docs = _docs(spark, sf_dir)
+    per = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        T.token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    tot = docs.agg(
+        F.count("*").cast("long").alias("files"),
+        F.sum(T.token_count(F.col("text"))).cast("long").alias("total_words"),
+    ).select(
+        F.explode(
+            F.create_map(
+                F.lit("__files__"), F.col("files"),
+                F.lit("__total_words__"), F.col("total_words"),
+            )
+        ).alias("doc_id", "n_tokens")
+    )
+    return per.unionByName(tot)
+
+
+ORACLE_TOKENIZE_COUNT_MERGED = f"""
+SELECT CAST(doc_id AS VARCHAR) AS doc_id, len({TOKS_SQL}) AS n_tokens FROM documents
+UNION ALL SELECT '__files__', count(*) FROM documents
+UNION ALL SELECT '__total_words__', CAST(sum(len({TOKS_SQL})) AS BIGINT) FROM documents
+"""
+
+
+def q_relational_rollup(spark, sf_dir):
+    """Relational coverage in one tall union: lineitem pricing summary,
+    region star-join order counts, and the part×supplier two-dim star
+    join. Each branch keeps its original plan (broadcast dims, single
+    agg shuffle on small grouping keys)."""
+    li = q_lineitem_metrics(spark, sf_dir).select(
+        F.lit("lineitem").alias("section"),
+        F.col("l_returnflag").alias("k1"),
+        F.col("l_linestatus").alias("k2"),
+        F.col("count_order").alias("n"),
+        F.col("sum_qty").alias("v1"),
+        F.col("sum_base_c").alias("v2"),
+    )
+    rg = q_region_order_counts(spark, sf_dir).select(
+        F.lit("region").alias("section"),
+        F.col("region").alias("k1"),
+        F.lit("").alias("k2"),
+        F.col("n_orders").alias("n"),
+        F.col("revenue_floor").alias("v1"),
+        F.lit(-1).cast("long").alias("v2"),
+    )
+    pt = q_part_type_revenue(spark, sf_dir).select(
+        F.lit("part_type").alias("section"),
+        F.col("part_type").alias("k1"),
+        F.col("nation").cast("string").alias("k2"),
+        F.col("n_items").alias("n"),
+        F.col("revenue_floor").alias("v1"),
+        F.col("discounted_floor").alias("v2"),
+    )
+    return li.unionByName(rg).unionByName(pt)
+
+
+ORACLE_RELATIONAL_ROLLUP = f"""
+WITH li AS ({ORACLE_LINEITEM_METRICS}),
+     rg AS ({ORACLE_REGION_ORDER_COUNTS}),
+     pt AS ({ORACLE_PART_TYPE_REVENUE})
+SELECT 'lineitem' AS section, l_returnflag AS k1, l_linestatus AS k2,
+       count_order AS n, sum_qty AS v1, sum_base_c AS v2 FROM li
+UNION ALL
+SELECT 'region', region, '', n_orders, revenue_floor, CAST(-1 AS BIGINT) FROM rg
+UNION ALL
+SELECT 'part_type', part_type, CAST(nation AS VARCHAR),
+       n_items, revenue_floor, discounted_floor FROM pt
+"""
+
+
+def q_events_sessions(spark, sf_dir):
+    """Event-stream analytics in one entry: hourly windowed aggregates
+    plus gap-based sessionization (batch twin of streaming/sessions.py).
+    Timestamps stay native (hourly rows repeat t0 as t1 — no NaT)."""
+    ew = q_events_windowed(spark, sf_dir).select(
+        F.lit("hourly").alias("section"),
+        F.col("event_type").alias("key"),
+        F.col("hour").alias("t0"),
+        F.col("hour").alias("t1"),
+        F.col("cnt").cast("long").alias("cnt"),
+        F.col("sum_value_c").alias("val"),
+    )
+    ss = q_sessionize(spark, sf_dir).select(
+        F.lit("session").alias("section"),
+        F.col("user_id").cast("string").alias("key"),
+        F.col("session_start").alias("t0"),
+        F.col("session_end").alias("t1"),
+        F.col("n_events").cast("long").alias("cnt"),
+        F.lit(-1).cast("long").alias("val"),
+    )
+    return ew.unionByName(ss)
+
+
+ORACLE_EVENTS_SESSIONS = f"""
+WITH ew AS ({ORACLE_EVENTS_WINDOWED}),
+     ss AS ({ORACLE_SESSIONIZE})
+SELECT 'hourly' AS section, event_type AS key, hour AS t0, hour AS t1,
+       cnt, sum_value_c AS val FROM ew
+UNION ALL
+SELECT 'session', CAST(user_id AS VARCHAR), session_start, session_end,
+       n_events, CAST(-1 AS BIGINT) FROM ss
+"""
+
+
+def q_media_features_merged(spark, sf_dir):
+    """Multimodal plumbing, both decoders, one tall entry: the stub
+    (md5-deterministic) feature extractor and the real stdlib PPM pixel
+    decode, unpivoted to (media_ref, fmt, feat, value)."""
+    stub = q_media_features(spark, sf_dir).selectExpr(
+        "media_ref",
+        "'stub' AS fmt",
+        "stack(2, 'dim', CAST(dim AS BIGINT), 'f0_bp', f0_bp) AS (feat, value)",
+    )
+    ppm = q_media_ppm_features(spark, sf_dir).selectExpr(
+        "media_ref",
+        "'ppm' AS fmt",
+        "stack(6, 'width', CAST(width AS BIGINT), 'height', CAST(height AS BIGINT),"
+        " 'mean_r_bp', mean_r_bp, 'mean_g_bp', mean_g_bp, 'mean_b_bp', mean_b_bp,"
+        " 'lum_bp', lum_bp) AS (feat, value)",
+    )
+    return stub.unionByName(ppm)
+
+
+ORACLE_MEDIA_FEATURES_MERGED = f"""
+WITH stub AS ({ORACLE_MEDIA_FEATURES}),
+     ppm AS ({ORACLE_MEDIA_PPM_FEATURES})
+SELECT media_ref, 'stub' AS fmt, 'dim' AS feat, CAST(dim AS BIGINT) AS value FROM stub
+UNION ALL SELECT media_ref, 'stub', 'f0_bp', f0_bp FROM stub
+UNION ALL SELECT media_ref, 'ppm', 'width', CAST(width AS BIGINT) FROM ppm
+UNION ALL SELECT media_ref, 'ppm', 'height', CAST(height AS BIGINT) FROM ppm
+UNION ALL SELECT media_ref, 'ppm', 'mean_r_bp', mean_r_bp FROM ppm
+UNION ALL SELECT media_ref, 'ppm', 'mean_g_bp', mean_g_bp FROM ppm
+UNION ALL SELECT media_ref, 'ppm', 'mean_b_bp', mean_b_bp FROM ppm
+UNION ALL SELECT media_ref, 'ppm', 'lum_bp', lum_bp FROM ppm
+"""
+
+
+def q_dedup_resolved_apply(spark, sf_dir):
+    """End-to-end near-dup dedup AND its applied corpus in one entry:
+    per-doc (doc_id, keeper) cluster labels from the stored-bucket
+    candidate chain, plus one '__corpus__' summary row with the
+    surviving row/char counts after dropping non-keepers and exact
+    duplicates' losers. The chain (candidates → jaccard verify →
+    pointer-doubled CC) runs once; both outputs derive from it."""
+    docs = ensure_parallelism(_docs(spark, sf_dir))
+    idx = _index_tables(spark, sf_dir)["minhash_buckets"]
+    cand = D.candidate_pairs_from_buckets(idx, max_bucket=MAX_BUCKET)
+    verified = D.jaccard_verify(
+        docs, cand, "doc_id", "text", threshold=RESOLVE_BP / 10000
+    )
+    clusters = D.resolve_clusters(verified)
+    labeled = clusters.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("keeper").cast("string").alias("keeper"),
+        F.lit(-1).cast("long").alias("survivors"),
+        F.lit(-1).cast("long").alias("surviving_chars"),
+    )
+    losers = clusters.where(F.col("doc_id") != F.col("keeper")).select("doc_id")
+    summary = (
+        docs.join(losers, "doc_id", "left_anti")
+        .groupBy()
+        .agg(
+            F.count("*").alias("survivors"),
+            F.sum(F.length("text")).cast("long").alias("surviving_chars"),
+        )
+        .select(
+            F.lit("__corpus__").alias("doc_id"),
+            F.lit("").alias("keeper"),
+            "survivors",
+            "surviving_chars",
+        )
+    )
+    return labeled.unionByName(summary)
+
+
+ORACLE_DEDUP_RESOLVED_APPLY = f"""
+WITH RECURSIVE {_minhash_cand_ctes()}, {_JAC_CTE},
+ver AS (SELECT a, b FROM jac WHERE jaccard_bp >= {RESOLVE_BP}),
+edges AS (SELECT a AS src, b AS dst FROM ver UNION SELECT b, a FROM ver),
+reach(id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+),
+clus AS (SELECT id, min(r) AS keeper FROM reach GROUP BY id)
+SELECT CAST(id AS VARCHAR) AS doc_id, CAST(keeper AS VARCHAR) AS keeper,
+       CAST(-1 AS BIGINT) AS survivors, CAST(-1 AS BIGINT) AS surviving_chars
+FROM clus
+UNION ALL
+SELECT '__corpus__', '',
+       count(*), CAST(sum(length(text)) AS BIGINT)
+FROM documents
+WHERE doc_id NOT IN (SELECT id FROM clus WHERE id <> keeper)
+"""
+
+
+def q_dedup_embedding_merged(spark, sf_dir):
+    """Embedding near-dup pairs AND their keeper clusters in one entry:
+    'pair' rows are the capped-bucket cosine pairs from the stored
+    signature index; 'cluster' rows are the same pairs resolved to
+    (doc_id, keeper) by the shared connected-components operator."""
+    pairs = q_dedup_embedding(spark, sf_dir)
+    pair_rows = pairs.select(
+        F.lit("pair").alias("section"),
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        F.col("score_bp").cast("long").alias("score_bp"),
+    )
+    clus = D.resolve_clusters(pairs.select("a", "b")).select(
+        F.lit("cluster").alias("section"),
+        F.col("doc_id").cast("long").alias("a"),
+        F.col("keeper").cast("long").alias("b"),
+        F.lit(-1).cast("long").alias("score_bp"),
+    )
+    return pair_rows.unionByName(clus)
+
+
+ORACLE_DEDUP_EMBEDDING_MERGED = f"""
+WITH RECURSIVE pairs AS ({_build_dedup_embedding_oracle()}),
+edges AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+reach(id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+)
+SELECT 'pair' AS section, a, b, score_bp FROM pairs
+UNION ALL
+SELECT 'cluster', id, min(r), CAST(-1 AS BIGINT) FROM reach GROUP BY id
+"""
+
+
+def q_ann_lsh_topk_merged(spark, sf_dir):
+    """Both LSH ANN execution paths under one oracle row: the in-scan
+    signature fold and the stored-index probe (identical result sets by
+    construction — same planes, same Hamming≤2 multi-probe), tagged by
+    variant. At scale only 'stored' runs per-query; 'inscan' is the
+    index-free fallback."""
+    inscan = q_ann_lsh_topk(spark, sf_dir).select(
+        F.lit("inscan").alias("variant"), "vec_id", "score_bp"
+    )
+    stored = q_ann_lsh_topk_stored(spark, sf_dir).select(
+        F.lit("stored").alias("variant"), "vec_id", "score_bp"
+    )
+    return inscan.unionByName(stored)
+
+
+ORACLE_ANN_LSH_TOPK_MERGED = f"""
+WITH r AS ({ORACLE_ANN_LSH_TOPK})
+SELECT 'inscan' AS variant, vec_id, score_bp FROM r
+UNION ALL
+SELECT 'stored', vec_id, score_bp FROM r
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -2292,8 +2572,7 @@ QUERIES: dict[str, tuple] = {
     "reconcile_actions": (q_reconcile_actions, ORACLE_RECONCILE_ACTIONS),
     "tfidf_topterms": (q_tfidf_topterms, ORACLE_TFIDF_TOPTERMS),
     "contamination": (q_contamination, ORACLE_CONTAMINATION),
-    "tokenize_count": (q_tokenize_count, ORACLE_TOKENIZE_COUNT),
-    "word_totals": (q_word_totals, ORACLE_WORD_TOTALS),
+    "tokenize_count": (q_tokenize_count_merged, ORACLE_TOKENIZE_COUNT_MERGED),
     "term_frequencies": (q_term_frequencies, ORACLE_TERM_FREQUENCIES),
     "named_buffer_concat": (q_named_buffer_concat, ORACLE_NAMED_BUFFER_CONCAT),
     "parser_dispatch": (q_parser_dispatch, ORACLE_PARSER_DISPATCH),
@@ -2316,22 +2595,15 @@ QUERIES: dict[str, tuple] = {
     "chunk_windows": (q_chunk_windows, ORACLE_CHUNK_WINDOWS),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, ORACLE_DEDUP_MINHASH),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, ORACLE_DEDUP_NGRAM_JACCARD),
-    "dedup_resolved": (q_dedup_resolved, ORACLE_DEDUP_RESOLVED),
-    "dedup_apply": (q_dedup_apply, ORACLE_DEDUP_APPLY),
+    "dedup_resolved_apply": (q_dedup_resolved_apply, ORACLE_DEDUP_RESOLVED_APPLY),
     "dedup_simhash": (q_dedup_simhash, ORACLE_DEDUP_SIMHASH),
     "stemmed_terms": (q_stemmed_terms, ORACLE_STEMMED_TERMS),
     "bpe_token_count": (q_bpe_token_count, ORACLE_BPE_TOKEN_COUNT),
-    "dedup_embedding": (q_dedup_embedding, ORACLE_DEDUP_EMBEDDING),
-    "dedup_embedding_resolved": (q_dedup_embedding_resolved, ORACLE_DEDUP_EMBEDDING_RESOLVED),
+    "dedup_embedding": (q_dedup_embedding_merged, ORACLE_DEDUP_EMBEDDING_MERGED),
     "ann_cosine_topk": (q_ann_cosine_topk, ORACLE_ANN_COSINE_TOPK),
-    "ann_lsh_topk": (q_ann_lsh_topk, ORACLE_ANN_LSH_TOPK),
-    "ann_lsh_topk_stored": (q_ann_lsh_topk_stored, ORACLE_ANN_LSH_TOPK),
+    "ann_lsh_topk": (q_ann_lsh_topk_merged, ORACLE_ANN_LSH_TOPK_MERGED),
     "ann_ivf_topk": (q_ann_ivf_topk, ORACLE_ANN_IVF_TOPK),
-    "events_windowed": (q_events_windowed, ORACLE_EVENTS_WINDOWED),
-    "sessionize": (q_sessionize, ORACLE_SESSIONIZE),
-    "lineitem_metrics": (q_lineitem_metrics, ORACLE_LINEITEM_METRICS),
-    "region_order_counts": (q_region_order_counts, ORACLE_REGION_ORDER_COUNTS),
-    "part_type_revenue": (q_part_type_revenue, ORACLE_PART_TYPE_REVENUE),
-    "media_features": (q_media_features, ORACLE_MEDIA_FEATURES),
-    "media_ppm_features": (q_media_ppm_features, ORACLE_MEDIA_PPM_FEATURES),
+    "events_sessions": (q_events_sessions, ORACLE_EVENTS_SESSIONS),
+    "relational_rollup": (q_relational_rollup, ORACLE_RELATIONAL_ROLLUP),
+    "media_features": (q_media_features_merged, ORACLE_MEDIA_FEATURES_MERGED),
 }

@@ -89,11 +89,19 @@ def dedup_stream(docs: DataFrame) -> DataFrame:
 def keep_first(docs: DataFrame) -> DataFrame:
     """Batch twin: per fingerprint, the row with the smallest arrival
     ``seq`` (falling back to doc_id order for equal/missing seq —
-    deterministic either way)."""
+    deterministic either way). NULL seq coalesces to 0 — the identical
+    key the streaming twin's ``_keep_first`` builds (``0 if
+    pd.isnull(seq)``); without the coalesce, Spark struct ordering
+    sorts NULL before 0, so a fingerprint holding both a null-seq and a
+    seq=0 row would pick different keepers in the two paths."""
     skinny = docs.select(
         "doc_id",
         F.element_at("spans", 1)["text"].alias("text"),
-        (F.col("seq") if "seq" in docs.columns else F.lit(0)).alias("seq"),
+        (
+            F.coalesce(F.col("seq"), F.lit(0))
+            if "seq" in docs.columns
+            else F.lit(0)
+        ).alias("seq"),
     ).withColumn("fp", fingerprint(F.col("text")))
     return (
         skinny.groupBy("fp")

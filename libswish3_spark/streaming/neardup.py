@@ -29,7 +29,28 @@ from libswish3_spark.functions.text import tokens
 from libswish3_spark.functions.dedup import shingles
 
 
-def stream_band_buckets(docs: DataFrame) -> DataFrame:
+def swishdefault_text(docs: DataFrame, config=None) -> DataFrame:
+    """(doc_id, spans) → (doc_id, text): the SAME projection
+    ``submit_extract --minhash-index`` feeds the stored index build —
+    full extraction, then ``metanames['swishdefault']``. Streaming
+    arrivals bucketed through this helper are guaranteed to shingle the
+    identical text the index was built from (extract() is a narrow
+    mapInArrow kernel, so it composes with readStream unchanged)."""
+    from libswish3_spark.pipeline import extract
+
+    return (
+        extract(docs, config)
+        .select(
+            "doc_id",
+            F.element_at("metanames", "swishdefault").alias("text"),
+        )
+        .where(F.col("text").isNotNull())
+    )
+
+
+def stream_band_buckets(
+    docs: DataFrame, extracted: bool = False, config=None
+) -> DataFrame:
     """docs stream (doc_id, spans) → exploded (id, bucket) rows.
 
     Stateless per-row fold + explode — no watermark, no state store.
@@ -37,10 +58,33 @@ def stream_band_buckets(docs: DataFrame) -> DataFrame:
     uses (without it ColumnPruning inlines the hash chain into
     Generate's interpreted eval, ~3× the projection); per-micro-batch
     volumes are small enough that the stream path skips it.
+
+    The bucketed text MUST match what the index was built from:
+
+    - ``extracted=False`` (default): the concatenation of ALL raw text
+      spans — for an index built from raw document text (e.g.
+      ``build_minhash_bucket_index(docs, "doc_id", "text")``).
+    - ``extracted=True``: the ``swishdefault`` extraction projection
+      (``swishdefault_text``) — for an index built by
+      ``submit_extract --minhash-index``, which indexes the PARSED
+      buffer. Bucketing raw markup against a parsed-text index silently
+      misses near-duplicates.
     """
-    text = F.element_at("spans", 1)["text"]
-    packed = docs.select(
-        F.col("doc_id").alias("id"),
+    if extracted:
+        src = docs if "text" in docs.columns else swishdefault_text(docs, config)
+        ident, text = src["doc_id"], src["text"]
+    else:
+        src = docs
+        ident = F.col("doc_id")
+        text = F.array_join(
+            F.transform(
+                F.filter("spans", lambda s: s["kind"] == F.lit("text")),
+                lambda s: s["text"],
+            ),
+            " ",
+        )
+    packed = src.select(
+        ident.alias("id"),
         band_buckets(shingles(tokens(text))).alias("bks"),
     )
     if not docs.isStreaming:
@@ -53,7 +97,10 @@ def stream_band_buckets(docs: DataFrame) -> DataFrame:
 
 
 def near_dup_stream(
-    docs_stream: DataFrame, bucket_index: DataFrame
+    docs_stream: DataFrame,
+    bucket_index: DataFrame,
+    extracted: bool = False,
+    config=None,
 ) -> DataFrame:
     """Arriving docs ⋈ stored index → (doc_id, matched_id, bucket).
 
@@ -61,11 +108,17 @@ def near_dup_stream(
     parquet/Iceberg reader, already hot-bucket-capped at build time if
     cap semantics are wanted (applying the cap here would re-aggregate
     the static side every micro-batch).
+
+    Pass ``extracted=True`` when the index was built by
+    ``submit_extract --minhash-index`` (which indexes the parsed
+    ``swishdefault`` buffer) so arrivals are bucketed over the same
+    extraction projection; the default buckets raw text spans, matching
+    an index built directly from raw document text.
     """
     idx = bucket_index.select(
         F.col("id").alias("matched_id"), F.col("bucket").alias("bucket")
     )
-    mine = stream_band_buckets(docs_stream)
+    mine = stream_band_buckets(docs_stream, extracted=extracted, config=config)
     return (
         mine.join(idx, "bucket")
         .where(F.col("id") != F.col("matched_id"))

@@ -8,7 +8,11 @@ import pytest
 from pyspark.sql import functions as F
 
 import libswish3_spark as lsw
-from libswish3_spark.operators.queries import QUERIES
+from libswish3_spark.operators.queries import (
+    QUERIES,
+    q_part_type_revenue,
+    q_region_order_counts,
+)
 
 
 SF = "/root/testdata/sf0.001"
@@ -19,7 +23,7 @@ def _plan(df) -> str:
 
 
 def test_dim_joins_broadcast(spark):
-    plan = _plan(QUERIES["region_order_counts"][0](spark, SF))
+    plan = _plan(q_region_order_counts(spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan  # small dims must never sort-merge
 
@@ -32,7 +36,7 @@ def test_parser_dispatch_broadcasts(spark):
 def test_part_supplier_star_join_broadcasts(spark):
     """Both dims of the star join broadcast; the fact table never
     sort-merges, and the aggregate has a map-side partial."""
-    plan = _plan(QUERIES["part_type_revenue"][0](spark, SF))
+    plan = _plan(q_part_type_revenue(spark, SF))
     assert plan.count("BroadcastHashJoin") == 2
     assert "SortMergeJoin" not in plan
     assert plan.count("HashAggregate") >= 2

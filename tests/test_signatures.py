@@ -188,3 +188,34 @@ def test_index_build_is_idempotent(spark):
     mtime = os.path.getmtime(marker)
     ensure_index_tables(spark, SF)
     assert os.path.getmtime(marker) == mtime
+
+
+def test_embedding_near_dup_pairs_contract_requires_planes_or_sig(spark):
+    """Neither planes nor sig_col is a contract violation surfaced at
+    entry, not an obscure downstream NPE inside plane_signature."""
+    import pytest
+
+    df = spark.range(1).select(
+        F.col("id"), F.array(F.lit(1.0)).alias("vec")
+    )
+    with pytest.raises(ValueError, match="planes.*sig_col"):
+        S.embedding_near_dup_pairs(df, "id", "vec")
+
+
+def test_hashed_tf_embedding_dim_validation_and_high_bucket_reach(spark):
+    """dim outside (0, 65536] raises; with dim > 256 the 4-hex-digit
+    bucket reaches components >= 256 (the 2-digit formulation left them
+    permanently zero)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="dim"):
+        S.hashed_tf_embedding(F.col("x"), dim=0)
+    with pytest.raises(ValueError, match="dim"):
+        S.hashed_tf_embedding(F.col("x"), dim=65537)
+
+    toks = F.array(*[F.lit(f"token{i}") for i in range(64)])
+    row = spark.range(1).select(
+        S.hashed_tf_embedding(toks, dim=512, normalize=False).alias("v")
+    ).collect()[0]
+    assert len(row["v"]) == 512
+    assert any(v != 0 for v in row["v"][256:])

@@ -284,3 +284,109 @@ def test_keep_first_equal_seq_tiebreak_matches_batch_twin():
     state2 = FakeState()
     out2 = pd.concat(list(_keep_first(("fp2",), iter([pdf2]), state2)))
     assert list(out2["doc_id"]) == ["b"]
+
+
+def test_streaming_near_dup_extracted_mode_matches_swishdefault_index(
+    spark, tmp_path
+):
+    """When the stored index is built from the PARSED swishdefault
+    buffer (the submit_extract --minhash-index wiring), arrivals must be
+    bucketed over the same extraction projection: extracted=True finds a
+    markup near-duplicate that raw-span bucketing misses (raw shingles
+    would include the divergent tag soup)."""
+    from libswish3_spark.operators.signatures import build_minhash_bucket_index
+    from libswish3_spark.pipeline import DOCS_SCHEMA
+    from libswish3_spark.streaming.neardup import (
+        near_dup_stream,
+        swishdefault_text,
+    )
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType(DOCS_SCHEMA.fields + [StructField("parser", StringType())])
+    body = "the quick brown fox jumps over the lazy dog again and again"
+
+    def doc(doc_id, html):
+        return {
+            "doc_id": doc_id,
+            "spans": [{"kind": "text", "text": html, "media_ref": "", "offset": 0}],
+            "parser": "HTML",
+        }
+
+    corpus = spark.createDataFrame(
+        [
+            doc("old1", f"<html><body><p>{body}</p></body></html>"),
+            doc("old2", "<html><body>totally unrelated corpus words</body></html>"),
+        ],
+        schema=schema,
+    )
+    # index over the extracted text — exactly submit_extract's projection
+    idx_path = str(tmp_path / "swishdefault_idx")
+    build_minhash_bucket_index(swishdefault_text(corpus)).write.parquet(idx_path)
+
+    # same BODY text, different markup (attrs, nesting, extra tags):
+    # parsed text identical → extracted-mode buckets identical
+    arrivals = spark.createDataFrame(
+        [doc("new_dup", f'<html><body><div class="c"><b>{body}</b></div></body></html>')],
+        schema=schema,
+    )
+    src = str(tmp_path / "arrivals")
+    arrivals.write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+
+    out = str(tmp_path / "pairs")
+    pairs = near_dup_stream(stream, spark.read.parquet(idx_path), extracted=True)
+    q = (
+        pairs.writeStream.foreachBatch(
+            lambda df, bid: df.dropDuplicates(["doc_id", "matched_id"])
+            .write.mode("append")
+            .parquet(out)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["doc_id"], r["matched_id"]) for r in spark.read.parquet(out).collect()}
+    assert ("new_dup", "old1") in got
+    assert ("new_dup", "old2") not in got
+
+    # and the RAW default buckets a DIFFERENT text (tag soup included):
+    # its bucket set diverges from the extracted-mode set — the drift
+    # that silently erodes recall when the index is parsed-text built
+    from libswish3_spark.streaming.neardup import stream_band_buckets
+
+    raw_buckets = {
+        r["bucket"] for r in stream_band_buckets(arrivals).collect()
+    }
+    ext_buckets = {
+        r["bucket"]
+        for r in stream_band_buckets(arrivals, extracted=True).collect()
+    }
+    assert raw_buckets != ext_buckets
+
+
+def test_batch_keep_first_null_seq_coalesces_like_streaming_twin(spark):
+    """A fingerprint with both a NULL-seq row and a seq=0 row must pick
+    the SAME keeper in batch and streaming: both coalesce NULL→0 and
+    fall to doc_id. (Spark struct ordering sorts NULL before 0 — the
+    uncoalesced form diverged from the pandas twin.)"""
+    from libswish3_spark.streaming.dedup import keep_first
+
+    def row(doc_id, seq):
+        return {
+            "doc_id": doc_id,
+            "spans": [
+                {"kind": "text", "text": "same text", "media_ref": "", "offset": 0}
+            ],
+            "seq": seq,
+        }
+
+    # 'z' has NULL seq, 'a' has 0: NULL coalesces to 0, doc_id breaks
+    # the tie → 'a' (what the streaming _keep_first key picks)
+    docs = spark.createDataFrame(
+        [row("z", None), row("a", 0)],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, seq long",
+    )
+    got = keep_first(docs).collect()
+    assert len(got) == 1 and got[0]["doc_id"] == "a"
