@@ -25,6 +25,21 @@ from libswish3_spark.config import (
 )
 
 
+def utf8_byte_truncate(v: Column, nbytes: int) -> Column:
+    """Truncate to the longest character prefix of at most ``nbytes``
+    UTF-8 bytes. ``Property.max`` is a BYTE count in the reference
+    (unsigned int prefix of a C string, libswish3.h:357 — the same
+    rationale as sort_key's byte-based sort_length), not a character
+    count. A multibyte character split by the byte cap is dropped
+    whole: make_valid_utf8 replaces the orphaned trailing bytes with
+    U+FFFD, which the regexp strips (a literal U+FFFD immediately
+    before the cut would be stripped too — acceptable for a lossy cap).
+    The binary→string cast is the non-validating reinterpretation;
+    strict decode() throws MALFORMED_CHARACTER_CODING on the split."""
+    b = F.substring(F.encode(v, "utf-8"), 1, nbytes)
+    return F.regexp_replace(F.make_valid_utf8(b.cast("string")), "�+$", "")
+
+
 def typed_property(props_col, prop: Property) -> Column:
     """One property's typed value from the ``properties`` map column.
 
@@ -36,7 +51,7 @@ def typed_property(props_col, prop: Property) -> Column:
     v = F.element_at(props_col, prop.alias_for or prop.name)
     v = F.regexp_replace(v, TOKENPOS_BUMPER, " ")
     if prop.max and prop.max > 0:
-        v = F.substring(v, 1, prop.max)
+        v = utf8_byte_truncate(v, prop.max)
     if prop.type == PROP_INT:
         # atoi semantics: optional sign + leading digits, else 0
         digits = F.regexp_extract(v, r"^[ \t]*([+-]?[0-9]+)", 1)
@@ -72,7 +87,7 @@ def sort_key(props_col, prop: Property) -> Column:
     v = F.element_at(props_col, prop.alias_for or prop.name)
     v = F.regexp_replace(v, TOKENPOS_BUMPER, " ")
     if prop.max and prop.max > 0:
-        v = F.substring(v, 1, prop.max)
+        v = utf8_byte_truncate(v, prop.max)
     if prop.ignore_case:
         v = F.lower(v)
     if prop.sort_length and prop.sort_length > 0:

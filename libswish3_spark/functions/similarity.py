@@ -342,7 +342,8 @@ def hashed_tf_embedding(tok_col, dim: int = 64, normalize: bool = True) -> Colum
 
 
 IVF_CELLS = 16
-IVF_NPROBE = 4
+IVF_NPROBE = 6  # measured recall@10 = 0.83 vs brute force at 16 cells
+# (nprobe 4 scored 0.67; gate >= 0.8 in test_ann_ivf_recall_vs_brute_force)
 
 
 def ivf_centroids(emb_df: DataFrame, id_col: str, vec_col: str, n_cells: int = IVF_CELLS):

@@ -271,27 +271,42 @@ def corpus_rarity_features(
       across engines; digit count is the same everywhere).
 
     Shape at scale: one explode over tokens, one corpus frequency
-    aggregate (map-side combined; the frequency table is
-    vocabulary-sized — broadcast it when it fits, which it does for any
-    natural-language corpus), one lookup join, one per-doc aggregate.
-    The hot-key skew of stopwords lives in the lookup join's PROBE side
-    only (hash join: no sort on the skewed key).
+    aggregate (map-side combined), one lookup join, one per-doc
+    aggregate. The frequency table is NEVER broadcast: at web scale the
+    distinct-token count (URLs, hashes, code, OCR junk) runs to
+    billions of keys, far past any executor's broadcast budget — the
+    lookup is a SHUFFLED hash join instead (hinted: the default
+    sort-merge would sort the skewed probe side), where the stopword
+    hot keys sit on the probe side and stream through the per-partition
+    hash table. The corpus-total scalar rides a broadcast of the
+    1-ROW total aggregate on a constant key — bounded by construction,
+    and it keeps the whole computation one lazy plan (no eager
+    ``collect`` job per invocation).
     """
     toks = df.select(
         F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
     )
     freq = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
-    # corpus total as a one-row scalar fetch (like the ANN query
-    # vector) rather than a 1-row cross join — a BroadcastNestedLoopJoin
-    # even against one row is a plan shape the quality gates ban
-    total_row = freq.agg(F.sum("cnt")).collect()[0][0]
-    total = int(total_row or 0)
-    scored = toks.join(F.broadcast(freq), "tok").select(
-        "id",
-        (F.col("cnt") <= rare_max_count).cast("int").alias("is_rare"),
-        F.length(
-            F.floor(F.lit(total) / F.col("cnt")).cast("long").cast("string")
-        ).alias("digits"),
+    # the join key is 0 on both sides but DERIVED from a column via
+    # pmod(x, x): a literal key (or x*0, which SimplifyArithmetic also
+    # folds) constant-folds the equi-condition away and degrades the
+    # join to BroadcastNestedLoopJoin (banned plan shape). cnt >= 1
+    # always; total = 0 only for an empty corpus, where scored is
+    # empty regardless and the left join below zero-fills every doc.
+    total_1row = freq.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("total")
+    ).withColumn("_k", F.pmod(F.col("total"), F.col("total")).cast("int"))
+    scored = (
+        toks.join(freq.hint("shuffle_hash"), "tok")
+        .withColumn("_k", F.pmod(F.col("cnt"), F.col("cnt")).cast("int"))
+        .join(F.broadcast(total_1row), "_k")
+        .select(
+            "id",
+            (F.col("cnt") <= rare_max_count).cast("int").alias("is_rare"),
+            F.length(
+                F.floor(F.col("total") / F.col("cnt")).cast("long").cast("string")
+            ).alias("digits"),
+        )
     )
     per_doc = scored.groupBy("id").agg(
         F.count("*").alias("n_tokens"),

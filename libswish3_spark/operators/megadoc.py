@@ -27,7 +27,10 @@ by construction of the reference's semantics:
   in whitespace immediately adjacent to a cut: the single pass
   edge-strips its one big buffer once, the segmented path strips each
   fragment (fragments join with the same \\x03 the single pass would
-  have inserted, so token-relevant content is identical);
+  have inserted, so token-relevant content is identical). The deviation
+  is PINNED by test_megadoc.test_segment_cut_property_whitespace_
+  deviation_is_pinned: whitespace-NORMALIZED parity always holds, and
+  any byte-level difference is confined to cleanwsp buckets;
 * configs with statically-declared mid-body MetaNames ARE handled: the
   cut scanners derive the buffer-flush tag set from the config
   (_config_flush_tags) and the reassembly inserts the inter-flush

@@ -244,12 +244,18 @@ class DocState:
         # PropertyNamesMaxLength semantics; the reference parses max at
         # header.c:487-488 and round-trips it, leaving enforcement to
         # the consumer — we enforce at store time so the cap actually
-        # bounds memory on mega-documents)
+        # bounds memory on mega-documents). max is a BYTE count
+        # (unsigned prefix of a C string, libswish3.h:357 — same
+        # rationale as sort_key's byte-based sort_length): encode,
+        # slice, and drop any character the cut splits (errors=
+        # "ignore"), matching functions/props.utf8_byte_truncate.
         prop = self.prop_def(name)
         if prop is not None and prop.max > 0:
             cur = self.properties.get(name)
-            if cur is not None and len(cur) > prop.max:
-                self.properties[name] = cur[: prop.max]
+            if cur is not None and len(cur.encode("utf-8")) > prop.max:
+                self.properties[name] = (
+                    cur.encode("utf-8")[: prop.max].decode("utf-8", "ignore")
+                )
 
     def _clear_prop_buf(self) -> None:
         self.prop_parts = []

@@ -574,3 +574,34 @@ def test_minhash_recall_on_planted_near_dups(spark):
     assert recall >= 0.8, (recall, len(true_pairs))
     # and no false positives: verify is exact on candidates
     assert verified <= true_pairs
+
+
+def test_ann_ivf_recall_vs_brute_force(spark):
+    """IVF recall@10 against exact brute force over the bench
+    embeddings at the registered defaults (16 cells, nprobe 6) — the
+    same measured-recall gate the LSH tables carry: a green driver hash
+    proves Spark==DuckDB under the cell restriction, not that the
+    restriction retains the true neighbors."""
+    from libswish3_spark.functions import similarity as S
+    from libswish3_spark.operators.signatures import ensure_index_tables
+
+    sigs = ensure_index_tables(spark, "/root/testdata/sf0.01")["embedding_sigs"]
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = [
+        list(r["embedding"]) for r in emb.orderBy("vec_id").limit(3).collect()
+    ]
+    centroids = S.ivf_centroids(emb, "vec_id", "embedding")
+    recalls = []
+    for qv in queries:
+        exact = {
+            r["vec_id"]
+            for r in S.brute_force_topk(emb, "vec_id", "embedding", qv).collect()
+        }
+        approx = {
+            r["vec_id"]
+            for r in S.ann_ivf_topk(
+                sigs, "vec_id", "embedding", qv, centroids
+            ).collect()
+        }
+        recalls.append(len(exact & approx) / len(exact))
+    assert sum(recalls) / len(recalls) >= 0.8, recalls

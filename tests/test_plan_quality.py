@@ -138,3 +138,17 @@ def test_no_query_plans_a_cartesian_join(spark):
             if marker in plan:
                 bad.append((name, marker))
     assert bad == []
+
+
+def test_corpus_rarity_never_broadcasts_the_vocabulary(spark):
+    """The corpus frequency table is vocabulary-sized (billions of keys
+    at web scale): it must reach the lookup as a SHUFFLED hash join,
+    never a broadcast build side; the only broadcast allowed is the
+    1-row corpus-total aggregate, and the constant-key trick must not
+    degrade to BroadcastNestedLoopJoin."""
+    plan = _plan(QUERIES["corpus_rarity"][0](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ShuffledHashJoin" in plan
+    for seg in plan.split("BroadcastExchange")[1:]:
+        # no broadcast subtree keyed/partitioned on the token column
+        assert "hashpartitioning(tok" not in seg[:400]

@@ -191,3 +191,65 @@ def test_property_sort_hints(spark):
     cfg2 = reload(config_to_xml(cfg))
     assert cfg2.properties["name"].sort_length == 5
     assert cfg2.properties["blob"].sort is False
+
+
+def test_property_max_is_a_byte_cap(spark):
+    """Property.max counts UTF-8 BYTES (libswish3.h:357), not
+    characters: 'héllo' under max=5 keeps h(1)+é(2)+l(1)+l(1) = 5 bytes
+    → 'héll'; a cut that splits a multibyte character drops it whole.
+    Store-time (parser) and consumer-side (typed_properties) agree."""
+    from pyspark.sql import functions as F
+
+    from libswish3_spark.config import load_config_xml
+    from libswish3_spark.functions.props import typed_properties, utf8_byte_truncate
+    from libswish3_spark.pipeline import extract
+
+    cfg = load_config_xml(
+        '<swish><PropertyNames><desc max="5"/></PropertyNames></swish>'
+    )
+    docs = spark.createDataFrame(
+        [
+            (
+                "d1",
+                [
+                    {
+                        "kind": "text",
+                        "text": "<doc><desc>héllo</desc></doc>",
+                        "media_ref": "",
+                        "offset": 0,
+                    }
+                ],
+                "XML",
+            ),
+            (
+                "d2",
+                [
+                    {
+                        "kind": "text",
+                        # max=5 cuts mid-é (bytes h,e,l,l + first of é):
+                        # the split char drops whole → 'hell'
+                        "text": "<doc><desc>hellé</desc></doc>",
+                        "media_ref": "",
+                        "offset": 0,
+                    }
+                ],
+                "XML",
+            ),
+        ],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, parser string",
+    )
+    ext = extract(docs, config=cfg)
+    stored = {r["doc_id"]: r["properties"].get("desc") for r in ext.collect()}
+    assert stored == {"d1": "héll", "d2": "hell"}
+    typed = {
+        r["doc_id"]: r["desc"]
+        for r in typed_properties(ext, cfg).collect()
+    }
+    assert typed == stored
+    # the column helper standalone (consumer path over untruncated text)
+    got = (
+        spark.createDataFrame([("héllo",), ("hellé",)], ["v"])
+        .select(utf8_byte_truncate(F.col("v"), 5).alias("t"))
+        .collect()
+    )
+    assert [r["t"] for r in got] == ["héll", "hell"]
