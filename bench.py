@@ -73,27 +73,44 @@ HEADLINE = [
     "pii_redact",
     "curation_pipeline",
     "minhash_bucket_index",
+    "embedding_signature_index",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
-    "dedup_resolved",
+    "dedup_resolved_apply",
     "dedup_simhash",
     "dedup_embedding",
     "ann_cosine_topk",
     "ann_lsh_topk",
-    "ann_lsh_topk_stored",
     "ann_ivf_topk",
-    "media_ppm_features",
+    "media_features",
     "sample_mix",
     "pack_sequences",
     "chunk_windows",
     "quality_topk",
     "tfidf_topterms",
     "contamination",
-    "events_windowed",
-    "lineitem_metrics",
-    "region_order_counts",
-    "part_type_revenue",
+    "events_sessions",
+    "relational_rollup",
 ]
+
+
+def _embedding_signature_index(spark, sf_dir):
+    """The embedding-side ingest build (LSH table signatures + IVF
+    cell), timed fresh like minhash_bucket_index — so BOTH stored-index
+    build costs appear in the headline rather than hiding in the /tmp
+    cache the stored-index queries read (the cache persists across
+    trials and runs; without this entry the embedding ingest cost
+    appeared in no headline number)."""
+    from libswish3_spark.operators.signatures import (
+        build_embedding_signature_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return build_embedding_signature_index(emb)
+
+
+# headline entries that are not registry queries (ingest builds)
+EXTRA_HEADLINE = {"embedding_signature_index": _embedding_signature_index}
 
 
 def make_spark(cores: int):
@@ -250,7 +267,7 @@ def run_headline(sf_dir: str, cores: int) -> dict[str, float]:
     timings: dict[str, float] = {}
     try:
         for name in HEADLINE:
-            fn, _ = QUERIES[name]
+            fn = QUERIES[name][0] if name in QUERIES else EXTRA_HEADLINE[name]
             best = None
             # best-of-2, plus a third trial while still >3s: host noise
             # swings single runs 4×, and the heavy-plan queries also pay

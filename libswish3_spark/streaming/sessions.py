@@ -2,9 +2,20 @@
 
 Demonstrates the ``applyInPandasWithState`` surface for operators Spark
 lacks natively — here, user sessions that close after ``gap`` seconds of
-inactivity, emitted as they expire via event-time timeout. This is the
-pattern any custom stateful extraction operator (e.g. multi-part
-document reassembly across stream records) would follow.
+inactivity, emitted as they expire via EVENT-TIME timeout against the
+stream's watermark. This is the pattern any custom stateful extraction
+operator (e.g. multi-part document reassembly across stream records)
+would follow.
+
+Event-time (not processing-time) timeouts are a correctness AND
+liveness choice: expiry follows the data's own clock, so replays and
+backfills close the same sessions deterministically regardless of
+wall-clock speed, late events within the watermark still extend their
+session, and a drained ``availableNow`` backfill TERMINATES — a
+processing-time timeout re-arms on every batch, which keeps the
+no-new-data loop spinning empty micro-batches forever (measured: the
+old form never terminated; the suite paid full awaitTermination
+timeouts).
 """
 
 from __future__ import annotations
@@ -41,7 +52,8 @@ GAP_SECONDS = 30 * 60
 
 
 def _sessionize(key, pdf_iter, state: GroupState):
-    """Per-user session accumulator with processing-time timeout."""
+    """Per-user session accumulator with event-time timeout: the open
+    session expires when the WATERMARK passes session_end + gap."""
     import pandas as pd
 
     (user_id,) = key
@@ -74,7 +86,12 @@ def _sessionize(key, pdf_iter, state: GroupState):
             n += 1
             end = max(end, ts)
     state.update((start, end, n))
-    state.setTimeoutDuration(GAP_SECONDS * 1000)
+    # expire when the watermark passes the gap after the last event;
+    # clamp above the current watermark (Spark requires a future
+    # timestamp when a late event lands after its own expiry point)
+    expiry_ms = int(end.timestamp() * 1000) + GAP_SECONDS * 1000
+    wm_ms = state.getCurrentWatermarkMs()
+    state.setTimeoutTimestamp(max(expiry_ms, wm_ms + 1))
     if closed:
         yield pd.DataFrame(
             {
@@ -86,17 +103,27 @@ def _sessionize(key, pdf_iter, state: GroupState):
         )
 
 
-def sessionize_stream(events: DataFrame) -> DataFrame:
-    """events(user_id, ts, ...) stream → closed sessions."""
+def sessionize_stream(
+    events: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """events(user_id, ts, ...) stream → closed sessions.
+
+    ``watermark`` bounds how late an event may arrive and still extend
+    its session; sessions whose gap the watermark has passed emit via
+    event-time timeout (deterministic under replay, and an
+    ``availableNow`` backfill drains and terminates)."""
     return (
-        events.select("user_id", "ts")
+        # watermarks require TIMESTAMP (NTZ parquet columns cast via the
+        # session zone — UTC in this pipeline's sessions)
+        events.select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+        .withWatermark("ts", watermark)
         .groupBy("user_id")
         .applyInPandasWithState(
             _sessionize,
             outputStructType=SESSION_SCHEMA,
             stateStructType=_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
 

@@ -38,7 +38,10 @@ def main(argv=None) -> int:
         "--minhash-index",
         help="also write the minhash band-bucket signature index here "
         "(operators/signatures.py — computed once at ingest so no dedup "
-        "query ever re-folds signatures over the corpus)",
+        "query ever re-folds signatures over the corpus). The index is "
+        "built from the PARSED swishdefault buffer: streaming arrivals "
+        "checked against it must bucket through near_dup_stream("
+        "extracted=True) so both sides shingle the same text",
     )
     p.add_argument("--streaming", action="store_true")
     p.add_argument("--checkpoint", help="streaming checkpoint location")

@@ -390,3 +390,117 @@ def test_batch_keep_first_null_seq_coalesces_like_streaming_twin(spark):
     )
     got = keep_first(docs).collect()
     assert len(got) == 1 and got[0]["doc_id"] == "a"
+
+
+def test_near_dup_stream_restart_no_duplicate_no_lost_pairs(spark, tmp_path):
+    """Checkpoint-kill-restart for ingest-time near-dup: run 1's pairs
+    must not re-emit after restart (the checkpoint owns progress) and
+    run 2's arrivals must still match — no duplicates, no losses. The
+    operator is stateless (stream-static join), so the only state is
+    source progress; this pins that the checkpoint actually carries it."""
+    from libswish3_spark.operators.signatures import build_minhash_bucket_index
+    from libswish3_spark.pipeline import DOCS_SCHEMA
+    from libswish3_spark.streaming.neardup import near_dup_stream
+
+    corpus_text = "the quick brown fox jumps over the lazy dog again and again"
+    other_text = "pack my box with five dozen liquor jugs every single day"
+    static = spark.createDataFrame(
+        [("old1", corpus_text), ("old2", other_text)], ["doc_id", "text"]
+    )
+    idx_path = str(tmp_path / "idx")
+    build_minhash_bucket_index(static, "doc_id", "text").write.parquet(idx_path)
+
+    src = str(tmp_path / "arrivals")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "pairs")
+
+    def row(doc_id, text):
+        return {
+            "doc_id": doc_id,
+            "spans": [{"kind": "text", "text": text, "media_ref": "", "offset": 0}],
+        }
+
+    def run(rows, run_id):
+        spark.createDataFrame(rows, schema=DOCS_SCHEMA).write.mode(
+            "append"
+        ).parquet(src)
+        stream = spark.readStream.schema(DOCS_SCHEMA).parquet(src)
+        pairs = near_dup_stream(stream, spark.read.parquet(idx_path))
+
+        def sink(df, bid):
+            df.dropDuplicates(["doc_id", "matched_id"]).withColumn(
+                "_run", F.lit(run_id)
+            ).write.mode("append").parquet(out)
+
+        q = (
+            pairs.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return [
+            (r["doc_id"], r["matched_id"])
+            for r in spark.read.parquet(out).where(F.col("_run") == run_id).collect()
+        ]
+
+    got1 = run([row("n1", corpus_text)], 1)
+    assert ("n1", "old1") in got1
+
+    # restart: n1 must NOT re-emit; n2 (dup of old2) must emit
+    got2 = run([row("n2", other_text)], 2)
+    assert [p for p in got2 if p[0] == "n2" and p[1] == "old2"]
+    assert not [p for p in got2 if p[0] == "n1"]  # no duplicate emission
+
+
+def test_sessionize_stream_state_survives_restart(spark, tmp_path):
+    """Checkpoint-kill-restart for stateful sessionization: a session
+    left OPEN in run 1 must close correctly in run 2 when a later event
+    crosses the gap — the open-session state (start/end/count) lives in
+    the checkpoint, not the process. No duplicate or lost sessions."""
+    import datetime as dt
+
+    from libswish3_spark.streaming.sessions import sessionize_stream
+
+    src = str(tmp_path / "ev")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "sessions")
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    schema = "user_id long, ts timestamp"
+
+    def run(rows, run_id):
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(
+            spark.read.parquet(src).schema
+        ).parquet(src)
+
+        def sink(df, bid):
+            df.withColumn("_run", F.lit(run_id)).write.mode("append").parquet(out)
+
+        q = (
+            sessionize_stream(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return [
+            (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+            for r in spark.read.parquet(out).where(F.col("_run") == run_id).collect()
+        ]
+
+    # run 1: user 7 has two events 10 min apart — one open session,
+    # nothing closed yet
+    got1 = run(
+        [(7, t0), (7, t0 + dt.timedelta(minutes=10))],
+        1,
+    )
+    assert got1 == []
+
+    # run 2 (restart): an event 2 h later closes the run-1 session with
+    # BOTH run-1 events — state carried across the restart; emitted once
+    got2 = run([(7, t0 + dt.timedelta(hours=2))], 2)
+    assert got2 == [(7, t0, t0 + dt.timedelta(minutes=10), 2)]
