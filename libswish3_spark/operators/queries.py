@@ -2292,8 +2292,10 @@ ORACLE_MEDIA_PPM_FEATURES = _build_media_ppm_oracle()
 
 def q_tokenize_count_merged(spark, sf_dir):
     """T9 per-doc token counts + A4 corpus totals (word_totals) in one
-    entry: per-doc rows plus two summary rows keyed '__files__' /
-    '__total_words__' (reference: swish3 word/file counters)."""
+    entry: per-doc rows plus three summary rows keyed '__files__' /
+    '__total_words__' / '__vocab__' (reference: swish3 word/file
+    counters; vocab = exact distinct-token count, the corpus statistic
+    the rarity scorer's frequency table is sized by)."""
     docs = _docs(spark, sf_dir)
     per = docs.select(
         F.col("doc_id").cast("string").alias("doc_id"),
@@ -2310,13 +2312,21 @@ def q_tokenize_count_merged(spark, sf_dir):
             )
         ).alias("doc_id", "n_tokens")
     )
-    return per.unionByName(tot)
+    vocab = (
+        docs.select(F.explode_outer(T.tokens(F.col("text"))).alias("tok"))
+        .where(F.col("tok").isNotNull())
+        .agg(F.count_distinct("tok").cast("long").alias("n_tokens"))
+        .select(F.lit("__vocab__").alias("doc_id"), "n_tokens")
+    )
+    return per.unionByName(tot).unionByName(vocab)
 
 
 ORACLE_TOKENIZE_COUNT_MERGED = f"""
 SELECT CAST(doc_id AS VARCHAR) AS doc_id, len({TOKS_SQL}) AS n_tokens FROM documents
 UNION ALL SELECT '__files__', count(*) FROM documents
 UNION ALL SELECT '__total_words__', CAST(sum(len({TOKS_SQL})) AS BIGINT) FROM documents
+UNION ALL SELECT '__vocab__', CAST(count(DISTINCT tok) AS BIGINT)
+FROM (SELECT unnest({TOKS_SQL}) AS tok FROM documents)
 """
 
 
@@ -2496,8 +2506,12 @@ def q_dedup_embedding_merged(spark, sf_dir):
     """Embedding near-dup pairs AND their keeper clusters in one entry:
     'pair' rows are the capped-bucket cosine pairs from the stored
     signature index; 'cluster' rows are the same pairs resolved to
-    (doc_id, keeper) by the shared connected-components operator."""
-    pairs = q_dedup_embedding(spark, sf_dir)
+    (doc_id, keeper) by the shared connected-components operator.
+
+    The pair self-join materializes ONCE (lazy localCheckpoint): both
+    the pair rows and the resolve branch read the checkpoint instead of
+    re-running the bucket join (measured 4.2 s → ~2 s at sf0.1)."""
+    pairs = q_dedup_embedding(spark, sf_dir).localCheckpoint(eager=False)
     pair_rows = pairs.select(
         F.lit("pair").alias("section"),
         F.col("a").cast("long").alias("a"),
