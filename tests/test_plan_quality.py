@@ -152,3 +152,18 @@ def test_corpus_rarity_never_broadcasts_the_vocabulary(spark):
     for seg in plan.split("BroadcastExchange")[1:]:
         # no broadcast subtree keyed/partitioned on the token column
         assert "hashpartitioning(tok" not in seg[:400]
+
+
+def test_registry_fits_driver_correctness_cap():
+    """The driver's correctness harness checks at most 50 registry
+    entries per round (r04 covered exactly the first 50 of 58 — the
+    overflow was silently untested). Every entry must have an oracle,
+    and the registry must stay within the cap; merge related queries
+    into union-schema entries (see queries.py 'Merged registry
+    entries') rather than exceeding it."""
+    assert len(QUERIES) <= 50, (
+        f"{len(QUERIES)} registry entries — entries beyond 50 never get "
+        "a driver correctness row; merge or retire queries"
+    )
+    missing_oracle = [n for n, (_, sql) in QUERIES.items() if not sql]
+    assert missing_oracle == []
