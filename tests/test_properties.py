@@ -253,3 +253,37 @@ def test_property_max_is_a_byte_cap(spark):
         .collect()
     )
     assert [r["t"] for r in got] == ["héll", "hell"]
+
+
+def test_utf8_byte_truncate_parity_python_vs_spark_fuzz(spark):
+    """The store-time (parser: encode[:max].decode(errors='ignore')) and
+    consumer-side (props.utf8_byte_truncate) byte caps must agree on
+    arbitrary Unicode at arbitrary cut points — one batched Spark round
+    trip over 240 seeded random strings × caps (ASCII, Latin-1, CJK,
+    emoji/astral, combining marks)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from libswish3_spark.functions.props import utf8_byte_truncate
+
+    rng = random.Random(42)
+    alphabets = ["ab c", "héèñ", "布朗狗", "😀🚀x", "éä", "ǅß"]
+    rows = []
+    for i in range(240):
+        alpha = alphabets[i % len(alphabets)]
+        s = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 12)))
+        cap = rng.randint(1, 10)
+        rows.append((i, s, cap))
+    expected = {
+        i: s.encode("utf-8")[:cap].decode("utf-8", "ignore")
+        for i, s, cap in rows
+    }
+    df = spark.createDataFrame(rows, "i int, s string, cap int")
+    got = {}
+    for cap in sorted({c for _, _, c in rows}):
+        part = df.where(F.col("cap") == cap).select(
+            "i", utf8_byte_truncate(F.col("s"), cap).alias("t")
+        )
+        got.update({r["i"]: r["t"] for r in part.collect()})
+    assert got == expected
