@@ -605,3 +605,45 @@ def test_ann_ivf_recall_vs_brute_force(spark):
         }
         recalls.append(len(exact & approx) / len(exact))
     assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+
+def test_star_candidate_pairs_resolve_same_clusters_with_linear_edges(spark):
+    """pairs='star' (member → bucket-min edges, O(size) per bucket)
+    must resolve the SAME connected components as pairs='all'
+    (O(size²)) over clone families — with far fewer edges. This is the
+    100 TB path for clone-heavy corpora where all-pairs volume
+    measured 222 M edges on a 1.28 M-doc replicated corpus."""
+    from libswish3_spark.functions import dedup as D
+
+    # 6 clone families × 8 members + 10 singletons — vocabularies fully
+    # disjoint so buckets never straddle families
+    rows = []
+    for fam in range(6):
+        base = " ".join(f"fam{fam}tok{i}" for i in range(20))
+        for m in range(8):
+            rows.append((f"f{fam}_m{m}", base))
+    for s in range(10):
+        rows.append((f"solo{s}", " ".join(f"solo{s}w{i}" for i in range(20))))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    idx = D.doc_band_buckets(docs, "doc_id", "text")
+
+    all_pairs = D.candidate_pairs_from_buckets(idx, max_bucket=None)
+    star_pairs = D.candidate_pairs_from_buckets(idx, max_bucket=None, pairs="star")
+    n_all, n_star = all_pairs.count(), star_pairs.count()
+    # all: C(8,2)=28 per family per band (deduped across bands) = 168;
+    # star: 7 per family = 42. Linear vs quadratic in family size.
+    assert n_star < n_all
+    assert n_star <= 6 * 7
+
+    def clusters(pairs):
+        return {
+            (r["doc_id"], r["keeper"])
+            for r in D.resolve_clusters(pairs).collect()
+        }
+
+    assert clusters(star_pairs) == clusters(all_pairs)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="all.*star|star.*all|pairs"):
+        D.candidate_pairs_from_buckets(idx, pairs="chain")
