@@ -1,0 +1,157 @@
+#!/usr/bin/env python
+"""Reproducible scale probes behind the SURVEY.md numbers.
+
+Exercises the 100 TB-shaped paths at ~1 M-row scale on one box and
+prints one JSON line per probe:
+
+* ``dedup``  — minhash index build over the ×REPLICATE bench corpus
+  (256-clone families), star-edge candidates vs (optionally) all-pairs,
+  jaccard verify, connected components, apply. Clone families are the
+  adversarial case: genuine near-dups BELOW the hot-bucket cap, where
+  all-pairs volume is C(n,2) per bucket.
+* ``ann``    — embedding signature index (LSH tables + IVF cell,
+  partitioned by cell) over ×REPLICATE perturbed vectors; query-time
+  brute force vs stored-LSH vs IVF with recall@10.
+
+Usage: python scale_probe.py [dedup|ann|all] (default: all)
+The document corpus is materialized by bench.prepare_corpus (shared
+with bench.py, cached in /tmp).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import bench
+from bench import REPLICATE, SF_DIR, make_spark
+
+
+def _timed(fn):
+    t0 = time.perf_counter()
+    out = fn()
+    return round(time.perf_counter() - t0, 1), out
+
+
+def probe_dedup(spark, include_all_pairs: bool = False) -> dict:
+    from pyspark.sql import functions as F
+
+    from libswish3_spark.functions import dedup as D
+    from libswish3_spark.operators.signatures import build_minhash_bucket_index
+
+    corpus_path, n_docs = bench.prepare_corpus(SF_DIR, REPLICATE)
+    docs = spark.read.parquet(corpus_path).select(
+        "doc_id", F.element_at("spans", 1)["text"].alias("text")
+    )
+    idx_path = "/tmp/scale_probe_idx"
+    t_build, _ = _timed(
+        lambda: build_minhash_bucket_index(docs, "doc_id", "text")
+        .write.mode("overwrite")
+        .parquet(idx_path)
+    )
+    idx = spark.read.parquet(idx_path)
+    out = {"probe": "dedup", "n_docs": n_docs, "index_build_sec": t_build}
+    if include_all_pairs:  # ~4 min: the quadratic baseline, measured once
+        t_all, n_all = _timed(
+            lambda: D.candidate_pairs_from_buckets(idx, max_bucket=1000).count()
+        )
+        out.update({"all_pairs": n_all, "all_pairs_sec": t_all})
+    cand = D.candidate_pairs_from_buckets(idx, max_bucket=1000, pairs="star")
+    t_cand, n_star = _timed(cand.count)
+    ver = D.jaccard_verify(docs, cand, "doc_id", "text", threshold=0.5)
+    t_verify, n_ver = _timed(ver.count)
+    clusters = D.resolve_clusters(ver)
+    t_resolve, n_clusters = _timed(clusters.count)
+    losers = clusters.where(F.col("doc_id") != F.col("keeper")).select("doc_id")
+    t_apply, survivors = _timed(
+        lambda: docs.join(losers, "doc_id", "left_anti").count()
+    )
+    out.update(
+        {
+            "star_pairs": n_star,
+            "star_pairs_sec": t_cand,
+            "verified_pairs": n_ver,
+            "verify_sec": t_verify,
+            "cluster_rows": n_clusters,
+            "resolve_sec": t_resolve,
+            "survivors": survivors,
+            "apply_sec": t_apply,
+        }
+    )
+    return out
+
+
+def probe_ann(spark) -> dict:
+    from pyspark.sql import functions as F
+
+    from libswish3_spark.functions import similarity as S
+    from libswish3_spark.operators.signatures import build_embedding_signature_index
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    reps = spark.range(REPLICATE).select(F.col("id").alias("rep"))
+    # distinct replicas: perturb component 1 per replica
+    big = (
+        emb.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("vec_id") * REPLICATE + F.col("rep")).alias("vec_id"),
+            F.concat(
+                F.array(
+                    (
+                        F.element_at("embedding", 1)
+                        + F.col("rep").cast("float") / 100000
+                    ).cast("float")
+                ),
+                F.slice("embedding", 2, 63),
+            ).alias("embedding"),
+        )
+        .repartition(128)
+    )
+    n = big.count()
+    idx_path = "/tmp/scale_emb_idx"
+    t_build, _ = _timed(
+        lambda: build_embedding_signature_index(big)
+        .write.mode("overwrite")
+        .partitionBy("ivf_cell")
+        .parquet(idx_path)
+    )
+    sigs = spark.read.parquet(idx_path)
+    qv = [float(x) for x in emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]]
+    t_bf, bf = _timed(
+        lambda: S.brute_force_topk(big, "vec_id", "embedding", qv).collect()
+    )
+    exact = {r["vec_id"] for r in bf}
+    t_lsh, st = _timed(
+        lambda: S.ann_topk_from_signatures(sigs, "vec_id", "embedding", qv).collect()
+    )
+    cent = S.ivf_centroids(big, "vec_id", "embedding")
+    t_ivf, iv = _timed(
+        lambda: S.ann_ivf_topk(sigs, "vec_id", "embedding", qv, cent).collect()
+    )
+    return {
+        "probe": "ann",
+        "n_vectors": n,
+        "index_build_sec": t_build,
+        "brute_force_sec": t_bf,
+        "stored_lsh_sec": t_lsh,
+        "stored_lsh_recall10": len(exact & {r["vec_id"] for r in st}) / 10,
+        "ivf_sec": t_ivf,
+        "ivf_recall10": len(exact & {r["vec_id"] for r in iv}) / 10,
+    }
+
+
+def main() -> None:
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    spark = make_spark(int(bench.CPUS))
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        if which in ("dedup", "all"):
+            print(json.dumps(probe_dedup(spark, "--all-pairs" in sys.argv)))
+        if which in ("ann", "all"):
+            print(json.dumps(probe_ann(spark)))
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
