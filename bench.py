@@ -100,13 +100,27 @@ def _embedding_signature_index(spark, sf_dir):
     build costs appear in the headline rather than hiding in the /tmp
     cache the stored-index queries read (the cache persists across
     trials and runs; without this entry the embedding ingest cost
-    appeared in no headline number)."""
+    appeared in no headline number).
+
+    The build is forced by WRITING to a scratch path inside the timed
+    call, exactly like the real ingest: returning the lazy projection
+    let the timer's ``.count()`` column-prune every signature column
+    away (ReadSchema: struct<>) and record a metadata-only row count."""
+    import tempfile
+
     from libswish3_spark.operators.signatures import (
         build_embedding_signature_index,
     )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return build_embedding_signature_index(emb)
+    path = os.path.join(tempfile.mkdtemp(prefix="bench_emb_idx_"), "idx")
+    (
+        build_embedding_signature_index(emb)
+        .write.mode("overwrite")
+        .partitionBy("ivf_cell")
+        .parquet(path)
+    )
+    return spark.read.parquet(path)
 
 
 # headline entries that are not registry queries (ingest builds)

@@ -31,13 +31,31 @@ def utf8_byte_truncate(v: Column, nbytes: int) -> Column:
     (unsigned int prefix of a C string, libswish3.h:357 — the same
     rationale as sort_key's byte-based sort_length), not a character
     count. A multibyte character split by the byte cap is dropped
-    whole: make_valid_utf8 replaces the orphaned trailing bytes with
-    U+FFFD, which the regexp strips (a literal U+FFFD immediately
-    before the cut would be stripped too — acceptable for a lossy cap).
-    The binary→string cast is the non-validating reinterpretation;
-    strict decode() throws MALFORMED_CHARACTER_CODING on the split."""
-    b = F.substring(F.encode(v, "utf-8"), 1, nbytes)
-    return F.regexp_replace(F.make_valid_utf8(b.cast("string")), "�+$", "")
+    whole: the cut backs off past the split character's bytes (its lead
+    is within the last 3 bytes of the prefix — UTF-8 chars are ≤ 4
+    bytes), so the result is exactly the store-time path
+    ``encode()[:max].decode(errors='ignore')`` for valid input. A
+    LITERAL U+FFFD already in the value survives (it is three intact
+    bytes) — an earlier make_valid_utf8 + strip-trailing-U+FFFD version
+    wrongly shortened values that legitimately end in U+FFFD."""
+    full = F.encode(v, "utf-8")
+
+    def _is_cont(i: int) -> Column:
+        # byte i (1-based) of the encoded value is a UTF-8 continuation
+        # byte 0x80-0xBF; a beyond-end probe hexes to '' → conv 0 → False
+        b = F.conv(F.hex(F.substring(full, i, 1)), 16, 10).cast("int")
+        return (b >= 128) & (b <= 191)
+
+    back = (
+        F.when(~_is_cont(nbytes), F.lit(1))
+        .when(~_is_cont(nbytes - 1), F.lit(2))
+        .otherwise(F.lit(3))
+    )
+    cut = F.when(
+        (F.octet_length(full) <= nbytes) | ~_is_cont(nbytes + 1),
+        F.lit(nbytes),
+    ).otherwise(F.lit(nbytes) - back)
+    return F.substring(full, 1, cut).cast("string")
 
 
 def typed_property(props_col, prop: Property) -> Column:

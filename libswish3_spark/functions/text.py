@@ -291,11 +291,18 @@ def corpus_rarity_features(
     # pmod(x, x): a literal key (or x*0, which SimplifyArithmetic also
     # folds) constant-folds the equi-condition away and degrades the
     # join to BroadcastNestedLoopJoin (banned plan shape). cnt >= 1
-    # always; total = 0 only for an empty corpus, where scored is
-    # empty regardless and the left join below zero-fills every doc.
+    # always; total = 0 on a token-less corpus, so the modulus is
+    # clamped with greatest(total, 1) — pmod(0, 0) raises
+    # REMAINDER_BY_ZERO under ANSI whenever AQE's empty-relation
+    # propagation doesn't happen to erase the branch first (library
+    # callers run in whatever session they provide). The left join
+    # below zero-fills every doc either way.
     total_1row = freq.agg(
         F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("total")
-    ).withColumn("_k", F.pmod(F.col("total"), F.col("total")).cast("int"))
+    ).withColumn(
+        "_k",
+        F.pmod(F.col("total"), F.greatest(F.col("total"), F.lit(1))).cast("int"),
+    )
     scored = (
         toks.join(freq.hint("shuffle_hash"), "tok")
         .withColumn("_k", F.pmod(F.col("cnt"), F.col("cnt")).cast("int"))

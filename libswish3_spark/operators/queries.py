@@ -2449,14 +2449,12 @@ def q_dedup_resolved_apply(spark, sf_dir):
     candidate chain, plus one '__corpus__' summary row with the
     surviving row/char counts after dropping non-keepers and exact
     duplicates' losers. The chain (candidates → jaccard verify →
-    pointer-doubled CC) runs once; both outputs derive from it."""
+    pointer-doubled CC) runs once; both outputs derive from it —
+    composed from q_dedup_resolved so the threshold/cap wiring lives in
+    exactly one place and the merged driver entry cannot diverge from
+    the un-merged chain pytest and bench exercise."""
     docs = ensure_parallelism(_docs(spark, sf_dir))
-    idx = _index_tables(spark, sf_dir)["minhash_buckets"]
-    cand = D.candidate_pairs_from_buckets(idx, max_bucket=MAX_BUCKET)
-    verified = D.jaccard_verify(
-        docs, cand, "doc_id", "text", threshold=RESOLVE_BP / 10000
-    )
-    clusters = D.resolve_clusters(verified)
+    clusters = q_dedup_resolved(spark, sf_dir)
     labeled = clusters.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.col("keeper").cast("string").alias("keeper"),

@@ -51,56 +51,87 @@ _STATE_SCHEMA = StructType(
 GAP_SECONDS = 30 * 60
 
 
-def _sessionize(key, pdf_iter, state: GroupState):
-    """Per-user session accumulator with event-time timeout: the open
-    session expires when the WATERMARK passes session_end + gap."""
-    import pandas as pd
+def _tzinfo_for(name: str | None):
+    """tzinfo for a Spark session-timezone string (region name or
+    ±HH:MM offset); None → fall back to the machine's local zone."""
+    if not name:
+        return None
+    try:
+        if name[0] in "+-":
+            h, m = name[1:].split(":")
+            delta = dt.timedelta(hours=int(h), minutes=int(m))
+            return dt.timezone(-delta if name[0] == "-" else delta)
+        from zoneinfo import ZoneInfo
 
-    (user_id,) = key
-    if state.hasTimedOut:
-        start, end, n = state.get
-        state.remove()
-        yield pd.DataFrame(
-            {
-                "user_id": [user_id],
-                "session_start": [start],
-                "session_end": [end],
-                "n_events": [n],
-            }
-        )
-        return
+        return ZoneInfo(name)
+    except Exception:
+        return None
 
-    start = end = None
-    n = 0
-    if state.exists:
-        start, end, n = state.get
-    closed = []
-    for pdf in pdf_iter:
-        for ts in sorted(pdf["ts"]):
-            ts = ts.to_pydatetime() if hasattr(ts, "to_pydatetime") else ts
-            if start is None:
-                start, end, n = ts, ts, 0
-            elif (ts - end).total_seconds() > GAP_SECONDS:
-                closed.append((start, end, n))
-                start, end, n = ts, ts, 0
-            n += 1
-            end = max(end, ts)
-    state.update((start, end, n))
-    # expire when the watermark passes the gap after the last event;
-    # clamp above the current watermark (Spark requires a future
-    # timestamp when a late event lands after its own expiry point)
-    expiry_ms = int(end.timestamp() * 1000) + GAP_SECONDS * 1000
-    wm_ms = state.getCurrentWatermarkMs()
-    state.setTimeoutTimestamp(max(expiry_ms, wm_ms + 1))
-    if closed:
-        yield pd.DataFrame(
-            {
-                "user_id": [user_id] * len(closed),
-                "session_start": [c[0] for c in closed],
-                "session_end": [c[1] for c in closed],
-                "n_events": [c[2] for c in closed],
-            }
-        )
+
+def _make_sessionize(session_tz: str | None):
+    """Build the per-user session accumulator with event-time timeout:
+    the open session expires when the WATERMARK passes session_end + gap.
+
+    ``session_tz`` is captured at plan time: Arrow hands the state
+    function tz-NAIVE timestamps localized to ``spark.sql.session.
+    timeZone``, while ``getCurrentWatermarkMs``/``setTimeoutTimestamp``
+    speak UTC epoch ms — converting the naive session end via bare
+    ``datetime.timestamp()`` (machine-local zone) shifts every expiry
+    by the zone delta whenever the session tz differs from the host tz
+    (e.g. ``timeZone=UTC`` on a UTC-8 box: sessions emit 8 h late)."""
+    tzinfo = _tzinfo_for(session_tz)
+
+    def _sessionize(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        (user_id,) = key
+        if state.hasTimedOut:
+            start, end, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [start],
+                    "session_end": [end],
+                    "n_events": [n],
+                }
+            )
+            return
+
+        start = end = None
+        n = 0
+        if state.exists:
+            start, end, n = state.get
+        closed = []
+        for pdf in pdf_iter:
+            for ts in sorted(pdf["ts"]):
+                ts = ts.to_pydatetime() if hasattr(ts, "to_pydatetime") else ts
+                if start is None:
+                    start, end, n = ts, ts, 0
+                elif (ts - end).total_seconds() > GAP_SECONDS:
+                    closed.append((start, end, n))
+                    start, end, n = ts, ts, 0
+                n += 1
+                end = max(end, ts)
+        state.update((start, end, n))
+        # expire when the watermark passes the gap after the last event;
+        # clamp above the current watermark (Spark requires a future
+        # timestamp when a late event lands after its own expiry point)
+        end_utc = end.replace(tzinfo=tzinfo) if tzinfo else end
+        expiry_ms = int(end_utc.timestamp() * 1000) + GAP_SECONDS * 1000
+        wm_ms = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(expiry_ms, wm_ms + 1))
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "session_start": [c[0] for c in closed],
+                    "session_end": [c[1] for c in closed],
+                    "n_events": [c[2] for c in closed],
+                }
+            )
+
+    return _sessionize
 
 
 def sessionize_stream(
@@ -112,6 +143,9 @@ def sessionize_stream(
     its session; sessions whose gap the watermark has passed emit via
     event-time timeout (deterministic under replay, and an
     ``availableNow`` backfill drains and terminates)."""
+    session_tz = events.sparkSession.conf.get(
+        "spark.sql.session.timeZone", None
+    )
     return (
         # watermarks require TIMESTAMP (NTZ parquet columns cast via the
         # session zone — UTC in this pipeline's sessions)
@@ -119,7 +153,7 @@ def sessionize_stream(
         .withWatermark("ts", watermark)
         .groupBy("user_id")
         .applyInPandasWithState(
-            _sessionize,
+            _make_sessionize(session_tz),
             outputStructType=SESSION_SCHEMA,
             stateStructType=_STATE_SCHEMA,
             outputMode="append",

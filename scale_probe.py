@@ -141,7 +141,12 @@ def probe_ann(spark) -> dict:
 
 
 def main() -> None:
-    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    args = [a for a in sys.argv[1:] if a != "--all-pairs"]
+    which = args[0] if args else "all"
+    if which not in ("dedup", "ann", "all") or len(args) > 1:
+        sys.exit(
+            f"usage: {sys.argv[0]} [dedup|ann|all] [--all-pairs] (got {sys.argv[1:]})"
+        )
     spark = make_spark(int(bench.CPUS))
     spark.sparkContext.setLogLevel("ERROR")
     try:

@@ -647,3 +647,28 @@ def test_star_candidate_pairs_resolve_same_clusters_with_linear_edges(spark):
 
     with pytest.raises(ValueError, match="all.*star|star.*all|pairs"):
         D.candidate_pairs_from_buckets(idx, pairs="chain")
+
+
+def test_corpus_rarity_tokenless_corpus_without_aqe(spark):
+    """total == 0 path: the constant-key pmod's modulus is clamped with
+    greatest(total, 1). Without the clamp a token-less corpus raised
+    REMAINDER_BY_ZERO under ANSI whenever AQE's empty-relation
+    propagation didn't erase the branch first — library functions run
+    in whatever session the caller provides, so AQE-off must work."""
+    from libswish3_spark.functions.text import corpus_rarity_features
+
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = spark.createDataFrame([(1, ""), (2, " . ")], ["doc_id", "text"])
+        out = {
+            r["id"]: r
+            for r in corpus_rarity_features(df, "doc_id", "text").collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    assert set(out) == {1, 2}
+    assert all(
+        r["n_tokens"] == 0 and r["rare_bp"] == 0 and r["surprisal_c"] == 0
+        for r in out.values()
+    )

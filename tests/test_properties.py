@@ -268,7 +268,10 @@ def test_utf8_byte_truncate_parity_python_vs_spark_fuzz(spark):
     from libswish3_spark.functions.props import utf8_byte_truncate
 
     rng = random.Random(42)
-    alphabets = ["ab c", "héèñ", "布朗狗", "😀🚀x", "éä", "ǅß"]
+    # "�" (U+FFFD) entries are deliberate: web text carries literal
+    # replacement chars from upstream encoding cleanup; a legit trailing
+    # U+FFFD must survive the cap (only a cap-SPLIT char is dropped).
+    alphabets = ["ab c", "héèñ", "布朗狗", "😀🚀x", "éä", "ǅß", "�" + "a�", "x�"]
     rows = []
     for i in range(240):
         alpha = alphabets[i % len(alphabets)]

@@ -504,3 +504,59 @@ def test_sessionize_stream_state_survives_restart(spark, tmp_path):
     # BOTH run-1 events — state carried across the restart; emitted once
     got2 = run([(7, t0 + dt.timedelta(hours=2))], 2)
     assert got2 == [(7, t0, t0 + dt.timedelta(minutes=10), 2)]
+
+
+def test_sessionize_expiry_uses_session_timezone():
+    """The event-time timeout must convert the NAIVE session end (Arrow
+    hands the state fn timestamps localized to spark.sql.session.
+    timeZone) to UTC epoch ms using THAT zone — a bare
+    datetime.timestamp() reads the machine-local zone and shifts every
+    expiry by the zone delta on hosts where the two differ."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from libswish3_spark.streaming.sessions import (
+        GAP_SECONDS,
+        _make_sessionize,
+        _tzinfo_for,
+    )
+
+    class FakeState:
+        hasTimedOut = False
+        exists = False
+
+        def __init__(self):
+            self.timeout_ms = None
+            self.stored = None
+
+        @property
+        def get(self):
+            return self.stored
+
+        def update(self, v):
+            self.stored = v
+
+        def getCurrentWatermarkMs(self):
+            return 0
+
+        def setTimeoutTimestamp(self, ms):
+            self.timeout_ms = ms
+
+    end = dt.datetime(2020, 1, 1, 12, 0, 0)  # naive, session-tz-local
+    for tz_name in ("+05:00", "UTC", "-03:30"):
+        state = FakeState()
+        fn = _make_sessionize(tz_name)
+        list(fn((7,), [pd.DataFrame({"ts": [end]})], state))
+        expected = (
+            int(end.replace(tzinfo=_tzinfo_for(tz_name)).timestamp() * 1000)
+            + GAP_SECONDS * 1000
+        )
+        assert state.timeout_ms == expected, tz_name
+    # the three zones disagree pairwise by their offsets — the old
+    # machine-local conversion could not have produced all three
+    assert _tzinfo_for("+05:00").utcoffset(None) == dt.timedelta(hours=5)
+    assert _tzinfo_for("-03:30").utcoffset(None) == -dt.timedelta(
+        hours=3, minutes=30
+    )
+    assert _tzinfo_for(None) is None
