@@ -387,7 +387,12 @@ def ivf_cell_sql(vec_sql: str, centroids: list[list[float]]) -> str:
             " (x, y) -> CAST(x * y AS DOUBLE)),"
             " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
         )
-        parts.append(f"({dot_} / sqrt({cc}))")
+        # greatest(cc, 1e-12): an all-zero centroid (failed/padded
+        # encodes are commonly zero vectors) would otherwise divide by
+        # zero — NaN sorts GREATEST in Spark, silently assigning every
+        # row to the degenerate cell. The guard scores it 0 instead,
+        # identically in Spark, DuckDB (oracle) and Python (probes).
+        parts.append(f"({dot_} / sqrt(greatest({cc}, CAST(1e-12 AS DOUBLE))))")
     ds = "array(" + ", ".join(parts) + ")"
     return f"array_position({ds}, array_max({ds}))"
 
@@ -408,7 +413,8 @@ def ivf_query_probes(
             d += float(x) * float(y)
         for y in c:
             cc += float(y) * float(y)
-        scored.append((-(d / math.sqrt(cc)), idx + 1))
+        # max(cc, 1e-12) mirrors the SQL greatest() zero-norm guard
+        scored.append((-(d / math.sqrt(max(cc, 1e-12))), idx + 1))
     return [cell for _, cell in sorted(scored)[:nprobe]]
 
 

@@ -124,11 +124,23 @@ def config_supports_segmentation(config=None) -> bool:
     return True
 
 
-_FLUSH_TAGS = _config_flush_tags(None)  # default-config set
-import re as _re
+def _config_reset_exempt(config=None) -> frozenset:
+    """Tags that do NOT reset the XML noindex counter: the parser's
+    default UndefinedMetaTags=index policy resets ``ignore_content`` at
+    any XML tag (start OR close — close_tag re-bakes) that is neither a
+    defined metaname nor an alias (parser.py bake_tag:336-338,
+    parser.c:708-717). The XML cut scanner must model the reset or its
+    text_seen goes stale after ``<!--noindex-->…<tag>`` and the next
+    cut's bumper seed is wrong (off-by-one positions)."""
+    from libswish3_spark.config import default_config
 
-_META_NAME_RE = _re.compile(r"""name\s*=\s*["']?([^"'\s>]+)""", _re.I)
-_META_CONTENT_RE = _re.compile(r"content\s*=", _re.I)
+    cfg = config or default_config()
+    return frozenset(cfg.metanames) | frozenset(cfg.tag_aliases)
+
+
+_FLUSH_TAGS = _config_flush_tags(None)  # default-config sets
+_RESET_EXEMPT = _config_reset_exempt(None)
+import re as _re
 
 
 def _txt_segments(doc_id: str, text: str, seg_chars: int, count) -> list:
@@ -188,7 +200,9 @@ def _router_kernel(family: str, seg_chars: int, config=None):
     whole_label = _WHOLE_LABEL[family]
     allow = config_supports_segmentation(config)
     flush_tags = _config_flush_tags(config)
+    reset_exempt = _config_reset_exempt(config)
     whole_tail = f"{_SEG_SEP}0{_SEG_SEP}0{_SEG_SEP}" + ("0" if family == "txt" else "1")
+    title_re = _re.compile(TOKEN_PATTERN)
 
     def fn(batches):
         import pyarrow as pa
@@ -240,11 +254,27 @@ def _router_kernel(family: str, seg_chars: int, config=None):
                 ):
                     text = spans[0]["text"] or ""
                     if family == "txt":
-                        pieces = _txt_segments(doc_id, text, seg_chars, count)
+                        # the reassembly's title-from-path tail uses the
+                        # ASCII TOKEN_PATTERN; the plain parse tokenizes
+                        # state.uri with the ENGINE tokenizer. Segment
+                        # only when the two agree on this doc_id —
+                        # underscore runs (edge-stripped to nothing) or
+                        # non-ASCII paths route whole for exact parity
+                        if tok(doc_id) == title_re.findall(doc_id.lower()):
+                            pieces = _txt_segments(doc_id, text, seg_chars, count)
+                        else:
+                            pieces = []
                     elif family == "html":
                         pieces = _html_segments(doc_id, text, seg_chars, flush_tags)
                     else:
-                        pieces = _xml_segments(doc_id, text, seg_chars, flush_tags)
+                        pieces = _xml_segments(
+                            doc_id, text, seg_chars, flush_tags, reset_exempt
+                        )
+                    if not pieces:
+                        o_id.append(doc_id + whole_tail)
+                        o_spans.append(spans)
+                        o_parser.append(whole_label)
+                        continue
                     for tail_id, seg_text in pieces:
                         o_id.append(tail_id)
                         o_spans.append(
@@ -349,7 +379,9 @@ def segmented_nwords(docs: DataFrame, config=None, seg_chars: int = 1 << 20) -> 
     )
 
 
-def _html_cut_scan(text: str, seg_chars: int, flush_tags: frozenset = _FLUSH_TAGS):
+def _html_cut_scan(
+    text: str, seg_chars: int, flush_tags: frozenset = _FLUSH_TAGS
+):
     """Find parser-neutral cut offsets in one HTML document.
 
     Position-tracking twin of events.html_events' consume loop (same
@@ -424,23 +456,36 @@ def _html_cut_scan(text: str, seg_chars: int, flush_tags: frozenset = _FLUSH_TAG
             continue
         name = m.group("name").lower()
         if m.group("close"):
+            # html_events DROPS a close whose tag is not open (bogus
+            # </title> must not clear text_seen — no flush happened);
+            # a real close pops every element above it, and each popped
+            # flush tag DID flush (implied end events → close_tag)
             if name in stack:
-                while stack and stack.pop() != name:
-                    pass
-            if name in flush_tags:
-                text_seen = False  # close_tag flushed the buffer
-            continue
-        if name == "meta" and ignore == 0:
-            # <meta name content>: content buffers invisibly to this
-            # scanner (parser.py bake_tag meta branch). Defined metaname
-            # → its own open/close flush pair (net: buffer empty);
-            # undefined (default policy: index) → content joins the
-            # CURRENT buffer, leaving it non-empty.
-            mn = _META_NAME_RE.search(m.group(0))
-            if mn and _META_CONTENT_RE.search(m.group(0)):
-                if mn.group(1).lower() in flush_tags:
+                idx = len(stack) - 1 - stack[::-1].index(name)
+                popped = stack[idx:]
+                del stack[idx:]
+                if any(t in flush_tags for t in popped):
                     text_seen = False
-                else:
+            continue
+        if name == "meta":
+            # <meta name content>: content buffers invisibly to this
+            # scanner (parser.py bake_tag meta branch, attrs parsed with
+            # the SAME ATTR_RE as html_events — a regex over the raw tag
+            # matched 'name=' inside other attribute VALUES). Defined
+            # metaname → its own open/close flush pair (net: buffer
+            # empty, even under noindex — open_tag's flush is
+            # unconditional); undefined (default policy: index) →
+            # non-empty content joins the CURRENT buffer when not
+            # suppressed by noindex.
+            from libswish3_spark.events import _parse_attrs, html_unescape
+
+            attrs = _parse_attrs(m.group("attrs") or "", html_unescape)
+            metaname = next((v for k, v in attrs if k == "name"), None)
+            metacontent = next((v for k, v in attrs if k == "content"), None)
+            if metaname is not None and metacontent is not None:
+                if metaname.lower() in flush_tags:
+                    text_seen = False
+                elif metacontent and ignore == 0:
                     text_seen = True
             continue
         # cut BEFORE this start tag if, after its implied closes, only
@@ -462,6 +507,12 @@ def _html_cut_scan(text: str, seg_chars: int, flush_tags: frozenset = _FLUSH_TAG
             and ignore == 0
             and m.start() - seg_start >= seg_chars
             and all(t in ("html", "body") for t in stack[:peek])
+            # a METANAME tag open across the cut would flush its text
+            # to swishdefault at the non-final segment's end_document
+            # (parser.py:451-453) — refuse. Property-only tags (the
+            # default body→swishdescription alias) are fine: the
+            # reassembly merges per-segment property fragments
+            and not any(t in flush_tags for t in stack[:peek])
         ):
             cuts.append(m.start())
             seeds.append(int(text_seen))
@@ -470,6 +521,10 @@ def _html_cut_scan(text: str, seg_chars: int, flush_tags: frozenset = _FLUSH_TAG
         if name in flush_tags:
             text_seen = False  # open_tag flushes before pushing
         if closers:
+            # implied closes (AUTO_CLOSE) emit end events → close_tag
+            # flushes each popped flush tag, exactly like explicit pops
+            if any(t in flush_tags for t in stack[peek:]):
+                text_seen = False
             del stack[peek:]
         if name in VOID_TAGS or m.group("selfclose"):
             pass
@@ -749,7 +804,12 @@ def extract_txt_segmented(
     )
 
 
-def _xml_cut_scan(text: str, seg_chars: int, flush_tags: frozenset = _FLUSH_TAGS):
+def _xml_cut_scan(
+    text: str,
+    seg_chars: int,
+    flush_tags: frozenset = _FLUSH_TAGS,
+    reset_exempt: frozenset = _RESET_EXEMPT,
+):
     """Parser-neutral cut offsets for one XML document.
 
     Literal-event twin of events.xml_events (same MARKUP_RE, no
@@ -758,7 +818,17 @@ def _xml_cut_scan(text: str, seg_chars: int, flush_tags: frozenset = _FLUSH_TAGS
     tag bumps word position (parser.c:543-549), so any top-level start
     tag is a safe boundary. On any close-tag mismatch (malformed XML)
     segmentation bails out — the document runs unsegmented rather than
-    risking a state divergence the literal scanner can't model.
+    risking a state divergence the literal scanner can't model. Two
+    further parser behaviors are modeled exactly:
+
+    * a ROOT that is itself a METANAME tag (``flush_tags``) refuses
+      segmentation entirely — a non-final segment's end_document would
+      flush the root's buffered text to swishdefault instead of its
+      bucket (parser.py:451-453); property-only roots are fine (the
+      reassembly merges per-segment property fragments);
+    * under the default UndefinedMetaTags=index policy, any start OR
+      close tag outside ``reset_exempt`` resets the noindex counter
+      (parser.py bake_tag:336-338, parser.c:708-717).
 
     Returns (cuts, seeds, root_raw) — root_raw is the root's original
     open-tag text, replayed verbatim as each continuation segment's
@@ -815,7 +885,11 @@ def _xml_cut_scan(text: str, seg_chars: int, flush_tags: frozenset = _FLUSH_TAGS
             depth -= 1
             if name.lower() in flush_tags:
                 text_seen = False  # close_tag flushed the buffer
+            elif name.lower() not in reset_exempt:
+                ignore = 0  # close_tag re-bakes → undef policy reset
             continue
+        if name.lower() not in reset_exempt:
+            ignore = 0  # any undefined XML tag resets noindex
         if (
             depth == 1
             and ignore == 0
@@ -828,6 +902,10 @@ def _xml_cut_scan(text: str, seg_chars: int, flush_tags: frozenset = _FLUSH_TAGS
             text_seen = False  # open_tag flushes before pushing
         if not m.group("selfclose"):
             if depth == 0 and root_raw is None:
+                if name.lower() in flush_tags:
+                    # root is a metaname tag: a cut would split its
+                    # bucket — run this document unsegmented
+                    return [], [], None
                 root_raw = m.group(0)
             names.append(name)
             depth += 1
@@ -835,13 +913,19 @@ def _xml_cut_scan(text: str, seg_chars: int, flush_tags: frozenset = _FLUSH_TAGS
 
 
 def _xml_segments(
-    doc_id: str, text: str, seg_chars: int, flush_tags: frozenset
+    doc_id: str,
+    text: str,
+    seg_chars: int,
+    flush_tags: frozenset,
+    reset_exempt: frozenset = _RESET_EXEMPT,
 ) -> list:
     """One XML document → [(tail-encoded id, segment text)].
     Continuation segments replay the root open tag verbatim so
     prefixes/attrs bake identically; a malformed doc yields one
     segment (the cut scan bails)."""
-    cuts, seeds, root_raw = _xml_cut_scan(text, seg_chars, flush_tags)
+    cuts, seeds, root_raw = _xml_cut_scan(
+        text, seg_chars, flush_tags, reset_exempt
+    )
     bounds = [0] + cuts + [len(text)]
     nseg = len(bounds) - 1
     out = []

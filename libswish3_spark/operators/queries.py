@@ -1375,7 +1375,7 @@ WITH hist AS (
   UNION ALL
   SELECT doc_id + 100000, text, doc_id + 100000 FROM documents WHERE doc_id % 5 = 0
 )
-SELECT md5(lower(text)) AS fp,
+SELECT md5(lower('text' || chr(1) || text || chr(1))) AS fp,
        arg_min(doc_id, seq) AS keeper,
        md5(arg_min(text, seq)) AS text_fp
 FROM hist GROUP BY 1
@@ -1812,8 +1812,9 @@ def q_ann_ivf_topk(spark, sf_dir):
 _IVF_DOT = (
     "list_sum(list_transform(range(1, len(c.cvec)+1),"
     " i -> CAST({v}[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE)))"
-    " / sqrt(list_sum(list_transform(range(1, len(c.cvec)+1),"
-    " i -> CAST(c.cvec[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE))))"
+    " / sqrt(greatest(list_sum(list_transform(range(1, len(c.cvec)+1),"
+    " i -> CAST(c.cvec[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE))),"
+    " CAST(1e-12 AS DOUBLE)))"
 )
 
 ORACLE_ANN_IVF_TOPK = f"""

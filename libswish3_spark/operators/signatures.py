@@ -62,7 +62,7 @@ def build_embedding_signature_index(
     n_planes: int = ANN_PLANES,
     n_tables: int = ANN_TABLES,
     seed: int = ANN_SEED,
-    dims: int = ANN_DIMS,
+    dims: int | None = None,
     centroids: list | None = None,
 ) -> DataFrame:
     """(id, vec, sig0..sig{L-1}, ivf_cell) — one signature int per LSH
@@ -70,7 +70,17 @@ def build_embedding_signature_index(
     literals to the in-scan paths (similarity.random_planes /
     ivf_centroids) so stored and computed results are bit-equal. In a
     real deployment this table is PARTITIONED BY ivf_cell (probe filter
-    = partition pruning) and bucketed on the sig columns."""
+    = partition pruning) and bucketed on the sig columns.
+
+    ``dims`` defaults to the DATA's vector length (one 1-row probe job
+    at build time): a hardcoded plane dimensionality silently poisons
+    the signatures of any other-width corpus (zip_with pads the missing
+    plane weights with NULL → aggregate → NULL → every CASE scores 0),
+    while the query side derives its planes from len(query_vec) — the
+    buckets would never line up and top-k would quietly collapse."""
+    if dims is None:
+        row = emb.select(F.size(F.col(vec_col)).alias("d")).first()
+        dims = int(row["d"]) if row is not None and row["d"] is not None else ANN_DIMS
     if centroids is None:
         centroids = S.ivf_centroids(emb, id_col, vec_col)
     cols = [F.col(id_col), F.col(vec_col)]

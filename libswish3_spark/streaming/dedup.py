@@ -63,6 +63,42 @@ def _keep_first(key, pdf_iter, state: GroupState):
     yield pd.DataFrame({"fp": [fp], "doc_id": [first_doc], "text": [first_text]})
 
 
+def _span_fingerprint_cols() -> list:
+    """Projection shared by BOTH twins: the fingerprint covers the FULL
+    span sequence (kind + text + media_ref per span, field- and
+    span-delimited), not just ``spans[0].text`` — an earlier form
+    fingerprinted only the first span's text, so every media-first or
+    empty-spans document got a NULL fingerprint and ALL of them
+    collapsed into one group where only the first ever survived
+    (distinct image-only docs silently dropped, forever). ``text`` is
+    the joined text-span content (what downstream consumes); NULL spans
+    coalesce to the empty canon so truly content-less docs dedup among
+    themselves."""
+    canon = F.array_join(
+        F.transform(
+            "spans",
+            lambda s: F.concat_ws(
+                "\x01",
+                s["kind"],
+                F.coalesce(s["text"], F.lit("")),
+                F.coalesce(s["media_ref"], F.lit("")),
+            ),
+        ),
+        "\x02",
+    )
+    text = F.array_join(
+        F.transform(
+            F.filter("spans", lambda s: s["kind"] == F.lit("text")),
+            lambda s: F.coalesce(s["text"], F.lit("")),
+        ),
+        " ",
+    )
+    return [
+        fingerprint(F.coalesce(canon, F.lit(""))).alias("fp"),
+        text.alias("text"),
+    ]
+
+
 def dedup_stream(docs: DataFrame) -> DataFrame:
     """docs stream (doc_id, spans[, seq]) → first-seen rows only.
 
@@ -71,12 +107,11 @@ def dedup_stream(docs: DataFrame) -> DataFrame:
     stream frame index parse_framed_stream assigns) breaks ties within
     a micro-batch; across batches, batch order IS arrival order.
     """
-    cols = [
-        F.col("doc_id"),
-        F.element_at("spans", 1)["text"].alias("text"),
+    skinny = docs.select(
+        "doc_id",
+        *_span_fingerprint_cols(),
         (F.col("seq") if "seq" in docs.columns else F.lit(0)).alias("seq"),
-    ]
-    skinny = docs.select(*cols).withColumn("fp", fingerprint(F.col("text")))
+    )
     return skinny.groupBy("fp").applyInPandasWithState(
         _keep_first,
         outputStructType=DEDUP_EMIT_SCHEMA,
@@ -96,13 +131,13 @@ def keep_first(docs: DataFrame) -> DataFrame:
     seq=0 row would pick different keepers in the two paths."""
     skinny = docs.select(
         "doc_id",
-        F.element_at("spans", 1)["text"].alias("text"),
+        *_span_fingerprint_cols(),
         (
             F.coalesce(F.col("seq"), F.lit(0))
             if "seq" in docs.columns
             else F.lit(0)
         ).alias("seq"),
-    ).withColumn("fp", fingerprint(F.col("text")))
+    )
     return (
         skinny.groupBy("fp")
         .agg(

@@ -103,16 +103,23 @@ def _make_sessionize(session_tz: str | None):
         if state.exists:
             start, end, n = state.get
         closed = []
+        # drain ALL chunks before sorting: Arrow splits a large group
+        # into multiple pandas chunks (maxRecordsPerBatch) in no
+        # particular order — sorting per chunk processed later-chunk
+        # earlier events against an already-advanced session and
+        # produced boundaries the batch twin (global sort) never would
+        all_ts = []
         for pdf in pdf_iter:
-            for ts in sorted(pdf["ts"]):
-                ts = ts.to_pydatetime() if hasattr(ts, "to_pydatetime") else ts
-                if start is None:
-                    start, end, n = ts, ts, 0
-                elif (ts - end).total_seconds() > GAP_SECONDS:
-                    closed.append((start, end, n))
-                    start, end, n = ts, ts, 0
-                n += 1
-                end = max(end, ts)
+            all_ts.extend(pdf["ts"])
+        for ts in sorted(all_ts):
+            ts = ts.to_pydatetime() if hasattr(ts, "to_pydatetime") else ts
+            if start is None:
+                start, end, n = ts, ts, 0
+            elif (ts - end).total_seconds() > GAP_SECONDS:
+                closed.append((start, end, n))
+                start, end, n = ts, ts, 0
+            n += 1
+            end = max(end, ts)
         state.update((start, end, n))
         # expire when the watermark passes the gap after the last event;
         # clamp above the current watermark (Spark requires a future

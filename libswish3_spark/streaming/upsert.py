@@ -42,6 +42,7 @@ UPSERT_SCHEMA = StructType(
 _STATE_SCHEMA = StructType(
     [
         StructField("mtime", LongType()),
+        StructField("seq", LongType()),
         StructField("action", StringType()),
         StructField("text", StringType()),
     ]
@@ -52,19 +53,30 @@ def _upsert(key, pdf_iter, state: GroupState):
     import pandas as pd
 
     (doc_id,) = key
-    best_mtime = best_action = best_text = None
+    best_key = None
+    best_action = best_text = None
     if state.exists:
-        best_mtime, best_action, best_text = state.get
+        mtime0, seq0, best_action, best_text = state.get
+        best_key = (mtime0, seq0)
     for pdf in pdf_iter:
-        for mtime, action, text in zip(pdf["mtime"], pdf["action"], pdf["text"]):
-            m = 0 if pd.isnull(mtime) else int(mtime)
-            # >=: equal mtimes resolve by arrival order, like the batch
-            # twin's (mtime, seq) max_by
-            if best_mtime is None or m >= best_mtime:
-                best_mtime = m
+        for mtime, seq, action, text in zip(
+            pdf["mtime"], pdf["seq"], pdf["action"], pdf["text"]
+        ):
+            # equal mtimes resolve by the frame seq (the same tiebreak
+            # the batch twin's max_by(struct(mtime, _seq, ...)) uses) —
+            # pandas iteration order after the groupBy shuffle is NOT
+            # arrival order and varies across task retries, so a bare
+            # ``m >= best`` could resurrect a deleted doc
+            k = (
+                0 if pd.isnull(mtime) else int(mtime),
+                0 if pd.isnull(seq) else int(seq),
+            )
+            if best_key is None or k >= best_key:
+                best_key = k
                 best_action = (action or "add").lower()
                 best_text = text
-    state.update((best_mtime, best_action, best_text))
+    state.update((best_key[0], best_key[1], best_action, best_text))
+    best_mtime = best_key[0]
     yield pd.DataFrame(
         {
             "doc_id": [doc_id],
@@ -86,6 +98,11 @@ def upsert_stream(docs: DataFrame) -> DataFrame:
     skinny = docs.select(
         "doc_id",
         F.coalesce(F.col("mtime"), F.lit(0)).alias("mtime"),
+        (
+            F.coalesce(F.col("seq"), F.lit(0))
+            if "seq" in docs.columns
+            else F.lit(0)
+        ).cast("long").alias("seq"),
         F.coalesce(F.col("action"), F.lit("add")).alias("action"),
         F.element_at("spans", 1)["text"].alias("text"),
     )

@@ -600,3 +600,122 @@ def test_segment_cut_property_whitespace_deviation_is_pinned(spark):
     # pin the deviation surface: anything non-identical differs only in
     # whitespace (already proven above) and only in cleanwsp buckets
     assert diffs <= {"swishdescription"}, diffs
+
+
+def _parity(spark, doc_id, text, parser, fn, seg_chars):
+    d = spark.createDataFrame(
+        [(doc_id, [("text", text, "", 0)], parser)],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, parser string",
+    )
+    p = lsw.extract(d).collect()[0]
+    s = fn(d, seg_chars=seg_chars).collect()[0]
+    assert [tuple(x) for x in s["spans"]] == [tuple(x) for x in p["spans"]]
+    assert s["nwords"] == p["nwords"]
+    if "metanames" in p.__fields__ and "metanames" in s.__fields__:
+        assert dict(s["metanames"]) == dict(p["metanames"])
+    return p, s
+
+
+def test_xml_segmented_root_metaname_routes_whole(spark):
+    """A root element that is itself a metaname/alias tag (root <title>)
+    must not be cut: a non-final segment's end_document would flush the
+    root's text to swishdefault instead of swishtitle (parser.py:451-453
+    flush rule). The scanner refuses and the doc runs unsegmented."""
+    from libswish3_spark.operators.megadoc import extract_xml_segmented
+
+    x = "<title>" + "".join(
+        f"<s>seg{i} " + " ".join(f"w{i}_{j}" for j in range(10)) + "</s>"
+        for i in range(8)
+    ) + "</title>"
+    _parity(spark, "d", x, "XML", extract_xml_segmented, 100)
+
+
+def test_xml_segmented_noindex_reset_by_undefined_tag(spark):
+    """Default UndefinedMetaTags=index: ANY undefined XML tag (start or
+    close) resets the noindex counter (parser.c:708-717). The scanner
+    must model the reset or text after <!--noindex-->…<tag> is invisible
+    to its buffer tracking and the next cut's bumper seed is wrong."""
+    from libswish3_spark.operators.megadoc import extract_xml_segmented
+
+    x = (
+        "<root><title>a title here padding padding</title>"
+        "<!--noindex--><b>btext</b><!--index-->"
+        "<d>" + " ".join(f"t{i}" for i in range(12)) + "</d></root>"
+    )
+    _parity(spark, "d", x, "XML", extract_xml_segmented, 30)
+
+
+def test_html_segmented_bogus_close_does_not_flush(spark):
+    """html_events DROPS a close tag that was never opened — a bogus
+    </title> flushes nothing, so the scanner must not clear its
+    text_seen (the old form did, losing the cut's pending bumper)."""
+    from libswish3_spark.operators.megadoc import extract_html_segmented
+
+    h = (
+        "<body>" + " ".join(f"a{i}" for i in range(30))
+        + "</title><p>" + " ".join(f"b{i}" for i in range(30)) + "</p></body>"
+    )
+    _parity(spark, "d", h, "HTML", extract_html_segmented, 60)
+
+
+def test_html_segmented_implicit_close_flushes(spark):
+    """An explicit </body> implicitly pops the still-open <title>, whose
+    implied end event DOES flush the buffer — the scanner must clear
+    text_seen for every popped flush tag, not just the named one."""
+    from libswish3_spark.operators.megadoc import extract_html_segmented
+
+    h = (
+        "<html><body><title>" + " ".join(f"a{i}" for i in range(25)) + "</body>"
+        + "".join(
+            f"<p>para{i} " + " ".join(f"c{i}_{j}" for j in range(10)) + "</p>"
+            for i in range(4)
+        )
+        + "</html>"
+    )
+    _parity(spark, "d", h, "HTML", extract_html_segmented, 80)
+
+
+def test_html_segmented_meta_name_inside_content_value(spark):
+    """The scanner parses <meta> attributes with the same ATTR_RE as
+    html_events/bake_tag — a regex over the raw tag text used to match
+    'name=' inside the CONTENT value ('content=\"name=title …\"
+    name=\"notdefined\"') and mis-classify the flush."""
+    from libswish3_spark.operators.megadoc import extract_html_segmented
+
+    h = (
+        "<body>"
+        + "".join(
+            f"<p>f{i} " + " ".join(f"g{i}_{j}" for j in range(10)) + "</p>"
+            for i in range(3)
+        )
+        + '<meta content="name=title rest" name="notdefined">'
+        + "".join(
+            f"<p>h{i} " + " ".join(f"k{i}_{j}" for j in range(10)) + "</p>"
+            for i in range(3)
+        )
+        + "</body>"
+    )
+    _parity(spark, "d", h, "HTML", extract_html_segmented, 70)
+
+
+def test_txt_segmented_title_tokenizer_guard(spark):
+    """The segmented TXT title-from-path tail uses the ASCII
+    TOKEN_PATTERN; the plain parse tokenizes the uri with the ENGINE
+    tokenizer (edge-strips '_' runs, unicode word runs). doc_ids where
+    the two disagree must route whole — and ordinary paths still
+    segment."""
+    from libswish3_spark.operators.megadoc import (
+        extract_txt_segmented,
+        segment_text_docs,
+    )
+
+    body = " ".join(f"t{i}" for i in range(400))
+    for doc_id in ("a/_/b.txt", "café.txt"):
+        _parity(spark, doc_id, body, "TXT", extract_txt_segmented, 300)
+    # guard must not cost segmentation for normal paths
+    d = spark.createDataFrame(
+        [("plain.txt", [("text", body, "", 0)], "TXT")],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, parser string",
+    )
+    segs = segment_text_docs(d, seg_chars=300).collect()
+    assert len(segs) > 1 and all(r["parser"] == "TXTSEG" for r in segs)

@@ -219,3 +219,58 @@ def test_hashed_tf_embedding_dim_validation_and_high_bucket_reach(spark):
     ).collect()[0]
     assert len(row["v"]) == 512
     assert any(v != 0 for v in row["v"][256:])
+
+
+def test_embedding_index_derives_dims_from_data(spark):
+    """The signature build derives plane dimensionality from the DATA
+    (a hardcoded 64 poisoned any other-width corpus: zip_with padded
+    missing plane weights with NULL → every signature degenerated and
+    query-side buckets, derived from len(query_vec), never matched)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from libswish3_spark.functions import similarity as S
+    from libswish3_spark.operators.signatures import (
+        build_embedding_signature_index,
+    )
+
+    rng = random.Random(11)
+    dims = 32  # NOT the default 64
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(dims)]) for i in range(40)]
+    rows.append((999, [v + 0.001 for v in rows[0][1]]))  # planted near-dup of 0
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    sigs = build_embedding_signature_index(emb).cache()
+    # signatures must be non-degenerate (more than one distinct value)
+    assert sigs.select("sig0").distinct().count() > 1
+    q = rows[0][1]
+    top = S.ann_topk_from_signatures(sigs, "vec_id", "embedding", q).collect()
+    ids = [r["vec_id"] for r in top]
+    assert ids[0] in (0, 999) and 999 in ids[:2]
+
+
+def test_ivf_zero_norm_centroid_guard(spark):
+    """An all-zero vector sampled as a centroid must not crash the
+    Python probe path (ZeroDivisionError) nor NaN-poison the SQL cell
+    assignment (NaN sorts greatest in Spark → every row lands in the
+    degenerate cell). The greatest(cc, 1e-12) guard scores it 0 in all
+    three engines."""
+    from pyspark.sql import functions as F
+
+    from libswish3_spark.functions import similarity as S
+
+    centroids = [[0.0, 0.0, 0.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+    probes = S.ivf_query_probes([0.5, 0.5, 0.0], centroids, nprobe=2)
+    assert set(probes) == {2, 3}  # the zero centroid never wins a probe
+    df = spark.createDataFrame(
+        [(1, [0.9, 0.1, 0.0]), (2, [0.0, 0.9, 0.1])],
+        "vec_id long, embedding array<double>",
+    )
+    cells = {
+        r["vec_id"]: r["c"]
+        for r in df.select(
+            "vec_id",
+            F.expr(S.ivf_cell_sql("embedding", centroids)).cast("int").alias("c"),
+        ).collect()
+    }
+    assert cells == {1: 2, 2: 3}  # nonzero centroids win; no NaN routing

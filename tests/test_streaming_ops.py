@@ -560,3 +560,112 @@ def test_sessionize_expiry_uses_session_timezone():
         hours=3, minutes=30
     )
     assert _tzinfo_for(None) is None
+
+
+def test_keep_first_media_only_docs_not_collapsed(spark):
+    """The exact-dedup fingerprint covers the FULL span sequence, not
+    spans[0].text: two DIFFERENT image-only docs (first span media,
+    text NULL) must both survive, while byte-identical media docs still
+    dedup. The old spans[0].text fingerprint gave every media-first doc
+    a NULL fp — all of them collapsed into one group and only the first
+    ever survived."""
+    from libswish3_spark.streaming.dedup import keep_first
+
+    rows = [
+        ("img1", [("media", None, "img://a", 0)], 1),
+        ("img2", [("media", None, "img://b", 0)], 2),   # different image
+        ("img1dup", [("media", None, "img://a", 0)], 3),  # exact dup of img1
+        ("mixed", [("media", None, "img://a", 0), ("text", "caption", "", 1)], 4),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, seq long",
+    )
+    out = {r["doc_id"]: r for r in keep_first(df).collect()}
+    assert set(out) == {"img1", "img2", "mixed"}  # img1dup deduped, img2 kept
+
+
+def test_upsert_equal_mtime_resolves_by_seq_not_iteration_order():
+    """Equal-mtime rows must resolve by the frame seq (the batch twin's
+    max_by(struct(mtime, seq, ...)) ordering), not by pandas iteration
+    order — a delete iterated BEFORE its same-mtime add must still win
+    when its seq is higher."""
+    import pandas as pd
+
+    from libswish3_spark.streaming.upsert import _upsert
+
+    class FakeState:
+        exists = False
+        hasTimedOut = False
+
+        def __init__(self):
+            self.stored = None
+
+        @property
+        def get(self):
+            return self.stored
+
+        def update(self, v):
+            self.stored = v
+
+    # adversarial iteration order: the delete (seq=2) comes FIRST
+    pdf = pd.DataFrame(
+        {
+            "mtime": [100, 100],
+            "seq": [2, 1],
+            "action": ["delete", "add"],
+            "text": [None, "body"],
+        }
+    )
+    state = FakeState()
+    (out,) = list(_upsert(("d1",), [pdf], state))
+    assert out["action"].iloc[0] == "delete" and not out["alive"].iloc[0]
+    # and the reverse seq assignment flips the winner
+    pdf2 = pdf.assign(seq=[1, 2])
+    state2 = FakeState()
+    (out2,) = list(_upsert(("d1",), [pdf2], state2))
+    assert out2["action"].iloc[0] == "add" and out2["alive"].iloc[0]
+
+
+def test_sessionize_sorts_across_pandas_chunks():
+    """Arrow splits a big group into multiple pandas chunks in no
+    particular order: events must be sorted ACROSS chunks before the
+    gap scan, or a later chunk's earlier events merge into an
+    already-advanced session (boundaries the batch twin never makes)."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from libswish3_spark.streaming.sessions import _make_sessionize
+
+    class FakeState:
+        exists = False
+        hasTimedOut = False
+
+        def __init__(self):
+            self.stored = None
+
+        @property
+        def get(self):
+            return self.stored
+
+        def update(self, v):
+            self.stored = v
+
+        def getCurrentWatermarkMs(self):
+            return 0
+
+        def setTimeoutTimestamp(self, ms):
+            pass
+
+    late = pd.DataFrame({"ts": [dt.datetime(2020, 1, 1, 11, 0, 0)]})
+    early = pd.DataFrame({"ts": [dt.datetime(2020, 1, 1, 9, 0, 0)]})
+    state = FakeState()
+    fn = _make_sessionize("UTC")
+    outs = list(fn((1,), [late, early], state))  # late chunk first
+    # 9:00 and 11:00 are > 30min apart: the 9:00 session must CLOSE
+    assert len(outs) == 1 and len(outs[0]) == 1
+    assert outs[0]["session_start"].iloc[0] == dt.datetime(2020, 1, 1, 9, 0, 0)
+    assert outs[0]["session_end"].iloc[0] == dt.datetime(2020, 1, 1, 9, 0, 0)
+    # open session state is the 11:00 singleton
+    assert state.stored[0] == dt.datetime(2020, 1, 1, 11, 0, 0)
