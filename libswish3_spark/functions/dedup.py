@@ -360,7 +360,12 @@ def jaccard_verify(
     )
     common = F.size(F.array_intersect("sha", "shb"))
     union = F.size("sha") + F.size("shb") - common
-    jacc = F.floor(common * 10000 / union).cast("long")
+    # greatest(union, 1): candidates from the stored index always have
+    # shingles, but the docstring admits ANY candidate pairs — two
+    # sub-n-token docs give union = 0, which is DIVIDE_BY_ZERO under
+    # ANSI (and a silently dropped pair otherwise). The clamp scores
+    # the empty-vs-empty pair 0, so it drops below any threshold > 0.
+    jacc = F.floor(common * 10000 / F.greatest(union, F.lit(1))).cast("long")
     return pairs.select("a", "b", jacc.alias("jaccard_bp")).where(
         F.col("jaccard_bp") >= int(threshold * 10000)
     )

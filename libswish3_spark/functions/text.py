@@ -12,7 +12,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-TOKEN_PATTERN = "[a-z0-9'_]+"
+# single source of truth: the engine tokenizer's SQL-parity pattern
+from libswish3_spark.tokenizer import ASCII_TOKEN_PATTERN_SQL as TOKEN_PATTERN
 
 # tiny marker-word sets for the n-gram/stopword language heuristic
 LANG_MARKERS: dict[str, tuple[str, ...]] = {

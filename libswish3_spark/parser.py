@@ -465,17 +465,6 @@ class DocState:
                 self.comment(ev[1])
 
 
-def _txt_parse(state: DocState, text: str) -> None:
-    """reference: parser.c:2599-2710 (txt_parser)."""
-    state._push(state.metastack, DEFAULT_METANAME, DEFAULT_METANAME, "/")
-    state.buffer_characters(text)
-    state.flush_buffer(DEFAULT_METANAME, DEFAULT_METANAME)
-    if state.uri:
-        state._push(state.metastack, TITLE_METANAME, TITLE_METANAME, "/")
-        state.buffer_characters(state.uri)
-        state.flush_buffer(TITLE_METANAME, TITLE_METANAME)
-
-
 def parse_document(
     doc_id: str,
     spans: list,

@@ -269,10 +269,24 @@ def extract_batch_fn(config: SwishConfig, include_map: dict | None = None):
     return fn
 
 
+_PARSER_GUESS_CACHE: dict[tuple[int, str], str] = {}
+
+
 def _guess_parser_cached(doc_id: str, cfg: SwishConfig) -> str:
+    """Memoized ext→parser lookup for the kernel's per-row Python loop
+    (_guess_parser is a pure function of (config, extension) —
+    docinfo.c:202-258 ext → mime → parser). Size-capped so a pathological
+    extension corpus cannot grow executor memory unboundedly."""
     from libswish3_spark.parser import _guess_parser
 
-    return _guess_parser(doc_id, cfg)
+    ext = doc_id.rsplit(".", 1)[-1].lower() if "." in doc_id else ""
+    key = (id(cfg), ext)
+    got = _PARSER_GUESS_CACHE.get(key)
+    if got is None:
+        got = _guess_parser(doc_id, cfg)
+        if len(_PARSER_GUESS_CACHE) < 4096:
+            _PARSER_GUESS_CACHE[key] = got
+    return got
 
 
 def extract(
@@ -383,18 +397,43 @@ def extraction_metrics(extracted: DataFrame) -> DataFrame:
     )
 
 
+def _is_table_target(target: str) -> bool:
+    """Table-vs-path guess for :func:`write_extracted`: a dotted,
+    separator-free name reads as ``catalog.db.table`` UNLESS its last
+    segment is a known data-file extension — ``out.parquet`` is a
+    relative file path, not a table named ``parquet`` in schema
+    ``out``. (Spark resolves relative paths against the driver JVM's
+    working directory.)"""
+    ext = target.rsplit(".", 1)[-1].lower()
+    return (
+        "/" not in target
+        and target.count(".") >= 1
+        and ext not in ("parquet", "json", "csv", "orc", "avro", "txt")
+    )
+
+
 def write_extracted(
     extracted: DataFrame,
     target: str,
     mode: str = "append",
     partition_cols: tuple[str, ...] = (),
+    as_table: bool | None = None,
 ) -> None:
     """S8 sink: Iceberg table when a catalog-qualified name is given
     (``catalog.db.table`` via ``writeTo`` — fanout append, hidden
     partitioning from the table spec), parquet path otherwise (this
     sandbox has no Iceberg runtime jars; the call shape is identical).
+
+    ``as_table`` overrides the table-vs-path guess. The auto-detect
+    treats a dotted, separator-free name as a table UNLESS its last
+    segment is a known data-file extension — a bare relative filename
+    like ``out.parquet`` is a path, not a table named ``parquet`` in
+    schema ``out``. Genuinely ambiguous names should pass ``as_table``
+    explicitly.
     """
-    if "/" not in target and target.count(".") >= 1:
+    if as_table is None:
+        as_table = _is_table_target(target)
+    if as_table:
         writer = extracted.writeTo(target)
         if mode == "overwrite":
             writer.overwritePartitions()

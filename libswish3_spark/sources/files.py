@@ -71,8 +71,17 @@ def ingest_bytes(
     (add|update|delete, parser.c:2002-2013), carried for the sink.
     """
     cfg = config or default_config()
+    gzip_error: str | None = None
     if _is_gzip(data, uri):
-        data = gzip.decompress(data)
+        # corrupt/truncated/misnamed .gz must yield an ERROR ROW (the
+        # module's contract — _decode does the same for undecodable
+        # bytes), never an exception: one bad file in a 10^9-file crawl
+        # would otherwise fail the Spark task 4x and abort the job
+        try:
+            data = gzip.decompress(data)
+        except (OSError, EOFError) as e:  # BadGzipFile is an OSError
+            gzip_error = f"gzip decompress failed: {e}"
+            data = b""
         uri_for_ext = uri[: -len(".gz")] if uri.lower().endswith(".gz") else uri
     else:
         uri_for_ext = uri
@@ -83,6 +92,8 @@ def ingest_bytes(
     parser = (declared_parser or cfg.parser_for_mime(mime)).upper()
 
     text, encoding, error = _decode(data, parser, declared_encoding, cfg)
+    if gzip_error is not None:
+        text, error = "", gzip_error
 
     row = {
         "doc_id": uri,

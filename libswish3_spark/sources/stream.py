@@ -27,7 +27,16 @@ from __future__ import annotations
 from libswish3_spark.config import SwishConfig, default_config
 from libswish3_spark.sources.files import ingest_bytes
 
-MAX_HEADERS = 6  # reference: libswish3.h:40
+# The reference caps the header section at 6 LINES (libswish3.h:40,
+# parser.c:1789 `while (j < SWISH_MAX_HEADERS ...)`) and silently stops
+# reading there — but its own protocol defines 7 logical headers
+# (Content-Length/-Location/-Type, Parser-Type, Last-Modified/Update,
+# Encoding|Charset, Action), so a fully-headed frame would mis-parse.
+# Documented deviation: accept every documented header (7 logical + 1
+# slack for an Encoding AND Charset double) and count EVERY header
+# line toward the cap — unrecognized lines included, so a malicious
+# unbounded header section is still bounded (the point of the C cap).
+MAX_HEADER_LINES = 8
 
 _HEADER_ALIASES = {
     "content-length": "length",
@@ -65,11 +74,11 @@ def parse_framed_stream(data: bytes, config: SwishConfig | None = None) -> list[
                 continue  # leading blank lines between docs
             key, _, val = line.partition(b":")
             k = key.decode("ascii", "ignore").strip().lower()
+            nheaders += 1
+            if nheaders > MAX_HEADER_LINES:
+                raise ValueError("too many stream headers")  # parser.c:1789
             if k in _HEADER_ALIASES:
                 headers[_HEADER_ALIASES[k]] = val.decode("utf-8", "ignore").strip()
-                nheaders += 1
-                if nheaders > MAX_HEADERS:
-                    raise ValueError("too many stream headers")  # parser.c:1795
         if not headers:
             break
         if "length" not in headers or "uri" not in headers:

@@ -236,4 +236,3 @@ def resolve_tokenizer(config):
 # oracle-checked queries so the two engines tokenize identically.
 ASCII_TOKEN_PATTERN_SQL = "[a-z0-9'_]+"
 
-_ws_re = re.compile(r"\s+")

@@ -672,3 +672,28 @@ def test_corpus_rarity_tokenless_corpus_without_aqe(spark):
         r["n_tokens"] == 0 and r["rare_bp"] == 0 and r["surprisal_c"] == 0
         for r in out.values()
     )
+
+
+def test_jaccard_verify_empty_shingles_no_divide_by_zero(spark):
+    """Caller-supplied candidate pairs may include docs too short to
+    shingle (sub-n tokens → empty arrays → union 0): the clamped
+    denominator scores the pair 0 instead of DIVIDE_BY_ZERO under
+    ANSI; a genuinely similar pair still verifies."""
+    from pyspark.sql import functions as F
+
+    from libswish3_spark.functions.dedup import jaccard_verify
+
+    docs = spark.createDataFrame(
+        [
+            (1, "ab"),  # < n tokens: empty shingle set
+            (2, "cd"),
+            (3, "the quick brown fox jumps over the lazy dog"),
+            (4, "the quick brown fox jumps over the lazy cat"),
+        ],
+        ["doc_id", "text"],
+    )
+    cand = spark.createDataFrame([(1, 2), (3, 4)], ["a", "b"])
+    got = {(r["a"], r["b"]): r["jaccard_bp"] for r in
+           jaccard_verify(docs, cand, "doc_id", "text", threshold=0.3).collect()}
+    assert (1, 2) not in got          # empty-vs-empty dropped, no crash
+    assert got[(3, 4)] >= 3000        # real pair still verifies

@@ -4,7 +4,7 @@ import pytest
 from pyspark.sql import functions as F
 
 import libswish3_spark as lsw
-from libswish3_spark.pipeline import DOCS_FULL_SCHEMA, salt_by_size
+from libswish3_spark.pipeline import DOCS_FULL_SCHEMA, salt_by_size, write_extracted
 from libswish3_spark.sources import fixtures as fx
 
 pytestmark = pytest.mark.skipif(
@@ -192,3 +192,20 @@ def test_extract_kernel_handles_sliced_arrow_batches():
     assert sliced.column("doc_id").to_pylist() == ["d4.txt", "d5.txt", "d6.txt"]
     got_spans = sliced.column("spans").to_pylist()[0]
     assert [s["text"] for s in got_spans][:4] == ["doc", "4", "words", "here"]
+
+
+def test_write_extracted_relative_dotted_filename_is_a_path(spark, tmp_path):
+    """'out.parquet' is a file path, not an Iceberg table named
+    'parquet' in schema 'out' — the table/path auto-detect must not
+    route dotted relative filenames to writeTo(); catalog-qualified
+    names still do. Actual writing is exercised with an absolute path
+    (Spark resolves relative paths against the driver JVM cwd)."""
+    from libswish3_spark.pipeline import _is_table_target
+
+    for path in ("out.parquet", "data.json", "dump.csv", "/tmp/a.b", "dir/t.x"):
+        assert not _is_table_target(path), path
+    for table in ("catalog.db.events", "db.extracted", "lake.raw.docs_v2"):
+        assert _is_table_target(table), table
+    df = spark.range(3).select(F.col("id").alias("doc_id"))
+    write_extracted(df, str(tmp_path / "out.parquet"), mode="overwrite")
+    assert spark.read.parquet(str(tmp_path / "out.parquet")).count() == 3

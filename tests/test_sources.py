@@ -130,3 +130,54 @@ def test_postings_offsets_pack_like_token_buffer(spark):
         assert a["offset"] + a["len"] + 1 == b["offset"]
     # utf-8 byte length, not char length (é/ö are 2 bytes)
     assert rows[0]["len"] == len("héllo".encode("utf-8"))
+
+
+def test_corrupt_gzip_yields_error_row_not_exception():
+    """A truncated/corrupt .gz must produce an ERROR ROW (the module's
+    error contract, same as undecodable bytes) — an exception out of
+    the ingest kernel fails the whole Spark task, so one bad file in a
+    crawl would abort the job."""
+    import gzip as _gz
+
+    from libswish3_spark.sources.files import ingest_bytes
+
+    good = _gz.compress(b"hello words here")
+    row = ingest_bytes(good[: len(good) // 2], "doc.txt.gz")  # truncated
+    assert row["doc_id"] == "doc.txt.gz"
+    assert row["error"] and "gzip" in row["error"]
+    # misnamed: gzip magic absent but .gz name → _is_gzip may decline;
+    # magic present but garbage after → must still error-row
+    row2 = ingest_bytes(b"\x1f\x8b" + b"not really gzip", "x.txt.gz")
+    assert row2["error"] and "gzip" in row2["error"]
+    # and an intact gzip still round-trips
+    row3 = ingest_bytes(good, "doc.txt.gz")
+    assert row3["error"] is None and "hello" in row3["spans"][0]["text"]
+
+
+def test_stream_frame_with_all_documented_headers_parses():
+    """The protocol documents 7 logical headers; a fully-headed frame
+    must parse (the old recognized-header cap of 6 raised and killed
+    the whole stream). Unbounded garbage header sections still croak."""
+    import pytest
+
+    from libswish3_spark.sources.stream import parse_framed_stream
+
+    body = b"some text content"
+    frame = (
+        b"Content-Length: " + str(len(body)).encode() + b"\n"
+        b"Content-Location: full.txt\n"
+        b"Content-Type: text/plain\n"
+        b"Parser-Type: TXT\n"
+        b"Last-Modified: 1700000000\n"
+        b"Encoding: UTF-8\n"
+        b"Action: update\n"
+        b"\n" + body
+    )
+    rows = parse_framed_stream(frame)
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["doc_id"] == "full.txt" and r["action"] == "update"
+    assert r["mtime"] == 1700000000
+    bomb = b"".join(b"X-Junk-%d: v\n" % i for i in range(20)) + frame
+    with pytest.raises(ValueError, match="too many stream headers"):
+        parse_framed_stream(bomb)
