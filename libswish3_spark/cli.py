@@ -52,8 +52,13 @@ def cmd_lint(args) -> int:
         twords += r["nwords"]
         if args.verbose:
             print(f"{r['doc_id']}: nwords: {r['nwords']}")
-            if r.get("error"):
-                print(f"{r['doc_id']}: error: {r['error']}")
+        if r.get("error"):
+            # per-document parse/ingest errors (the ingest layer yields
+            # error ROWS, never exceptions) must reach stderr and the
+            # exit status even without -v — a CI lint gate that exits 0
+            # over a corpus of unparseable docs is worse than useless
+            print(f"{r['doc_id']}: error: {r['error']}", file=sys.stderr)
+            errors += 1
     # swish_lint.c:345-350 output shape
     print(f"{files} files")
     print(f"total words: {twords}")
@@ -66,7 +71,12 @@ def cmd_tokenize(args) -> int:
     text = " ".join(args.strings)
     toks, _pos = tokenize_with_positions(text, 0)
     for value, pos, _m, _c in toks:
-        print(f"t->value = {value}\nt->len = {len(value)}\nt->pos = {pos}")
+        # t->len is a BYTE length in the reference (xmlStrlen of the
+        # UTF-8 token, token.c) — postings.py's len column uses the
+        # same byte semantics; a char count diverges on every
+        # non-ASCII token
+        blen = len(value.encode("utf-8"))
+        print(f"t->value = {value}\nt->len = {blen}\nt->pos = {pos}")
     print(f"parsed {len(toks)} tokens")
     return 0
 

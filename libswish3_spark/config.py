@@ -514,14 +514,42 @@ def load_config_xml(
             if _resolver is not None and node.text:
                 sub = _resolver(node.text.strip())
                 if sub is not None:
-                    inner = load_config_xml(sub, cfg, _resolver, _depth + 1)
-                    metanames.update(inner.metanames)
-                    properties.update(inner.properties)
-                    aliases.update(inner.tag_aliases)
-                    parsers.update(inner.parsers)
-                    mimes.update(inner.mimes)
-                    stringlists.update(inner.stringlists)
-                    xmlns.update(inner.xmlns)
+                    # the reference merges the include into the SAME
+                    # config object mid-read (header.c:689-716), so
+                    # parse it against the ACCUMULATED state: a stale
+                    # base both dropped the include's flag directives
+                    # (Tokenize, UndefinedMetaTags, TokenizerName, …)
+                    # and re-issued auto ids already assigned by the
+                    # parent (two metanames silently sharing an id)
+                    interim = cfg.with_overrides(
+                        metanames=metanames,
+                        properties=properties,
+                        tag_aliases=aliases,
+                        parsers=parsers,
+                        mimes=mimes,
+                        stringlists=stringlists,
+                        xmlns=xmlns,
+                        **flags,
+                    )
+                    inner = load_config_xml(sub, interim, _resolver, _depth + 1)
+                    metanames = dict(inner.metanames)
+                    properties = dict(inner.properties)
+                    aliases = dict(inner.tag_aliases)
+                    parsers = dict(inner.parsers)
+                    mimes = dict(inner.mimes)
+                    stringlists = dict(inner.stringlists)
+                    xmlns = dict(inner.xmlns)
+                    # any attr the include changed relative to its base
+                    # was explicitly declared inside it — inherit it
+                    for attr in (
+                        *_FLAG_KEYS.values(),
+                        "undef_metas",
+                        "undef_attrs",
+                        "tokenizer",
+                        "token_regex",
+                    ):
+                        if getattr(inner, attr) != getattr(interim, attr):
+                            flags[attr] = getattr(inner, attr)
 
     validate_config_names(metanames, properties, aliases)
     return cfg.with_overrides(

@@ -16,7 +16,7 @@ from __future__ import annotations
 import hashlib
 from typing import Iterator
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -286,8 +286,19 @@ def synthesize_ppm(docs_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 def extract_media_features(media_df: DataFrame, decoder=fake_decode) -> DataFrame:
     """media table → feature table. Narrow map, no shuffle; partition
     count should track total bytes, not row count (blobs are the skew
-    unit — repartition upstream by size class like mega-documents)."""
-    cols = [c for c in ("media_ref", "media_type", "content") if c in media_df.columns]
+    unit — repartition upstream by size class like mega-documents).
+
+    Missing optional columns default to NULL at SELECT time — the
+    kernel indexes ``media_type``/``content`` unconditionally, so a
+    frame lacking one used to die with a KeyError inside the executor
+    instead of decoding (the fake/auto decoders accept None)."""
+    if "media_ref" not in media_df.columns:
+        raise ValueError("media_df needs a media_ref column")
+    cols = [F.col("media_ref")]
+    for c, typ in (("media_type", "string"), ("content", "binary")):
+        cols.append(
+            F.col(c) if c in media_df.columns else F.lit(None).cast(typ).alias(c)
+        )
     return media_df.select(*cols).mapInPandas(
         media_feature_batches(decoder), schema=MEDIA_FEATURES_SCHEMA
     )

@@ -70,7 +70,14 @@ def with_includes(docs: DataFrame, max_depth: int = 3) -> DataFrame:
     when small and shuffles on the hash otherwise — either way the
     subsequent extraction remains a narrow map.
     """
-    edges = doc_hrefs(docs)  # (doc_id, target)
+    # materialize the href scan ONCE: edges is consumed by isEmpty,
+    # every frontier join, exceptAll and the final closure join — an
+    # uncached lineage re-ran the full-corpus regexp scan (the most
+    # expensive narrow step here) per consumer and per loop iteration.
+    # The edge list is href pairs, orders of magnitude smaller than the
+    # corpus, so an eager localCheckpoint is cheap and also truncates
+    # the loop's growing lineage (same pattern as resolve_clusters).
+    edges = doc_hrefs(docs).localCheckpoint(eager=True)  # (doc_id, target)
     if edges.isEmpty():
         return docs.withColumn(
             "includes",
@@ -87,7 +94,9 @@ def with_includes(docs: DataFrame, max_depth: int = 3) -> DataFrame:
             .select(F.col("f.root").alias("root"), F.col("e.target").alias("target"))
             .distinct()
         )
-        new = nxt.exceptAll(closure.select("root", "target"))
+        new = nxt.exceptAll(closure.select("root", "target")).localCheckpoint(
+            eager=True
+        )
         if new.isEmpty():
             break
         closure = closure.unionByName(new).distinct()

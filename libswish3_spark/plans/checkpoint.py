@@ -52,6 +52,7 @@ def run_extraction(
     include_map: dict | None = None,
     run_id: str = "run0",
     buckets_per_pass: int | None = None,
+    max_passes: int | None = None,
 ) -> dict:
     """Checkpointed extraction: resumes where the manifest left off.
 
@@ -64,8 +65,13 @@ def run_extraction(
     chunk = one input scan, one dynamic-partition write, then one
     manifest append per bucket; the commit point stays manifest-after-
     data, now at chunk granularity. ``buckets_per_pass`` bounds how much
-    work a driver crash can lose (e.g. 64 over 10k buckets trades ~160
-    scans for losing at most 0.6% of the run).
+    work a driver crash can lose (e.g. 64 over 10k buckets runs ~160
+    scans, each committed, losing at most 0.6% of the run on a crash) —
+    ALL chunks run in this call. ``max_passes`` additionally stops after
+    that many chunks (tests simulate a died run with ``max_passes=1``;
+    an earlier form silently did this whenever buckets_per_pass was
+    set, leaving 99.4% of the corpus unprocessed for a caller who
+    followed the docstring).
     """
     manifest_path = os.path.join(output_path, "_manifest")
     data_path = os.path.join(output_path, "data")
@@ -74,8 +80,8 @@ def run_extraction(
     todo = [b for b in range(num_buckets) if b not in done]
     step = buckets_per_pass or max(len(todo), 1)
     chunks = [todo[i : i + step] for i in range(0, len(todo), step)]
-    if buckets_per_pass:
-        chunks = chunks[:1]  # caller-bounded single pass (resume later)
+    if max_passes is not None:
+        chunks = chunks[:max_passes]
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     processed = []
@@ -87,8 +93,14 @@ def run_extraction(
         out = with_bucket(out, num_buckets)
         # data first, manifest second: the commit point is the manifest
         out.write.mode("overwrite").partitionBy("bucket").parquet(data_path)
+        # stats come from the JUST-WRITTEN parquet (partition-pruned to
+        # this chunk), not from `out` — re-aggregating the uncached
+        # extract lineage would run the whole Python parse kernel a
+        # second time per chunk, doubling the dominant cost at scale
         stats = (
-            out.groupBy("bucket")
+            spark.read.parquet(data_path)
+            .where(F.col("bucket").isin(chunk))
+            .groupBy("bucket")
             .agg(
                 F.count("*").alias("docs"),
                 F.coalesce(F.sum("nwords"), F.lit(0)).alias("words"),

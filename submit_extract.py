@@ -90,7 +90,12 @@ def main(argv=None) -> int:
         run_id=args.run_id,
     )
     extracted = read_extracted(spark, args.output)
-    extraction_metrics(extracted).write.mode("append").parquet(
+    # overwrite, not append: the metrics derive from the full
+    # materialized output, so a resumed run re-deriving them is
+    # idempotent — appending re-added rows for every previously
+    # completed bucket on each resume, double-counting docs/words/
+    # errors in the lineage table
+    extraction_metrics(extracted).write.mode("overwrite").parquet(
         os.path.join(args.output, "_metrics")
     )
     if args.postings:

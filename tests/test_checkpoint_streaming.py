@@ -25,7 +25,9 @@ def test_checkpoint_resume(spark, tmp_path):
     n_total = docs.count()
 
     # first pass: process only 3 of 8 buckets, as if the run died
-    r1 = cp.run_extraction(spark, docs, out, num_buckets=8, buckets_per_pass=3)
+    r1 = cp.run_extraction(
+        spark, docs, out, num_buckets=8, buckets_per_pass=3, max_passes=1
+    )
     assert len(r1["processed"]) == 3 and r1["skipped"] == []
 
     # resume: remaining buckets only
@@ -132,3 +134,14 @@ def test_submit_extract_cli_batch(spark, tmp_path):
     )
     assert rc2 == 0
     assert cp.read_extracted(spark, out).count() == n
+
+
+def test_buckets_per_pass_processes_all_chunks(spark, tmp_path):
+    """buckets_per_pass bounds the crash-loss unit but must run ALL
+    chunks in one call (an earlier form silently stopped after the
+    first chunk, leaving the rest of the corpus unprocessed)."""
+    out = str(tmp_path / "allchunks")
+    docs = _docs(spark)
+    r = cp.run_extraction(spark, docs, out, num_buckets=8, buckets_per_pass=3)
+    assert len(r["processed"]) == 8
+    assert cp.read_extracted(spark, out).count() == docs.count()

@@ -104,3 +104,32 @@ def test_lint_totals_over_reference_docs(capsys):
     assert "2 files" in out
     # goldens: dom.xml = 5 words, contractions.xml = 17 (fixtures.py)
     assert "total words: 22" in out
+
+
+def test_lint_counts_document_error_rows(tmp_path, capsys):
+    """Per-document parse errors (error ROWS from the ingest layer)
+    must reach stderr and the exit status even without -v — a corrupt
+    .gz used to lint clean with exit 0."""
+    import gzip as _gz
+
+    from libswish3_spark.cli import main
+
+    bad = tmp_path / "broken.txt.gz"
+    good = _gz.compress(b"hello world tokens")
+    bad.write_bytes(good[: len(good) // 2])  # truncated gzip
+    rc = main(["lint", str(bad)])
+    err = capsys.readouterr().err
+    assert rc == 1
+    assert "gzip" in err
+
+
+def test_tokenize_len_is_bytes(capsys):
+    """swish_tokenize's t->len is the token's UTF-8 BYTE length
+    (xmlStrlen), the same semantics as postings.py's len column —
+    'café' is 5, not 4."""
+    from libswish3_spark.cli import main
+
+    rc = main(["tokenize", "café"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "t->len = 5" in out

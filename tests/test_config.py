@@ -197,3 +197,27 @@ def test_unique_id_validation_croaks_on_duplicates():
         validate_unique_ids(
             {"x": MetaName("x", id=3), "y": MetaName("y", id=3)}, {}
         )
+
+
+def test_include_config_merges_flags_and_continues_ids():
+    """IncludeConfigFile merges into the ACCUMULATED config state like
+    the reference (header.c:689-716 merges into the same object):
+    flag directives inside the include take effect, and auto-assigned
+    ids continue from the parent's instead of colliding."""
+    from libswish3_spark.config import load_config_xml
+
+    inc = (
+        "<swish><Tokenize>0</Tokenize>"
+        "<UndefinedMetaTags>error</UndefinedMetaTags>"
+        "<MetaNames><frominclude/></MetaNames></swish>"
+    )
+    cfg = load_config_xml(
+        "<swish><MetaNames><fromparent/></MetaNames>"
+        "<IncludeConfigFile>x.xml</IncludeConfigFile></swish>",
+        _resolver=lambda name: inc if name == "x.xml" else None,
+    )
+    assert cfg.tokenize is False
+    assert cfg.undef_metas == "error"
+    ids = [m.id for m in cfg.metanames.values()]
+    assert len(set(ids)) == len(ids)  # no silent id collision
+    assert {"fromparent", "frominclude"} <= set(cfg.metanames)

@@ -697,3 +697,15 @@ def test_jaccard_verify_empty_shingles_no_divide_by_zero(spark):
            jaccard_verify(docs, cand, "doc_id", "text", threshold=0.3).collect()}
     assert (1, 2) not in got          # empty-vs-empty dropped, no crash
     assert got[(3, 4)] >= 3000        # real pair still verifies
+
+
+def test_media_features_defaults_missing_columns(spark):
+    """A media frame lacking media_type/content must decode with NULL
+    defaults (the kernel indexes both unconditionally — a missing
+    column used to KeyError inside the executor, killing the job)."""
+    from libswish3_spark.functions.media import extract_media_features
+
+    df = spark.createDataFrame([("m1",), ("m2",)], ["media_ref"])
+    rows = {r["media_ref"]: r for r in extract_media_features(df).collect()}
+    assert set(rows) == {"m1", "m2"}
+    assert all(r["feature"] is not None for r in rows.values())  # fake_decode(None)
