@@ -11,8 +11,8 @@
 
 Batch mode resumes idempotently from the output's bucket manifest
 (plans/checkpoint.py); streaming mode resumes from the sink checkpoint.
-Per-partition lineage metrics are appended next to the output either
-way. Package the library with ``zip -r libswish3_spark.zip
+Per-partition lineage metrics are rewritten from the materialized
+output next to it either way (overwrite — re-deriving is idempotent). Package the library with ``zip -r libswish3_spark.zip
 libswish3_spark`` (pure Python, no native deps).
 """
 
@@ -98,13 +98,21 @@ def main(argv=None) -> int:
     extraction_metrics(extracted).write.mode("overwrite").parquet(
         os.path.join(args.output, "_metrics")
     )
-    if args.postings:
+    # derived index builds are idempotent overwrites, but a resumed run
+    # that processed zero new buckets can skip recomputing them when the
+    # output already exists — they are the most expensive steps here.
+    # (os.path.exists sees only local/NFS paths; for object-store URIs
+    # it returns False and the build safely re-runs.)
+    def _fresh_or_missing(path: str) -> bool:
+        return bool(result["processed"]) or not os.path.exists(path)
+
+    if args.postings and _fresh_or_missing(args.postings):
         from libswish3_spark.operators.postings import extract_index_postings
 
         extract_index_postings(docs, cfg).write.mode("overwrite").parquet(
             args.postings
         )
-    if args.minhash_index:
+    if args.minhash_index and _fresh_or_missing(args.minhash_index):
         from pyspark.sql import functions as F
 
         from libswish3_spark.operators.signatures import build_minhash_bucket_index
