@@ -106,14 +106,14 @@ def _embedding_signature_index(spark, sf_dir):
     call, exactly like the real ingest: returning the lazy projection
     let the timer's ``.count()`` column-prune every signature column
     away (ReadSchema: struct<>) and record a metadata-only row count."""
-    import tempfile
-
     from libswish3_spark.operators.signatures import (
         build_embedding_signature_index,
     )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    path = os.path.join(tempfile.mkdtemp(prefix="bench_emb_idx_"), "idx")
+    # one deterministic scratch path, overwritten per trial — a fresh
+    # mkdtemp per trial leaked an index copy into /tmp on every run
+    path = "/tmp/bench_emb_idx_scratch"
     (
         build_embedding_signature_index(emb)
         .write.mode("overwrite")
@@ -177,6 +177,7 @@ def prepare_corpus(sf_dir: str, k: int, parts: int = CORPUS_PARTS) -> tuple[str,
         # the corpus is a deterministic function of (sf documents, k):
         # reuse a previously materialized one instead of re-synthesizing
         # (saves minutes per bench run; the count check guards staleness)
+        wrote = False
         try:
             if spark.read.parquet(path).count() == expected:
                 return path, expected
@@ -184,13 +185,17 @@ def prepare_corpus(sf_dir: str, k: int, parts: int = CORPUS_PARTS) -> tuple[str,
             pass
         docs = replicated_docs(spark, sf_dir, k).repartition(parts)
         docs.write.mode("overwrite").parquet(path)
+        wrote = True
         n = spark.read.parquet(path).count()
         return path, n
     finally:
         spark.stop()
-        # let page-cache writeback settle before the timed runs
-        os.sync()
-        time.sleep(2)
+        if wrote:
+            # let page-cache writeback settle before the timed runs
+            # (cache-hit runs wrote nothing: skip the machine-wide sync
+            # and the 2 s settle)
+            os.sync()
+            time.sleep(2)
 
 
 # trials per level within one interleaved pair (the level-4 trial is

@@ -38,8 +38,13 @@ class Swish3:
     def parse_buffer(self, buf: bytes | str, uri: str = "buffer") -> dict:
         if isinstance(buf, str):
             buf = buf.encode("utf-8")
-        # framed header form accepted like the reference's parse_buffer
-        if buf.startswith(b"Content-") and b"\n\n" in buf[:512]:
+        # framed header form accepted like the reference's parse_buffer.
+        # The sniff requires the REQUIRED protocol headers before the
+        # first blank line (LF or CRLF): a bare startswith(b'Content-')
+        # swallowed ordinary prose beginning with the word 'Content-…'
+        # (returned {}), and the old b'\n\n' probe missed CRLF frames,
+        # indexing the protocol headers as body words instead.
+        if _looks_framed(buf):
             rows = parse_framed_stream(buf, self.config)
             return self._parse_row(rows[0]) if rows else {}
         row = ingest_bytes(buf, uri, self.config)
@@ -60,7 +65,16 @@ class Swish3:
             for name in sorted(filenames):
                 if name.startswith("."):
                     continue  # dot-file skip like the reference walker
-                out.append(self.parse_file(os.path.join(dirpath, name)))
+                path = os.path.join(dirpath, name)
+                try:
+                    out.append(self.parse_file(path))
+                except OSError as e:
+                    # unreadable file (dangling symlink, permissions):
+                    # warn and continue like the reference walker —
+                    # aborting would discard the rest of the corpus
+                    import warnings
+
+                    warnings.warn(f"{path}: {e}", RuntimeWarning, stacklevel=2)
         return out
 
     def _parse_row(self, row: dict, include_base: str | None = None) -> dict:
@@ -76,6 +90,18 @@ class Swish3:
             include_resolver=resolver,
             error=row.get("error"),
         )
+
+
+def _looks_framed(buf: bytes) -> bool:
+    """True iff the buffer's prefix is an aggregator-protocol header
+    section: both REQUIRED headers (Content-Length, Content-Location —
+    parser.c:1906-1918) appear before the first blank line (LF or
+    CRLF)."""
+    head, sep, _ = buf[:1024].replace(b"\r\n", b"\n").partition(b"\n\n")
+    if not sep:
+        return False
+    lower = head.lower()
+    return b"content-length" in lower and b"content-location" in lower
 
 
 def _fs_resolver(config: SwishConfig, base: str):

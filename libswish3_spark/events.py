@@ -38,7 +38,7 @@ MARKUP_RE = re.compile(
   | <!\[CDATA\[(?P<cdata>.*?)(?:\]\]>|\Z)
   | <!(?P<decl>[^>]*)>
   | <\?(?P<pi>.*?)(?:\?>|\Z)
-  | <(?P<close>/)?(?P<name>[^\s<>/!?][^\s<>/]*)
+  | <(?P<close>/)?(?P<name>(?:[:_]|[^\W\d])[^\s<>/]*)
       (?P<attrs>(?:"[^"]*"|'[^']*'|[^<>"'])*?)
       (?P<selfclose>/)?>
     """,
@@ -69,6 +69,13 @@ def xml_unescape(s: str) -> str:
         if e.startswith("#"):
             try:
                 cp = int(e[2:], 16) if e[1] in "xX" else int(e[1:])
+                # surrogate-range / out-of-range / NUL refs map to
+                # U+FFFD like html.unescape: chr(0xD800) builds a
+                # lone-surrogate str that Arrow refuses to serialize
+                # ('surrogates not allowed'), killing the whole task
+                # instead of error-rowing one document
+                if 0xD800 <= cp <= 0xDFFF or cp > 0x10FFFF or cp == 0:
+                    return "�"
                 return chr(cp)
             except (ValueError, OverflowError):
                 return m.group(0)
@@ -177,7 +184,14 @@ def html_events(text: str):
         if closers:
             while stack and stack[-1] in closers:
                 yield ("end", stack.pop(), None)
-        attrs = _parse_attrs(m.group("attrs") or "", html_unescape)
+        # libxml2's HTML parser lowercases attribute NAMES (values keep
+        # case): without this, <META NAME=... CONTENT=...> never hits
+        # bake_tag's case-sensitive k == "name" meta path and the
+        # content silently vanishes from the index
+        attrs = [
+            (k.lower(), v)
+            for k, v in _parse_attrs(m.group("attrs") or "", html_unescape)
+        ]
         yield ("start", name, attrs, None, name in VOID_TAGS)
         if name in VOID_TAGS or m.group("selfclose"):
             yield ("end", name, None)

@@ -48,10 +48,10 @@ def postings_batch_fn(config: SwishConfig, include_map: dict | None = None):
         import pyarrow as pa
 
         from libswish3_spark.parser import (
-            _guess_parser,
             make_include_resolver,
             parse_to_state,
         )
+        from libswish3_spark.pipeline import _guess_parser_cached
 
         cfg = config or default_config()
         base_resolver = make_include_resolver(include_map) if include_map else None
@@ -89,12 +89,15 @@ def postings_batch_fn(config: SwishConfig, include_map: dict | None = None):
                 if errors[i]:
                     continue  # ingest failure: no postings (parser.c:2505)
                 # parser resolution identical to the extraction kernel
+                # (pipeline.extract_batch_fn), including the memoized
+                # ext lookup — this kernel has the highest fan-out in
+                # the project (one output row per token)
                 parser = parsers[i]
                 if parser is None:
                     parser = (
                         cfg.parser_for_mime(mimes[i])
                         if mimes[i]
-                        else _guess_parser(doc_ids[i], cfg)
+                        else _guess_parser_cached(doc_ids[i], cfg)
                     )
                 parser = (parser or "HTML").upper()
                 resolver = base_resolver
@@ -112,12 +115,23 @@ def postings_batch_fn(config: SwishConfig, include_map: dict | None = None):
                     # mid-parse failure: emit nothing — an indexer must not
                     # index a doc the extraction marks as errored
                     continue
+                # mega-doc TXTSEG rows carry their global position offset
+                # in the doc_id tail — the same shift the extraction
+                # kernel applies (pipeline.py), so postings positions
+                # join consistently against extracted span orders
+                # instead of restarting at 1 per segment
+                pos_off = 0
+                if parser == "TXTSEG" and "\x02" in doc_ids[i]:
+                    try:
+                        pos_off = int(doc_ids[i].rsplit("\x02", 2)[1])
+                    except (ValueError, IndexError):
+                        pos_off = 0
                 words = [s for s in st.spans if s[0] == "word"]
                 buf_off = 0  # per-doc shared-buffer write position
                 for (_, term, _, pos), (meta, ctx) in zip(words, st.token_meta):
                     o_doc.append(doc_ids[i])
                     o_term.append(term)
-                    o_pos.append(pos)
+                    o_pos.append(pos + pos_off)
                     o_meta.append(meta)
                     o_ctx.append(ctx)
                     blen = len(term.encode("utf-8"))

@@ -19,6 +19,7 @@ def windowed_event_counts(
     key_col: str = "event_type",
     window: str = "1 hour",
     watermark: str = "10 minutes",
+    value_col: str | None = "value",
 ) -> DataFrame:
     """Tumbling-window counts with a late-data watermark.
 
@@ -32,10 +33,15 @@ def windowed_event_counts(
     src = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     if events.isStreaming:
         src = src.withWatermark(ts_col, watermark)
-    return src.groupBy(F.window(ts_col, window).alias("win"), key_col).agg(
-        F.count("*").alias("cnt"),
-        F.floor(F.sum("value") * 100).cast("long").alias("sum_value_c"),
-    )
+    aggs = [F.count("*").alias("cnt")]
+    # value aggregation only when the source HAS the column (the helper
+    # is documented as layering over any timestamped table — a
+    # hard-coded 'value' raised UNRESOLVED_COLUMN on every other source)
+    if value_col and value_col in events.columns:
+        aggs.append(
+            F.floor(F.sum(value_col) * 100).cast("long").alias("sum_value_c")
+        )
+    return src.groupBy(F.window(ts_col, window).alias("win"), key_col).agg(*aggs)
 
 
 def extraction_rate_monitor(

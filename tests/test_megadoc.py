@@ -719,3 +719,32 @@ def test_txt_segmented_title_tokenizer_guard(spark):
     )
     segs = segment_text_docs(d, seg_chars=300).collect()
     assert len(segs) > 1 and all(r["parser"] == "TXTSEG" for r in segs)
+
+
+def test_postings_positions_match_extract_for_txtseg(spark):
+    """extract() and extract_index_postings() must agree on token
+    positions for megadoc-segmented rows: the postings kernel applies
+    the same doc_id-tail global offset the extraction kernel does
+    (positions used to restart at 1 per segment, yielding duplicate
+    (doc, pos) pairs an indexer would corrupt on)."""
+    from libswish3_spark.operators.megadoc import segment_text_docs
+    from libswish3_spark.operators.postings import extract_index_postings
+
+    body = " ".join(f"w{i}" for i in range(300))
+    docs = spark.createDataFrame(
+        [("big.txt", [("text", body, "", 0)], "TXT")],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, parser string",
+    )
+    segs = segment_text_docs(docs, seg_chars=200)
+    assert segs.count() > 1  # actually segmented
+    post = extract_index_postings(segs).collect()
+    positions = sorted(p["pos"] for p in post)
+    plain = lsw.extract(docs).collect()[0]
+    expected = sorted(
+        s["order"] for s in plain["spans"]
+        if s["kind"] == "word" and not s["text"].endswith(".txt") and s["text"] not in ("big",)
+    )
+    # segment rows carry no title tail; body positions must be the
+    # exact global sequence with no duplicates
+    assert len(set(positions)) == len(positions)
+    assert positions == expected[: len(positions)]

@@ -250,3 +250,53 @@ def test_token_regex_round_trips_through_config_xml():
     cfg2 = load_config_xml(config_to_xml(cfg))
     assert cfg2.token_regex == cfg.token_regex
     assert cfg2.tokenizer == "custom"
+
+
+def test_html_uppercase_meta_attrs_indexed():
+    """libxml2's HTML parser lowercases attribute NAMES: <META NAME=...
+    CONTENT=...> must index its content exactly like the lowercase
+    form (the events layer used to pass 'NAME' through and bake_tag's
+    case-sensitive meta path never fired)."""
+    from libswish3_spark.parser import parse_document
+
+    up = parse_document(
+        "u.html",
+        [{"kind": "text", "text": '<META NAME="author" CONTENT="bob smith">x', "media_ref": "", "offset": 0}],
+        parser="HTML",
+    )
+    low = parse_document(
+        "u.html",
+        [{"kind": "text", "text": '<meta name="author" content="bob smith">x', "media_ref": "", "offset": 0}],
+        parser="HTML",
+    )
+    assert up["nwords"] == low["nwords"] == 3
+
+
+def test_numeric_charref_surrogate_is_replaced():
+    """&#xD800; must become U+FFFD, not a lone surrogate — chr(0xD800)
+    builds a string Arrow refuses to serialize, killing the task."""
+    from libswish3_spark.parser import parse_document
+
+    r = parse_document(
+        "s.xml",
+        [{"kind": "text", "text": "<d>ok &#xD800; &#0; fine</d>", "media_ref": "", "offset": 0}],
+        parser="XML",
+    )
+    joined = " ".join(s["text"] for s in r["spans"])
+    assert "\ud800" not in joined and "\x00" not in joined
+    # and the row still round-trips through UTF-8 (what Arrow requires)
+    joined.encode("utf-8")
+
+
+def test_lt_nonname_is_literal_text():
+    """'<' followed by a non-name-start char (digit, quote) is TEXT in
+    libxml2, not an element — '<3' must not swallow words."""
+    from libswish3_spark.parser import parse_document
+
+    r = parse_document(
+        "t.html",
+        [{"kind": "text", "text": "I <3 you forever", "media_ref": "", "offset": 0}],
+        parser="HTML",
+    )
+    words = [s["text"] for s in r["spans"] if s["kind"] == "word"]
+    assert words == ["i", "3", "you", "forever"], words

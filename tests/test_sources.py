@@ -181,3 +181,47 @@ def test_stream_frame_with_all_documented_headers_parses():
     bomb = b"".join(b"X-Junk-%d: v\n" % i for i in range(20)) + frame
     with pytest.raises(ValueError, match="too many stream headers"):
         parse_framed_stream(bomb)
+
+
+def test_parse_buffer_prose_starting_with_content_dash():
+    """Plain text beginning with the word 'Content-…' must ingest as a
+    document (the old startswith sniff routed it to the stream parser,
+    which found no headers and silently returned {})."""
+    from libswish3_spark.api import Swish3
+
+    s3 = Swish3()
+    r = s3.parse_buffer(b"Content-based image retrieval systems\n\nare widely used today")
+    assert r and r["nwords"] > 5
+
+
+def test_parse_buffer_crlf_framed():
+    """CRLF-framed buffers are frames too — the old b'\\n\\n' probe
+    missed them and indexed the protocol headers as body words."""
+    from libswish3_spark.api import Swish3
+
+    s3 = Swish3()
+    r = s3.parse_buffer(
+        b"Content-Length: 11\r\nContent-Location: a.txt\r\n\r\nhello world"
+    )
+    assert r["doc_id"] == "a.txt" and r["nwords"] >= 2
+    words = [s["text"] for s in r["spans"] if s["kind"] == "word"]
+    assert "content" not in words  # headers are not body
+
+
+def test_parse_directory_skips_unreadable(tmp_path):
+    """One dangling symlink must not abort the walk — warn and continue
+    like the reference walker."""
+    import warnings
+
+    from libswish3_spark.api import Swish3
+
+    (tmp_path / "good.txt").write_text("three good words")
+    (tmp_path / "dangling.txt").symlink_to(tmp_path / "missing-target")
+    s3 = Swish3()
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        rows = s3.parse_directory(str(tmp_path))
+    # one surviving row (title-from-path adds path tokens to nwords)
+    assert len(rows) == 1 and rows[0]["doc_id"].endswith("good.txt")
+    assert rows[0]["nwords"] >= 3
+    assert any("dangling" in str(x.message) for x in w)

@@ -669,3 +669,21 @@ def test_sessionize_sorts_across_pandas_chunks():
     assert outs[0]["session_end"].iloc[0] == dt.datetime(2020, 1, 1, 9, 0, 0)
     # open session state is the 11:00 singleton
     assert state.stored[0] == dt.datetime(2020, 1, 1, 11, 0, 0)
+
+
+def test_windowed_counts_without_value_column(spark):
+    """The window helper layers over ANY timestamped table: a source
+    without the optional 'value' column aggregates counts only (the
+    hard-coded sum used to raise UNRESOLVED_COLUMN)."""
+    import datetime as dt
+
+    from libswish3_spark.streaming.windows import windowed_event_counts
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2020, 1, 1, 0, 5), "click"),
+         (2, dt.datetime(2020, 1, 1, 0, 20), "click")],
+        "user_id long, ts timestamp, event_type string",
+    )
+    out = windowed_event_counts(df).collect()
+    assert len(out) == 1 and out[0]["cnt"] == 2
+    assert "sum_value_c" not in out[0].__fields__
