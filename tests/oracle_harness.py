@@ -92,4 +92,9 @@ def main(sf_dir="/root/testdata/sf0.001", only=None):
 
 if __name__ == "__main__":
     only = set(sys.argv[2:]) or None
-    main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001", only)
+    failures = main(
+        sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001", only
+    )
+    # a CI-style caller must see failures in the exit status, not just
+    # the printed FAILURES line
+    sys.exit(1 if failures else 0)
