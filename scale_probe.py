@@ -34,13 +34,14 @@ def _timed(fn):
     return round(time.perf_counter() - t0, 1), out
 
 
-def probe_dedup(spark, include_all_pairs: bool = False) -> dict:
+def probe_dedup(
+    spark, corpus_path: str, n_docs: int, include_all_pairs: bool = False
+) -> dict:
     from pyspark.sql import functions as F
 
     from libswish3_spark.functions import dedup as D
     from libswish3_spark.operators.signatures import build_minhash_bucket_index
 
-    corpus_path, n_docs = bench.prepare_corpus(SF_DIR, REPLICATE)
     docs = spark.read.parquet(corpus_path).select(
         "doc_id", F.element_at("spans", 1)["text"].alias("text")
     )
@@ -61,8 +62,14 @@ def probe_dedup(spark, include_all_pairs: bool = False) -> dict:
     t_cand, n_star = _timed(cand.count)
     ver = D.jaccard_verify(docs, cand, "doc_id", "text", threshold=0.5)
     t_verify, n_ver = _timed(ver.count)
-    clusters = D.resolve_clusters(ver)
-    t_resolve, n_clusters = _timed(clusters.count)
+    # resolve_clusters works EAGERLY at construction (per-round
+    # localCheckpoints) — the timer must wrap the construction, not
+    # just the final count, or the CC cost is attributed nowhere
+    def _resolve():
+        c = D.resolve_clusters(ver)
+        return c, c.count()
+
+    t_resolve, (clusters, n_clusters) = _timed(_resolve)
     losers = clusters.where(F.col("doc_id") != F.col("keeper")).select("doc_id")
     t_apply, survivors = _timed(
         lambda: docs.join(losers, "doc_id", "left_anti").count()
@@ -147,11 +154,23 @@ def main() -> None:
         sys.exit(
             f"usage: {sys.argv[0]} [dedup|ann|all] [--all-pairs] (got {sys.argv[1:]})"
         )
+    # materialize the bench corpus BEFORE creating the probe session:
+    # prepare_corpus manages its own session and stops it in a finally,
+    # and local-mode getOrCreate() returns whatever session is already
+    # live in the JVM — calling it mid-probe stopped the probe's own
+    # SparkContext out from under it
+    corpus = None
+    if which in ("dedup", "all"):
+        corpus = bench.prepare_corpus(SF_DIR, REPLICATE)
     spark = make_spark(int(bench.CPUS))
     spark.sparkContext.setLogLevel("ERROR")
     try:
-        if which in ("dedup", "all"):
-            print(json.dumps(probe_dedup(spark, "--all-pairs" in sys.argv)))
+        if corpus is not None:
+            print(
+                json.dumps(
+                    probe_dedup(spark, *corpus, "--all-pairs" in sys.argv)
+                )
+            )
         if which in ("ann", "all"):
             print(json.dumps(probe_ann(spark)))
     finally:
