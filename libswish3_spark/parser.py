@@ -544,8 +544,11 @@ def parse_to_state(
     state.keep_token_meta = keep_token_meta
 
     try:
-        if parser.startswith("T"):
-            # TXT path: concatenate text, media spans become media markers
+        if parser.startswith("T") or parser == "PDF":
+            # TXT path: concatenate text, media spans become media
+            # markers. PDF rows arrive with text already recovered by
+            # functions/pdf.py at ingest (opt-in application/pdf→PDF
+            # mapping) and get full TXT semantics incl. title-from-path.
             state._push(state.metastack, DEFAULT_METANAME, DEFAULT_METANAME, "/")
             for sp in spans:
                 kind, text, ref = _span_fields(sp)

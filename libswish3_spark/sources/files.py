@@ -85,12 +85,42 @@ def ingest_bytes(
         uri_for_ext = uri[: -len(".gz")] if uri.lower().endswith(".gz") else uri
     else:
         uri_for_ext = uri
-    data = _scrub_nuls(data)
 
     ext = uri_for_ext.rsplit(".", 1)[-1].lower() if "." in uri_for_ext else ""
     mime = declared_mime or cfg.mime_for_ext(ext)
     parser = (declared_parser or cfg.parser_for_mime(mime)).upper()
 
+    if parser == "PDF":
+        # opt-in PDF text extraction (functions/pdf.py): operates on the
+        # RAW bytes — the NUL scrub below would corrupt Flate streams —
+        # and yields TXT-like text downstream (parse_to_state routes
+        # parser="PDF" through the TXT path)
+        from libswish3_spark.functions.pdf import pdf_text
+
+        text, nread, nskip = pdf_text(data)
+        encoding = "UTF-8"
+        error = None
+        if nskip and not text:
+            error = f"pdf: {nskip} stream(s) with unsupported filters"
+        text_len = len(data)
+        if gzip_error is not None:
+            text, error = "", gzip_error
+        return {
+            "doc_id": uri,
+            "spans": [
+                {"kind": "text", "text": text, "media_ref": "", "offset": 0}
+            ],
+            "mime": mime,
+            "parser": parser,
+            "encoding": encoding,
+            "size": text_len,
+            "mtime": mtime,
+            "action": action,
+            "seq": seq,
+            "error": error,
+        }
+
+    data = _scrub_nuls(data)
     text, encoding, error = _decode(data, parser, declared_encoding, cfg)
     if gzip_error is not None:
         text, error = "", gzip_error
