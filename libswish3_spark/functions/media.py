@@ -3,12 +3,24 @@
 Images/audio/video ride as ``binary`` columns with a typed metadata
 struct; decode / feature-extract / resize / frame-sample run as
 Arrow-batched functions over ``mapInPandas``. ``real_decode`` handles
-the stdlib-decodable formats (binary PPM/PGM, uncompressed 24-bit BMP)
-with pure-Python header + pixel parsing; compressed formats (JPEG/PNG,
-audio, video) need a codec library this container doesn't ship, so
-``auto_decode`` falls back to the deterministic md5 ``fake_decode`` for
-those — keeping schema, partitioning, UDF signature, and batch shape
-real end-to-end either way.
+the stdlib-decodable formats:
+
+* **image** — binary PPM/PGM, uncompressed 24-bit BMP (pure-Python
+  header + pixel parsing) → pixel-statistics features;
+* **audio** — RIFF/WAVE PCM (8-bit unsigned / 16-bit signed, any
+  channel count; hand-parsed chunks, no deprecated ``audioop``) →
+  amplitude/energy features;
+* **video** — a concatenated PPM/PGM frame stream (the raw-frame
+  pipe format tools like ffmpeg's ``image2pipe`` emit) →
+  frame-SAMPLED luminance features (every ``FRAME_STRIDE``-th frame
+  decodes; the rest are header-skipped, the 100 TB move: sampling
+  cost is O(frames/stride), not O(frames)).
+
+Compressed formats (JPEG/PNG/MP3/H.264 …) need a codec library this
+container doesn't ship, so ``auto_decode`` falls back to the injected
+codec or the deterministic md5 ``fake_decode`` for those — keeping
+schema, partitioning, UDF signature, and batch shape real end-to-end
+either way.
 """
 
 from __future__ import annotations
@@ -54,34 +66,41 @@ FEATURE_DIM = 16
 def real_decode(content: bytes, media_type: str) -> list[float]:
     """Real pixel decoder for stdlib-decodable image formats.
 
-    Supports binary PPM/PGM (``P6``/``P5``, maxval 255) and
-    uncompressed 24-bit BMP — no codec libraries needed. Compressed
-    formats (JPEG/PNG/audio/video) still require an injected codec and
-    raise NotImplementedError; route through :func:`auto_decode` to
-    fall back to :func:`fake_decode` for those.
+    Supports binary PPM/PGM (``P6``/``P5``, maxval 255) — a single
+    frame as an image, a concatenated stream of them as a frame-sampled
+    video — uncompressed 24-bit BMP, and RIFF/WAVE PCM audio; no codec
+    libraries needed. Compressed formats (JPEG/PNG/MP3 …) still require
+    an injected codec and raise NotImplementedError; route through
+    :func:`auto_decode` to fall back to :func:`fake_decode` for those.
 
-    Feature layout (FEATURE_DIM = 16):
+    Image feature layout (FEATURE_DIM = 16):
       [0]  width            [1]  height
       [2..4]   mean R,G,B   / 255
       [5..7]   min  R,G,B   / 255
       [8..10]  max  R,G,B   / 255
       [11..14] quadrant luminance means (TL, TR, BL, BR) / 255
       [15] overall luminance mean / 255
+    Audio and video layouts: :func:`audio_features`,
+    :func:`video_features`.
     """
     data = bytes(content or b"")
     if not data:
         raise ValueError("empty media blob")
     magic = data[:2]
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        return audio_features(data)
     if magic in (b"P6", b"P5"):
-        w, h, channels, px = _parse_pnm(data)
-    elif magic == b"BM":
+        w, h, channels, px, end = _parse_pnm(data)
+        if data[end : end + 2] in (b"P6", b"P5"):
+            return video_features(data)  # concatenated frame stream
+        return _pixel_features(w, h, channels, px)
+    if magic == b"BM":
         w, h, channels, px = _parse_bmp(data)
-    else:
-        raise NotImplementedError(
-            f"no stdlib decoder for this format ({media_type}); "
-            "inject a codec or use auto_decode/fake_decode"
-        )
-    return _pixel_features(w, h, channels, px)
+        return _pixel_features(w, h, channels, px)
+    raise NotImplementedError(
+        f"no stdlib decoder for this format ({media_type}); "
+        "inject a codec or use auto_decode/fake_decode"
+    )
 
 
 def auto_decode(content: bytes, media_type: str, codec=None) -> list[float]:
@@ -111,9 +130,14 @@ def make_auto_decoder(codec=None):
     return decode
 
 
-def _parse_pnm(data: bytes) -> tuple[int, int, int, bytes]:
-    """Binary PPM (P6, RGB) / PGM (P5, gray) header + pixel parse."""
-    pos, vals = 2, []
+def _parse_pnm(data: bytes, at: int = 0) -> tuple[int, int, int, bytes, int]:
+    """Binary PPM (P6, RGB) / PGM (P5, gray) header + pixel parse
+    starting at offset ``at``; returns (w, h, channels, pixels,
+    end_offset) so concatenated frame streams can advance."""
+    magic = data[at : at + 2]
+    if magic not in (b"P6", b"P5"):
+        raise ValueError("not a binary PNM frame")
+    pos, vals = at + 2, []
     while len(vals) < 3:
         while pos < len(data) and data[pos : pos + 1].isspace():
             pos += 1
@@ -135,12 +159,12 @@ def _parse_pnm(data: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError("invalid PNM dimensions")
     if maxval != 255:
         raise ValueError("only maxval=255 PNM supported")
-    channels = 3 if data[:2] == b"P6" else 1
+    channels = 3 if magic == b"P6" else 1
     need = w * h * channels
     px = data[pos : pos + need]
     if len(px) < need:
         raise ValueError("truncated PNM pixel data")
-    return w, h, channels, px
+    return w, h, channels, px, pos + need
 
 
 def _parse_bmp(data: bytes) -> tuple[int, int, int, bytes]:
@@ -203,6 +227,146 @@ def _pixel_features(w: int, h: int, channels: int, px: bytes) -> list[float]:
         *[m / 255 for m in maxs],
         *quad,
         sum(sums) / (3 * n * 255),
+    ]
+
+
+FRAME_STRIDE = 2  # video: decode every FRAME_STRIDE-th frame
+
+
+def _parse_wav(data: bytes) -> tuple[int, int, int, bytes]:
+    """RIFF/WAVE chunk walk → (sample_rate, channels, bits, pcm bytes).
+
+    Hand-parsed with ``struct`` (the stdlib ``audioop`` helpers are
+    deprecated): iterates chunks honouring declared sizes + odd-size
+    padding, so files with LIST/INFO/fact chunks between ``fmt `` and
+    ``data`` parse correctly. PCM only (format tag 1), 8-bit unsigned
+    or 16-bit signed — the shapes ``wave.open`` writes."""
+    import struct
+
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos, fmt, pcm = 12, None, None
+    while pos + 8 <= len(data):
+        cid, size = data[pos : pos + 4], struct.unpack_from("<I", data, pos + 4)[0]
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            pcm = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or pcm is None:
+        raise ValueError("WAVE stream missing fmt/data chunk")
+    tag, channels, rate, _, _, bits = fmt
+    if tag != 1 or bits not in (8, 16) or channels < 1:
+        raise ValueError(f"only 8/16-bit PCM WAVE supported (tag={tag}, bits={bits})")
+    return rate, channels, bits, pcm
+
+
+def audio_features(data: bytes) -> list[float]:
+    """WAV PCM → FEATURE_DIM amplitude/energy features.
+
+    Layout (amplitudes normalized to [-1, 1] full scale):
+      [0] sample_rate      [1] channels
+      [2] frames (per channel)   [3] duration_ms
+      [4] mean |amplitude|  [5] peak |amplitude|
+      [6] RMS              [7] zero-crossing rate (channel 0)
+      [8..15] 8-segment mean-|amplitude| envelope
+
+    Integer sums accumulate exactly (numpy int64), each followed by
+    ONE double division — so an oracle can reproduce [4]/[5]/[6] in
+    closed form over synthetic samples (see ``synthesize_wav``)."""
+    import numpy as np
+
+    rate, channels, bits, pcm = _parse_wav(data)
+    if bits == 8:
+        x = np.frombuffer(pcm, dtype=np.uint8).astype(np.int64) - 128
+        full = 128.0
+    else:
+        x = np.frombuffer(pcm[: len(pcm) & ~1], dtype="<i2").astype(np.int64)
+        full = 32768.0
+    frames = len(x) // channels
+    if frames == 0:
+        raise ValueError("empty WAVE data chunk")
+    x = x[: frames * channels]
+    n = len(x)
+    ax = np.abs(x)
+    mean_abs = int(ax.sum()) / (n * full)
+    peak = int(ax.max()) / full
+    rms = float(np.sqrt(int((x * x).sum()) / n)) / full
+    ch0 = x[::channels]
+    sign = np.sign(ch0)
+    nz = sign[sign != 0]
+    crossings = int((nz[1:] != nz[:-1]).sum()) if len(nz) > 1 else 0
+    zcr = crossings / (frames - 1) if frames > 1 else 0.0
+    env = []
+    for s in range(8):
+        lo, hi = s * frames // 8, (s + 1) * frames // 8
+        seg = ax[lo * channels : hi * channels]
+        env.append(int(seg.sum()) / (len(seg) * full) if len(seg) else 0.0)
+    return [
+        float(rate),
+        float(channels),
+        float(frames),
+        frames * 1000.0 / rate,
+        mean_abs,
+        peak,
+        rms,
+        zcr,
+        *env,
+    ]
+
+
+def iter_pnm_frames(data: bytes):
+    """Yield (w, h, channels, pixels, start, end) per frame of a
+    concatenated binary-PNM stream. The pixel slice is zero-copy on
+    the input bytes; the real cost a caller skips by striding is the
+    per-pixel feature pass, not this header walk."""
+    pos = 0
+    while pos < len(data) and data[pos : pos + 2] in (b"P6", b"P5"):
+        w, h, c, px, end = _parse_pnm(data, pos)
+        yield w, h, c, px, pos, end
+        pos = end
+    if pos < len(data):
+        raise ValueError(f"trailing non-PNM bytes at offset {pos}")
+
+
+def video_features(data: bytes, stride: int = FRAME_STRIDE) -> list[float]:
+    """Concatenated-PNM frame stream → FEATURE_DIM frame-sampled
+    features. Every frame's HEADER parses (frame count and stream
+    integrity are exact) but only frames ``0, stride, 2·stride …``
+    pay the pixel pass — the sampling discipline a real video column
+    needs at scale, where decode cost dominates.
+
+    Layout:
+      [0] n_frames   [1] n_sampled   [2] width₀   [3] height₀
+      [4] mean luminance over sampled frames
+      [5] first-sampled luminance    [6] last-sampled luminance
+      [7] mean |Δ luminance| between consecutive sampled frames
+      [8..15] per-sampled-frame luminance (first 8, zero-padded)
+    """
+    if stride < 1:
+        raise ValueError("stride must be >= 1")
+    lums, dims, n_frames = [], None, 0
+    for w, h, c, px, _start, _end in iter_pnm_frames(data):
+        if n_frames % stride == 0:
+            if dims is None:
+                dims = (w, h)
+            lums.append(_pixel_features(w, h, c, px)[15])
+        n_frames += 1
+    if not lums:
+        raise ValueError("no PNM frames in stream")
+    deltas = [abs(b - a) for a, b in zip(lums, lums[1:])]
+    pad = (lums + [0.0] * 8)[:8]
+    return [
+        float(n_frames),
+        float(len(lums)),
+        float(dims[0]),
+        float(dims[1]),
+        sum(lums) / len(lums),
+        lums[0],
+        lums[-1],
+        sum(deltas) / len(deltas) if deltas else 0.0,
+        *pad,
     ]
 
 
@@ -273,6 +437,81 @@ def synthesize_ppm(docs_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 {
                     "media_ref": pdf[id_col].astype(str),
                     "media_type": "image/x-portable-pixmap",
+                    "content": contents,
+                    "width": pd.array([None] * len(pdf), dtype="Int32"),
+                    "height": pd.array([None] * len(pdf), dtype="Int32"),
+                    "duration_ms": pd.array([None] * len(pdf), dtype="Int64"),
+                }
+            )
+
+    return docs_df.select(id_col).mapInPandas(synth, schema=MEDIA_SCHEMA)
+
+
+def synthesize_wav(docs_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic 8-bit mono PCM WAV corpus from an id column
+    (test/oracle generator): rate 8000, frames = 64 + id%32, sample
+    byte j = (id*7 + j*13) % 256 — pure arithmetic, so a SQL oracle
+    computes expected mean/peak/RMS amplitude without decoding."""
+    import struct
+
+    def synth(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            contents, durs = [], []
+            for did in pdf[id_col]:
+                did = int(did)
+                n = 64 + did % 32
+                pcm = bytes((did * 7 + j * 13) % 256 for j in range(n))
+                hdr = (
+                    b"RIFF"
+                    + struct.pack("<I", 36 + n)
+                    + b"WAVEfmt "
+                    + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
+                    + b"data"
+                    + struct.pack("<I", n)
+                )
+                contents.append(hdr + pcm)
+                durs.append(n * 1000 // 8000)
+            yield pd.DataFrame(
+                {
+                    "media_ref": "wav://" + pdf[id_col].astype(str),
+                    "media_type": "audio/wav",
+                    "content": contents,
+                    "width": pd.array([None] * len(pdf), dtype="Int32"),
+                    "height": pd.array([None] * len(pdf), dtype="Int32"),
+                    "duration_ms": pd.array(durs, dtype="Int64"),
+                }
+            )
+
+    return docs_df.select(id_col).mapInPandas(synth, schema=MEDIA_SCHEMA)
+
+
+def synthesize_video(docs_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic concatenated-PPM 'video' corpus from an id column:
+    frames = 2 + id%3, every frame w = 2 + id%4 by h = 1 + id%3, pixel
+    byte j of frame f = (id*7 + f*11 + j*13) % 256 — closed-form for
+    the SQL oracle's sampled-luminance check."""
+
+    def synth(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            contents = []
+            for did in pdf[id_col]:
+                did = int(did)
+                w, h, nf = 2 + did % 4, 1 + did % 3, 2 + did % 3
+                frames = []
+                for f in range(nf):
+                    px = bytes(
+                        (did * 7 + f * 11 + j * 13) % 256 for j in range(w * h * 3)
+                    )
+                    frames.append(b"P6\n%d %d\n255\n" % (w, h) + px)
+                contents.append(b"".join(frames))
+            yield pd.DataFrame(
+                {
+                    "media_ref": "vid://" + pdf[id_col].astype(str),
+                    "media_type": "video/x-ppm-stream",
                     "content": contents,
                     "width": pd.array([None] * len(pdf), dtype="Int32"),
                     "height": pd.array([None] * len(pdf), dtype="Int32"),

@@ -2272,6 +2272,125 @@ FROM d
 ORACLE_MEDIA_PPM_FEATURES = _build_media_ppm_oracle()
 
 
+def q_media_wav_features(spark, sf_dir):
+    """Real AUDIO decode under the driver oracle: deterministic 8-bit
+    mono PCM WAVs synthesized from doc_ids (functions/media.py
+    synthesize_wav), RIFF-parsed by the pure-stdlib audio_features,
+    amplitude statistics checked against closed-form arithmetic."""
+    from libswish3_spark.functions.media import (
+        extract_media_features,
+        real_decode,
+        synthesize_wav,
+    )
+
+    media = synthesize_wav(_docs(spark, sf_dir).select("doc_id"))
+    feats = extract_media_features(media, decoder=real_decode)
+    bp = lambda i: F.floor(
+        F.element_at("feature", i).cast("double") * 10000
+    ).cast("long")
+    return feats.select(
+        "media_ref",
+        F.element_at("feature", 1).cast("int").alias("sample_rate"),
+        F.element_at("feature", 3).cast("int").alias("frames"),
+        F.floor(F.element_at("feature", 4).cast("double")).cast("long").alias("dur_ms"),
+        bp(5).alias("mean_abs_bp"),
+        bp(6).alias("peak_bp"),
+        bp(7).alias("rms_bp"),
+    )
+
+
+def _build_media_wav_oracle():
+    # sample byte j = (doc_id*7 + j*13) % 256, n = 64 + doc_id%32,
+    # amplitude = (s - 128)/128; integer sums are exact on both sides,
+    # then the kernel's single double division / sqrt replays in SQL.
+    # Features land as float32 → round-trip through REAL before floor.
+    amp_list = "list_transform(range(0, n), j -> abs((doc_id*7 + j*13) % 256 - 128))"
+    sq_list = (
+        "list_transform(range(0, n),"
+        " j -> ((doc_id*7 + j*13) % 256 - 128) * ((doc_id*7 + j*13) % 256 - 128))"
+    )
+    bp = lambda expr: (
+        f"CAST(floor(CAST(CAST(({expr}) AS REAL) AS DOUBLE) * 10000) AS BIGINT)"
+    )
+    return f"""
+WITH d AS (SELECT doc_id, 64 + doc_id % 32 AS n FROM documents)
+SELECT 'wav://' || doc_id AS media_ref,
+       8000 AS sample_rate,
+       CAST(n AS INTEGER) AS frames,
+       CAST(floor(CAST(CAST(n * 1000.0 / 8000 AS REAL) AS DOUBLE)) AS BIGINT) AS dur_ms,
+       {bp(f"CAST(list_sum({amp_list}) AS DOUBLE) / (n * 128)")} AS mean_abs_bp,
+       {bp(f"CAST(list_max({amp_list}) AS DOUBLE) / 128")} AS peak_bp,
+       {bp(f"sqrt(CAST(list_sum({sq_list}) AS DOUBLE) / n) / 128")} AS rms_bp
+FROM d
+"""
+
+
+ORACLE_MEDIA_WAV_FEATURES = _build_media_wav_oracle()
+
+
+def q_media_video_features(spark, sf_dir):
+    """Frame-SAMPLED video decode under the driver oracle: deterministic
+    concatenated-PPM streams (functions/media.py synthesize_video,
+    2..4 frames each), stride-2 sampling — every header parses, only
+    sampled frames pay the pixel pass — sampled-luminance statistics
+    checked against closed-form arithmetic."""
+    from libswish3_spark.functions.media import (
+        extract_media_features,
+        real_decode,
+        synthesize_video,
+    )
+
+    media = synthesize_video(_docs(spark, sf_dir).select("doc_id"))
+    feats = extract_media_features(media, decoder=real_decode)
+    bp = lambda i: F.floor(
+        F.element_at("feature", i).cast("double") * 10000
+    ).cast("long")
+    return feats.select(
+        "media_ref",
+        F.element_at("feature", 1).cast("int").alias("n_frames"),
+        F.element_at("feature", 2).cast("int").alias("n_sampled"),
+        F.element_at("feature", 3).cast("int").alias("width"),
+        F.element_at("feature", 4).cast("int").alias("height"),
+        bp(5).alias("lum_mean_bp"),
+        bp(6).alias("lum_first_bp"),
+        bp(7).alias("lum_last_bp"),
+        bp(8).alias("lum_delta_bp"),
+    )
+
+
+def _build_media_video_oracle():
+    # frame f pixel byte j = (doc_id*7 + f*11 + j*13) % 256; stride 2
+    # samples frames {0} (nf=2) or {0, 2} (nf=3,4). The kernel sums the
+    # two sampled doubles then divides — replayed literally here.
+    lum = lambda f: (
+        f"CAST(list_sum(list_transform(range(0, w*h*3),"
+        f" j -> (doc_id*7 + {f}*11 + j*13) % 256)) AS DOUBLE) / (3*w*h*255)"
+    )
+    bp = lambda expr: (
+        f"CAST(floor(CAST(CAST(({expr}) AS REAL) AS DOUBLE) * 10000) AS BIGINT)"
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, 2 + doc_id % 4 AS w, 1 + doc_id % 3 AS h,
+         2 + doc_id % 3 AS nf
+  FROM documents
+)
+SELECT 'vid://' || doc_id AS media_ref,
+       CAST(nf AS INTEGER) AS n_frames,
+       CAST(CASE WHEN nf >= 3 THEN 2 ELSE 1 END AS INTEGER) AS n_sampled,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       {bp(f"CASE WHEN nf >= 3 THEN (({lum(0)}) + ({lum(2)})) / 2 ELSE {lum(0)} END")} AS lum_mean_bp,
+       {bp(lum(0))} AS lum_first_bp,
+       {bp(f"CASE WHEN nf >= 3 THEN {lum(2)} ELSE {lum(0)} END")} AS lum_last_bp,
+       {bp(f"CASE WHEN nf >= 3 THEN abs(({lum(2)}) - ({lum(0)})) ELSE 0 END")} AS lum_delta_bp
+FROM d
+"""
+
+
+ORACLE_MEDIA_VIDEO_FEATURES = _build_media_video_oracle()
+
+
 # --------------------------------------------------------------------------
 # Merged registry entries
 #
@@ -2412,9 +2531,11 @@ SELECT 'session', CAST(user_id AS VARCHAR), session_start, session_end,
 
 
 def q_media_features_merged(spark, sf_dir):
-    """Multimodal plumbing, both decoders, one tall entry: the stub
-    (md5-deterministic) feature extractor and the real stdlib PPM pixel
-    decode, unpivoted to (media_ref, fmt, feat, value)."""
+    """Multimodal plumbing, every modality, one tall entry: the stub
+    (md5-deterministic) feature extractor, the real stdlib PPM pixel
+    decode, the real RIFF/WAVE PCM audio decode, and the frame-sampled
+    concatenated-PPM video decode, unpivoted to
+    (media_ref, fmt, feat, value)."""
     stub = q_media_features(spark, sf_dir).selectExpr(
         "media_ref",
         "'stub' AS fmt",
@@ -2427,12 +2548,32 @@ def q_media_features_merged(spark, sf_dir):
         " 'mean_r_bp', mean_r_bp, 'mean_g_bp', mean_g_bp, 'mean_b_bp', mean_b_bp,"
         " 'lum_bp', lum_bp) AS (feat, value)",
     )
-    return stub.unionByName(ppm)
+    wav = q_media_wav_features(spark, sf_dir).selectExpr(
+        "media_ref",
+        "'wav' AS fmt",
+        "stack(6, 'sample_rate', CAST(sample_rate AS BIGINT),"
+        " 'frames', CAST(frames AS BIGINT), 'dur_ms', dur_ms,"
+        " 'mean_abs_bp', mean_abs_bp, 'peak_bp', peak_bp,"
+        " 'rms_bp', rms_bp) AS (feat, value)",
+    )
+    vid = q_media_video_features(spark, sf_dir).selectExpr(
+        "media_ref",
+        "'vid' AS fmt",
+        "stack(8, 'n_frames', CAST(n_frames AS BIGINT),"
+        " 'n_sampled', CAST(n_sampled AS BIGINT),"
+        " 'width', CAST(width AS BIGINT), 'height', CAST(height AS BIGINT),"
+        " 'lum_mean_bp', lum_mean_bp, 'lum_first_bp', lum_first_bp,"
+        " 'lum_last_bp', lum_last_bp, 'lum_delta_bp', lum_delta_bp)"
+        " AS (feat, value)",
+    )
+    return stub.unionByName(ppm).unionByName(wav).unionByName(vid)
 
 
 ORACLE_MEDIA_FEATURES_MERGED = f"""
 WITH stub AS ({ORACLE_MEDIA_FEATURES}),
-     ppm AS ({ORACLE_MEDIA_PPM_FEATURES})
+     ppm AS ({ORACLE_MEDIA_PPM_FEATURES}),
+     wav AS ({ORACLE_MEDIA_WAV_FEATURES}),
+     vid AS ({ORACLE_MEDIA_VIDEO_FEATURES})
 SELECT media_ref, 'stub' AS fmt, 'dim' AS feat, CAST(dim AS BIGINT) AS value FROM stub
 UNION ALL SELECT media_ref, 'stub', 'f0_bp', f0_bp FROM stub
 UNION ALL SELECT media_ref, 'ppm', 'width', CAST(width AS BIGINT) FROM ppm
@@ -2441,6 +2582,20 @@ UNION ALL SELECT media_ref, 'ppm', 'mean_r_bp', mean_r_bp FROM ppm
 UNION ALL SELECT media_ref, 'ppm', 'mean_g_bp', mean_g_bp FROM ppm
 UNION ALL SELECT media_ref, 'ppm', 'mean_b_bp', mean_b_bp FROM ppm
 UNION ALL SELECT media_ref, 'ppm', 'lum_bp', lum_bp FROM ppm
+UNION ALL SELECT media_ref, 'wav', 'sample_rate', CAST(sample_rate AS BIGINT) FROM wav
+UNION ALL SELECT media_ref, 'wav', 'frames', CAST(frames AS BIGINT) FROM wav
+UNION ALL SELECT media_ref, 'wav', 'dur_ms', dur_ms FROM wav
+UNION ALL SELECT media_ref, 'wav', 'mean_abs_bp', mean_abs_bp FROM wav
+UNION ALL SELECT media_ref, 'wav', 'peak_bp', peak_bp FROM wav
+UNION ALL SELECT media_ref, 'wav', 'rms_bp', rms_bp FROM wav
+UNION ALL SELECT media_ref, 'vid', 'n_frames', CAST(n_frames AS BIGINT) FROM vid
+UNION ALL SELECT media_ref, 'vid', 'n_sampled', CAST(n_sampled AS BIGINT) FROM vid
+UNION ALL SELECT media_ref, 'vid', 'width', CAST(width AS BIGINT) FROM vid
+UNION ALL SELECT media_ref, 'vid', 'height', CAST(height AS BIGINT) FROM vid
+UNION ALL SELECT media_ref, 'vid', 'lum_mean_bp', lum_mean_bp FROM vid
+UNION ALL SELECT media_ref, 'vid', 'lum_first_bp', lum_first_bp FROM vid
+UNION ALL SELECT media_ref, 'vid', 'lum_last_bp', lum_last_bp FROM vid
+UNION ALL SELECT media_ref, 'vid', 'lum_delta_bp', lum_delta_bp FROM vid
 """
 
 

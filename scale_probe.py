@@ -12,8 +12,13 @@ prints one JSON line per probe:
 * ``ann``    — embedding signature index (LSH tables + IVF cell,
   partitioned by cell) over ×REPLICATE perturbed vectors; query-time
   brute force vs stored-LSH vs IVF with recall@10.
+* ``stream`` — Structured Streaming ingest over the same corpus
+  (file source, availableNow): (a) stream → extraction kernel → noop
+  sink, the stateless narrow path; (b) stream → stateful exact-dedup
+  (applyInPandasWithState over ~1.28 M fingerprints) → noop sink.
+  Reports docs/sec for each, comparable to the batch scaling numbers.
 
-Usage: python scale_probe.py [dedup|ann|all] (default: all)
+Usage: python scale_probe.py [dedup|ann|stream|all] (default: all)
 The document corpus is materialized by bench.prepare_corpus (shared
 with bench.py, cached in /tmp).
 """
@@ -147,12 +152,83 @@ def probe_ann(spark) -> dict:
     }
 
 
+def probe_stream(spark, corpus_path: str, n_docs: int) -> dict:
+    """Streaming ingest throughput over the materialized corpus.
+
+    ``availableNow`` drains the whole corpus through micro-batches —
+    the replay/backfill mode a 10^12-doc deployment uses to catch up —
+    so wall-clock over n_docs is a fair streaming-docs/sec figure.
+    The extract leg is stateless (narrow mapInArrow under the
+    micro-batch planner); the dedup leg pays the state store: one
+    keeper row per unique fingerprint, hash-partitioned across the
+    shuffle partitions, all first-seen (worst case: state only grows).
+    """
+    import shutil
+    import tempfile
+
+    from libswish3_spark.pipeline import extract
+    from libswish3_spark.streaming.dedup import dedup_stream
+
+    schema = spark.read.parquet(corpus_path).schema
+    out: dict = {"probe": "stream", "n_docs": n_docs}
+    work = tempfile.mkdtemp(prefix="stream_probe_")
+    try:
+        from libswish3_spark.streaming.dedup import _span_fingerprint_cols
+
+        def jvm_dedup(s):
+            # the JVM-side alternative when first-arrival-wins suffices:
+            # streaming dropDuplicates keeps its seen-set in the state
+            # store with NO Python group invocations — the scale path
+            # for pure exact dedup; dedup_stream's applyInPandasWithState
+            # earns its per-group pandas overhead only when the keeper
+            # needs arg-min (seq, doc_id) semantics within a batch
+            return s.select("doc_id", *_span_fingerprint_cols()).dropDuplicates(
+                ["fp"]
+            )
+
+        for leg, build, mode in (
+            ("extract", lambda s: extract(s), "append"),
+            # applyInPandasWithState runs in update mode; the sink must say so
+            ("dedup", lambda s: dedup_stream(s), "update"),
+            ("dedup_jvm", jvm_dedup, "append"),
+        ):
+            src = (
+                spark.readStream.schema(schema)
+                # bound each micro-batch: one giant batch would be the
+                # batch path in disguise; 32 files ≈ 8 batches over the
+                # 256-file corpus, enough to pay real batch planning
+                .option("maxFilesPerTrigger", "32")
+                .parquet(corpus_path)
+            )
+            q = (
+                build(src)
+                .writeStream.format("noop")
+                .outputMode(mode)
+                .option("checkpointLocation", f"{work}/{leg}_ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            t0 = time.perf_counter()
+            q.awaitTermination()
+            dt = time.perf_counter() - t0
+            n_batches = len(q.recentProgress)
+            out[f"{leg}_sec"] = round(dt, 1)
+            out[f"{leg}_docs_per_sec"] = round(n_docs / dt, 1)
+            out[f"{leg}_batches"] = n_batches
+            # per-leg progress line: a failure in a later leg must not
+            # discard an earlier leg's measurement
+            print(json.dumps({k: v for k, v in out.items() if leg in str(k) or k in ("probe", "n_docs")}), file=sys.stderr)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if a != "--all-pairs"]
     which = args[0] if args else "all"
-    if which not in ("dedup", "ann", "all") or len(args) > 1:
+    if which not in ("dedup", "ann", "stream", "all") or len(args) > 1:
         sys.exit(
-            f"usage: {sys.argv[0]} [dedup|ann|all] [--all-pairs] (got {sys.argv[1:]})"
+            f"usage: {sys.argv[0]} [dedup|ann|stream|all] [--all-pairs] (got {sys.argv[1:]})"
         )
     # materialize the bench corpus BEFORE creating the probe session:
     # prepare_corpus manages its own session and stops it in a finally,
@@ -160,12 +236,12 @@ def main() -> None:
     # live in the JVM — calling it mid-probe stopped the probe's own
     # SparkContext out from under it
     corpus = None
-    if which in ("dedup", "all"):
+    if which in ("dedup", "stream", "all"):
         corpus = bench.prepare_corpus(SF_DIR, REPLICATE)
     spark = make_spark(int(bench.CPUS))
     spark.sparkContext.setLogLevel("ERROR")
     try:
-        if corpus is not None:
+        if which in ("dedup", "all"):
             print(
                 json.dumps(
                     probe_dedup(spark, *corpus, "--all-pairs" in sys.argv)
@@ -173,6 +249,8 @@ def main() -> None:
             )
         if which in ("ann", "all"):
             print(json.dumps(probe_ann(spark)))
+        if which in ("stream", "all"):
+            print(json.dumps(probe_stream(spark, *corpus)))
     finally:
         spark.stop()
 

@@ -188,6 +188,112 @@ def test_real_decode_bmp_exact():
     assert f[8:11] == [40 / 255, 50 / 255, 60 / 255]
 
 
+def _wav(pcm, rate=8000, channels=1, bits=8, extra_chunk=b""):
+    import struct
+
+    block = channels * bits // 8
+    fmt = struct.pack(
+        "<IHHIIHH", 16, 1, channels, rate, rate * block, block, bits
+    )
+    body = b"fmt " + fmt + extra_chunk + b"data" + struct.pack("<I", len(pcm)) + pcm
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def test_real_decode_wav_8bit_exact():
+    from libswish3_spark.functions.media import audio_features
+
+    # 4 samples: 128→0, 0→-1, 255→127/128, 64→-0.5
+    f = real_decode(_wav(bytes([128, 0, 255, 64])), "audio/wav")
+    assert f == audio_features(_wav(bytes([128, 0, 255, 64])))
+    assert f[0:4] == [8000.0, 1.0, 4.0, 4 * 1000.0 / 8000]
+    assert f[4] == (0 + 128 + 127 + 64) / (4 * 128.0)  # mean |amp|
+    assert f[5] == 1.0  # peak
+    assert f[6] == float((0 + 128**2 + 127**2 + 64**2) / 4) ** 0.5 / 128.0
+    # ch0 signs: 0(drop), -, +, - → 2 crossings over 3 gaps
+    assert f[7] == 2 / 3
+
+
+def test_real_decode_wav_16bit_stereo():
+    import struct
+
+    from libswish3_spark.functions.media import audio_features
+
+    # 2 frames × 2 channels: (16384, -16384), (-32768, 32767)
+    pcm = struct.pack("<4h", 16384, -16384, -32768, 32767)
+    f = audio_features(_wav(pcm, rate=44100, channels=2, bits=16))
+    assert f[0:4] == [44100.0, 2.0, 2.0, 2 * 1000.0 / 44100]
+    assert f[5] == 1.0  # peak |−32768|/32768
+    assert f[4] == (16384 + 16384 + 32768 + 32767) / (4 * 32768.0)
+    assert f[7] == 1.0  # ch0: +, − → 1 crossing / 1 gap
+
+
+def test_parse_wav_skips_interleaved_chunks():
+    """LIST/fact chunks between fmt and data must not derail the walk,
+    including odd-size word-alignment padding."""
+    from libswish3_spark.functions.media import _parse_wav
+
+    extra = b"LIST" + (5).to_bytes(4, "little") + b"INFOx" + b"\x00"  # odd→pad
+    rate, ch, bits, pcm = _parse_wav(_wav(bytes([1, 2, 3]), extra_chunk=extra))
+    assert (rate, ch, bits) == (8000, 1, 8) and pcm == bytes([1, 2, 3])
+
+
+def test_video_features_frame_sampling():
+    from libswish3_spark.functions.media import iter_pnm_frames, video_features
+
+    # 3 frames of 1x1 gray: values 0, 100, 200 — stride 2 samples 0 and 2
+    stream = b"".join(b"P5\n1 1\n255\n" + bytes([v]) for v in (0, 100, 200))
+    frames = list(iter_pnm_frames(stream))
+    assert len(frames) == 3 and all(f[0:3] == (1, 1, 1) for f in frames)
+    f = video_features(stream, stride=2)
+    assert f[0:4] == [3.0, 2.0, 1.0, 1.0]
+    assert f[4] == (0 / 255 + 200 / 255) / 2  # sampled mean
+    assert f[5] == 0.0 and f[6] == 200 / 255
+    assert f[7] == 200 / 255  # |Δ| between the two sampled frames
+    assert f[8:10] == [0.0, 200 / 255] and f[10:] == [0.0] * 6
+    # stride 1 decodes every frame
+    assert video_features(stream, stride=1)[1] == 3.0
+
+
+def test_video_trailing_garbage_raises():
+    from libswish3_spark.functions.media import video_features
+
+    with pytest.raises(ValueError, match="trailing"):
+        video_features(b"P5\n1 1\n255\nX" + b"junk")
+
+
+def test_synthesize_wav_video_roundtrip(spark):
+    """The deterministic synthesizers must produce blobs the real
+    decoder parses, matching the closed-form the SQL oracle replays."""
+    from libswish3_spark.functions.media import (
+        extract_media_features,
+        synthesize_video,
+        synthesize_wav,
+    )
+
+    ids = spark.createDataFrame([(3,), (7,)], ["doc_id"])
+    wav = {
+        r["media_ref"]: r
+        for r in extract_media_features(
+            synthesize_wav(ids), decoder=real_decode
+        ).collect()
+    }
+    assert wav["wav://3"]["decode_error"] is None
+    n3 = 64 + 3 % 32
+    assert wav["wav://3"]["feature"][2] == float(n3)
+    amps = [abs((3 * 7 + j * 13) % 256 - 128) for j in range(n3)]
+    assert abs(wav["wav://3"]["feature"][4] - sum(amps) / (n3 * 128.0)) < 1e-6
+    vid = {
+        r["media_ref"]: r
+        for r in extract_media_features(
+            synthesize_video(ids), decoder=real_decode
+        ).collect()
+    }
+    assert vid["vid://7"]["decode_error"] is None
+    # doc 7: nf = 2 + 7%3 = 3 (stride 2 → 2 sampled), w = 2 + 7%4 = 5,
+    # h = 1 + 7%3 = 2
+    assert vid["vid://7"]["feature"][0:4] == [3.0, 2.0, 5.0, 2.0]
+
+
 def test_real_decode_truncated_blob_isolated(spark):
     from libswish3_spark.functions.media import auto_decode
 
