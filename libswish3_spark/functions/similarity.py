@@ -465,3 +465,64 @@ def ann_topk_from_signatures(
         c = F.col(f"sig{t}").isin(probes)
         cond = c if cond is None else (cond | c)
     return brute_force_topk(sig_df.where(cond), id_col, vec_col, query_vec, k)
+
+
+SEMDEDUP_BP = 3000  # cosine×10000 duplicate threshold (param; real
+# embedding corpora run ~9500-9700 — the synthetic bench vectors top
+# out near 0.49 within-cell, so the default exercises a non-trivial
+# kept/dropped split at every SF)
+
+
+def semantic_dedup_cells(
+    sigs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "ivf_cell",
+    min_score_bp: int = SEMDEDUP_BP,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup over the stored IVF cells (Abbas
+    et al. 2023: cluster embeddings coarsely, then pairwise-compare
+    ONLY within a cluster): a vector is dropped when any SMALLER-id
+    vector in its cell has cosine ≥ ``min_score_bp`` (greedy first-wins
+    — deterministic, order-free, and exactly reproducible by a
+    relational self-join, unlike the paper's random keeper).
+
+    Returns one row per vector: (vec_id, cell, n_dom, max_bp, kept)
+    where ``n_dom`` counts dominating smaller-id near-twins, ``max_bp``
+    is the strongest such cosine (−1 when kept) and ``kept`` =
+    (n_dom == 0) — the surviving semantic representatives.
+
+    Scale shape: the self-join keys on the cell, and the signature
+    index is PARTITIONED BY cell (operators/signatures.py), so the
+    join co-locates; pair count is Σ|cell|², never |corpus|². At
+    100 TB ``n_cells`` grows with the corpus (SemDeDup uses
+    k ∝ n — e.g. ~100 k cells — keeping cells bounded and the join
+    keys well spread), so neither cell size nor key skew grows with
+    data. Only (cell, id, vec) are read — column pruning drops the
+    sig columns at the scan."""
+    l = sigs.select(
+        F.col(cell_col).alias("cell"),
+        F.col(id_col).alias("u"),
+        F.col(vec_col).alias("uv"),
+    )
+    r = sigs.select(
+        F.col(cell_col).alias("cell"),
+        F.col(id_col).alias("v"),
+        F.col(vec_col).alias("vv"),
+    )
+    dom = (
+        l.join(r, "cell")
+        .where(F.col("u") < F.col("v"))
+        .select("v", cosine_bp(F.col("uv"), F.col("vv")).alias("bp"))
+        .where(F.col("bp") >= min_score_bp)
+        .groupBy("v")
+        .agg(F.count("*").alias("_n_dom"), F.max("bp").alias("_max_bp"))
+    )
+    base = sigs.select(F.col(id_col).alias("vec_id"), F.col(cell_col).alias("cell"))
+    return base.join(dom, base["vec_id"] == dom["v"], "left").select(
+        "vec_id",
+        F.col("cell").cast("int").alias("cell"),
+        F.coalesce("_n_dom", F.lit(0)).cast("long").alias("n_dom"),
+        F.coalesce("_max_bp", F.lit(-1)).cast("long").alias("max_bp"),
+        F.col("_n_dom").isNull().alias("kept"),
+    )

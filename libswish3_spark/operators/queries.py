@@ -2657,10 +2657,15 @@ WHERE doc_id NOT IN (SELECT id FROM clus WHERE id <> keeper)
 
 
 def q_dedup_embedding_merged(spark, sf_dir):
-    """Embedding near-dup pairs AND their keeper clusters in one entry:
-    'pair' rows are the capped-bucket cosine pairs from the stored
-    signature index; 'cluster' rows are the same pairs resolved to
-    (doc_id, keeper) by the shared connected-components operator.
+    """Embedding near-dup pairs, their keeper clusters, AND the
+    SemDeDup verdicts in one entry: 'pair' rows are the capped-bucket
+    cosine pairs from the stored signature index; 'cluster' rows are
+    the same pairs resolved to (doc_id, keeper) by the shared
+    connected-components operator; 'semdedup' rows are the per-vector
+    semantic-dedup verdicts over the stored IVF cells
+    (similarity.semantic_dedup_cells — a = vec_id, b = count of
+    dominating smaller-id near-twins in the cell, score_bp = strongest
+    such cosine or −1 when the vector is a kept representative).
 
     The pair self-join materializes ONCE (lazy localCheckpoint): both
     the pair rows and the resolve branch read the checkpoint instead of
@@ -2678,8 +2683,24 @@ def q_dedup_embedding_merged(spark, sf_dir):
         F.col("keeper").cast("long").alias("b"),
         F.lit(-1).cast("long").alias("score_bp"),
     )
-    return pair_rows.unionByName(clus)
+    sigs = _index_tables(spark, sf_dir)["embedding_sigs"]
+    sem = S.semantic_dedup_cells(sigs).select(
+        F.lit("semdedup").alias("section"),
+        F.col("vec_id").cast("long").alias("a"),
+        F.col("n_dom").alias("b"),
+        F.col("max_bp").alias("score_bp"),
+    )
+    return pair_rows.unionByName(clus).unionByName(sem)
 
+
+_SEMDEDUP_PAIR_COS = (
+    "list_sum(list_transform(range(1, len(x.embedding)+1),"
+    " i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))"
+    " / (sqrt(list_sum(list_transform(range(1, len(x.embedding)+1),"
+    " i -> CAST(x.embedding[i] AS DOUBLE) * CAST(x.embedding[i] AS DOUBLE))))"
+    " * sqrt(list_sum(list_transform(range(1, len(y.embedding)+1),"
+    " i -> CAST(y.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))))"
+)
 
 ORACLE_DEDUP_EMBEDDING_MERGED = f"""
 WITH RECURSIVE pairs AS ({_build_dedup_embedding_oracle()}),
@@ -2688,10 +2709,42 @@ reach(id, r) AS (
   SELECT src, src FROM edges
   UNION
   SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+),
+cent AS (
+  SELECT cvec, cnum FROM (
+    SELECT embedding AS cvec,
+           row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cnum
+    FROM embeddings)
+  WHERE cnum <= {S.IVF_CELLS}
+),
+rowd AS (
+  SELECT e.vec_id, e.embedding, c.cnum, {_IVF_DOT.format(v='e.embedding')} AS d
+  FROM embeddings e CROSS JOIN cent c
+),
+assign AS (
+  SELECT vec_id, embedding, cnum AS cell FROM (
+    SELECT vec_id, embedding, cnum,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cnum) AS rn
+    FROM rowd)
+  WHERE rn = 1
+),
+spairs AS (
+  SELECT y.vec_id AS v,
+         CAST(floor({_SEMDEDUP_PAIR_COS} * 10000) AS BIGINT) AS bp
+  FROM assign x JOIN assign y ON x.cell = y.cell AND x.vec_id < y.vec_id
+),
+sdom AS (
+  SELECT v, count(*) AS n_dom, max(bp) AS max_bp
+  FROM spairs WHERE bp >= {S.SEMDEDUP_BP} GROUP BY v
 )
 SELECT 'pair' AS section, a, b, score_bp FROM pairs
 UNION ALL
 SELECT 'cluster', id, min(r), CAST(-1 AS BIGINT) FROM reach GROUP BY id
+UNION ALL
+SELECT 'semdedup', e.vec_id,
+       CAST(coalesce(d.n_dom, 0) AS BIGINT),
+       CAST(coalesce(d.max_bp, -1) AS BIGINT)
+FROM embeddings e LEFT JOIN sdom d ON e.vec_id = d.v
 """
 
 

@@ -274,3 +274,37 @@ def test_ivf_zero_norm_centroid_guard(spark):
         ).collect()
     }
     assert cells == {1: 2, 2: 3}  # nonzero centroids win; no NaN routing
+
+
+def test_semantic_dedup_drops_planted_twin_keeps_rest(spark):
+    """SemDeDup over stored cells: a near-identical copy of a corpus
+    vector (same cell by construction) must be dropped with its
+    original as the dominator; vectors with no near-twin are all kept.
+    First-wins determinism: the SMALLER id survives."""
+    import random
+
+    from libswish3_spark.operators.signatures import (
+        build_embedding_signature_index,
+    )
+
+    rng = random.Random(11)
+    base = [[rng.uniform(-1, 1) for _ in range(16)] for _ in range(60)]
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    # plant id=100 as a tiny perturbation of id=5 (cosine ~ 1.0)
+    rows.append((100, [float(x + rng.uniform(-1e-4, 1e-4)) for x in base[5]]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = S.ivf_centroids(emb, "vec_id", "embedding", 4)
+    idx = build_embedding_signature_index(emb, dims=16, centroids=cents).cache()
+    verdicts = {
+        r["vec_id"]: r
+        for r in S.semantic_dedup_cells(idx, min_score_bp=9900).collect()
+    }
+    assert len(verdicts) == 61  # every vector gets exactly one verdict
+    v100 = verdicts[100]
+    assert not v100["kept"] and v100["n_dom"] == 1 and v100["max_bp"] >= 9900
+    v5 = verdicts[5]
+    assert v5["kept"] and v5["n_dom"] == 0 and v5["max_bp"] == -1
+    # at tau=0.99 nothing else in a random 16-dim corpus collides
+    assert sum(0 if r["kept"] else 1 for r in verdicts.values()) == 1
+    # cells recorded and real (more than one in use)
+    assert len({r["cell"] for r in verdicts.values()}) > 1
