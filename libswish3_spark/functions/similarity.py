@@ -29,7 +29,13 @@ def norm(a) -> Column:
 
 
 def cosine(a, b) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    # greatest(·, 1e-12): a zero/failed-encode vector would otherwise
+    # produce 0/0 = NaN, and Spark orders NaN ABOVE every number — a
+    # NaN cosine passes every `bp >= τ` gate, so one padded embedding
+    # would dominate its whole cell/bucket (and DuckDB disagrees on
+    # NaN, breaking the oracles). Guarded it scores 0 — identically in
+    # Spark, DuckDB and numpy; same rationale as ivf_cell_sql's guard.
+    return dot(a, b) / F.greatest(norm(a) * norm(b), F.lit(1e-12))
 
 
 def cosine_bp(a, b) -> Column:
@@ -465,6 +471,53 @@ def ann_topk_from_signatures(
         c = F.col(f"sig{t}").isin(probes)
         cond = c if cond is None else (cond | c)
     return brute_force_topk(sig_df.where(cond), id_col, vec_col, query_vec, k)
+
+
+def assign_cells_vectorized(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "ivf_cell",
+) -> DataFrame:
+    """Arrow-batched IVF cell assignment for LARGE centroid counts —
+    the 100 TB path. ``ivf_cell_sql`` unrolls one dot-product branch
+    per centroid into the plan; at 16 cells that's a fine literal
+    tree, but SemDeDup-style clustering sizes k ∝ corpus (thousands+
+    of cells) and the unrolled tree would choke Catalyst. Here the
+    centroid matrix rides into each Arrow batch once and the argmax is
+    one (batch × dims) @ (dims × k) matrix multiply per batch.
+
+    Semantics match ``ivf_cell_sql``: score = dot(v, c)/max(||c||,
+    1e-12) (direction-normalized; the row's own norm can't change the
+    argmax), first-max-wins on ties (np.argmax = first occurrence =
+    array_position's first match), 1-based cell numbers. Float64
+    summation ORDER differs (BLAS pairwise vs the SQL fold), so exact
+    score ties-to-the-ulp can in principle route differently — the
+    agreement pytest pins both paths identical on random corpora."""
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.float64)  # (k, dims)
+    Cn = (C / np.maximum(np.sqrt((C * C).sum(axis=1)), 1e-12)[:, None]).T
+
+    from pyspark.sql.types import StructType
+
+    # copy before .add — df.schema is the DataFrame's cached StructType
+    # and .add mutates in place (the source frame would grow a phantom
+    # column)
+    out_schema = StructType(list(df.schema.fields)).add(out_col, "integer")
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf):
+                V = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                )
+                pdf[out_col] = (V @ Cn).argmax(axis=1).astype("int32") + 1
+            else:
+                pdf[out_col] = pdf.get(out_col, [])
+            yield pdf
+
+    return df.mapInPandas(fn, schema=out_schema)
 
 
 SEMDEDUP_BP = 3000  # cosine×10000 duplicate threshold (param; real

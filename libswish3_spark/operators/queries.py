@@ -1695,8 +1695,8 @@ SELECT vec_id,
        CAST(floor(
          list_sum(list_transform(range(1, len(embedding)+1),
                   i -> CAST(embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
-         / (sqrt(list_sum(list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
-          * sqrt(list_sum(list_transform(range(1, len(q.qv)+1),     i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))))
+         / greatest(sqrt(list_sum(list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+          * sqrt(list_sum(list_transform(range(1, len(q.qv)+1),     i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))), CAST(1e-12 AS DOUBLE))
          * 10000) AS BIGINT) AS score_bp
 FROM embeddings, q
 ORDER BY score_bp DESC, vec_id LIMIT 10
@@ -1764,8 +1764,8 @@ scored AS (
        CAST(floor(
          list_sum(list_transform(range(1, len(embedding)+1),
                   i -> CAST(embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
-         / (sqrt(list_sum(list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
-          * sqrt(list_sum(list_transform(range(1, len(q.qv)+1),     i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))))
+         / greatest(sqrt(list_sum(list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+          * sqrt(list_sum(list_transform(range(1, len(q.qv)+1),     i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))), CAST(1e-12 AS DOUBLE))
          * 10000) AS BIGINT) AS score_bp
   FROM embeddings, q
 )
@@ -1844,8 +1844,8 @@ scored AS (
        CAST(floor(
          list_sum(list_transform(range(1, len(embedding)+1),
                   i -> CAST(embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
-         / (sqrt(list_sum(list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
-          * sqrt(list_sum(list_transform(range(1, len(q.qv)+1),     i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))))
+         / greatest(sqrt(list_sum(list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+          * sqrt(list_sum(list_transform(range(1, len(q.qv)+1),     i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))), CAST(1e-12 AS DOUBLE))
          * 10000) AS BIGINT) AS score_bp
   FROM embeddings, q
 )
@@ -2100,10 +2100,10 @@ keep AS (
 ),
 b AS (SELECT bucketed.* FROM bucketed JOIN keep USING (sig))
 SELECT l.id AS a, r.id AS b,
-       CAST(floor({dot} / ({nrm('l')} * {nrm('r')}) * 10000) AS BIGINT) AS score_bp
+       CAST(floor({dot} / greatest({nrm('l')} * {nrm('r')}, CAST(1e-12 AS DOUBLE)) * 10000) AS BIGINT) AS score_bp
 FROM b l JOIN b r
   ON l.sig = r.sig AND l.id < r.id
-WHERE CAST(floor({dot} / ({nrm('l')} * {nrm('r')}) * 10000) AS BIGINT) >= 3000
+WHERE CAST(floor({dot} / greatest({nrm('l')} * {nrm('r')}, CAST(1e-12 AS DOUBLE)) * 10000) AS BIGINT) >= 3000
 """
 
 
@@ -2696,10 +2696,10 @@ def q_dedup_embedding_merged(spark, sf_dir):
 _SEMDEDUP_PAIR_COS = (
     "list_sum(list_transform(range(1, len(x.embedding)+1),"
     " i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))"
-    " / (sqrt(list_sum(list_transform(range(1, len(x.embedding)+1),"
+    " / greatest(sqrt(list_sum(list_transform(range(1, len(x.embedding)+1),"
     " i -> CAST(x.embedding[i] AS DOUBLE) * CAST(x.embedding[i] AS DOUBLE))))"
     " * sqrt(list_sum(list_transform(range(1, len(y.embedding)+1),"
-    " i -> CAST(y.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))))"
+    " i -> CAST(y.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))), CAST(1e-12 AS DOUBLE))"
 )
 
 ORACLE_DEDUP_EMBEDDING_MERGED = f"""

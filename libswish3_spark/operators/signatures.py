@@ -64,13 +64,27 @@ def build_embedding_signature_index(
     seed: int = ANN_SEED,
     dims: int | None = None,
     centroids: list | None = None,
+    vectorized: bool = True,
 ) -> DataFrame:
     """(id, vec, sig0..sig{L-1}, ivf_cell) — one signature int per LSH
     table plus the IVF coarse-cell assignment, identical plane/centroid
     literals to the in-scan paths (similarity.random_planes /
-    ivf_centroids) so stored and computed results are bit-equal. In a
+    ivf_centroids) so stored and computed results agree. In a
     real deployment this table is PARTITIONED BY ivf_cell (probe filter
     = partition pruning) and bucketed on the sig columns.
+
+    ``vectorized=True`` (the ingest default) computes all signatures
+    and the cell in ONE Arrow batch kernel: per batch, a single
+    (rows × dims) @ (dims × planes) matmul per table plus one for the
+    centroids — the expression form's zip_with/aggregate lambdas are
+    INTERPRETED per element (higher-order functions never enter
+    whole-stage codegen), and at 512 k × 64-dim the measured build is
+    minutes interpreted vs seconds vectorized. Semantics are identical
+    (float64 products, >= 0 sign bits, first-max cell; only the
+    float64 SUMMATION order differs — BLAS pairwise vs the fold — a
+    sub-ulp effect pinned equal by pytest on the bench corpora).
+    ``vectorized=False`` keeps the pure-expression form the oracles
+    mirror literally.
 
     ``dims`` defaults to the DATA's vector length (one 1-row probe job
     at build time): a hardcoded plane dimensionality silently poisons
@@ -83,6 +97,10 @@ def build_embedding_signature_index(
         dims = int(row["d"]) if row is not None and row["d"] is not None else ANN_DIMS
     if centroids is None:
         centroids = S.ivf_centroids(emb, id_col, vec_col)
+    if vectorized:
+        return _build_signatures_vectorized(
+            emb, id_col, vec_col, n_planes, n_tables, seed, dims, centroids
+        )
     cols = [F.col(id_col), F.col(vec_col)]
     for t in range(n_tables):
         planes = S.random_planes(dims, n_planes, seed + t)
@@ -91,6 +109,52 @@ def build_embedding_signature_index(
         F.expr(S.ivf_cell_sql(vec_col, centroids)).cast("int").alias("ivf_cell")
     )
     return emb.select(*cols)
+
+
+def _build_signatures_vectorized(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_planes: int,
+    n_tables: int,
+    seed: int,
+    dims: int,
+    centroids: list,
+) -> DataFrame:
+    import numpy as np
+    from pyspark.sql.types import StructType
+
+    plane_mats = [
+        np.asarray(S.random_planes(dims, n_planes, seed + t), dtype=np.float64).T
+        for t in range(n_tables)
+    ]  # each (dims, n_planes)
+    bits = [np.int64(2**p) for p in range(n_planes)]
+    C = np.asarray(centroids, dtype=np.float64)
+    Cn = (C / np.maximum(np.sqrt((C * C).sum(axis=1)), 1e-12)[:, None]).T
+
+    src = emb.select(id_col, vec_col)
+    schema = StructType(list(src.schema.fields))
+    for t in range(n_tables):
+        schema = schema.add(f"sig{t}", "long")
+    schema = schema.add("ivf_cell", "integer")
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf):
+                V = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                )
+                for t, P in enumerate(plane_mats):
+                    signs = (V @ P) >= 0  # (rows, n_planes)
+                    pdf[f"sig{t}"] = (signs * bits).sum(axis=1)
+                pdf["ivf_cell"] = (V @ Cn).argmax(axis=1).astype("int32") + 1
+            else:
+                for t in range(n_tables):
+                    pdf[f"sig{t}"] = np.array([], dtype=np.int64)
+                pdf["ivf_cell"] = np.array([], dtype=np.int32)
+            yield pdf
+
+    return src.mapInPandas(kernel, schema=schema)
 
 
 def _index_root(sf_dir: str) -> str:

@@ -144,6 +144,28 @@ def probe_ann(spark) -> dict:
     t_ivf, iv = _timed(
         lambda: S.ann_ivf_topk(sigs, "vec_id", "embedding", qv, cent).collect()
     )
+    # SemDeDup at probe scale: k ∝ n cells (the paper's sizing — the
+    # registry's 16-cell literal path would put ~8k vectors per cell
+    # and square it), Arrow-batched cell assignment (the literal SQL
+    # expression tree can't hold thousands of centroid branches), then
+    # the within-cell domination join. The ×REPLICATE corpus has real
+    # semantic families (per-base perturbed replicas, cosine ≈ 1.0):
+    # at τ=0.99 each family must collapse to its min-id keeper.
+    sub = big.where(F.col("vec_id") % 4 == 0).repartition(64).cache()
+    n_sub = sub.count()
+    n_cells = max(16, n_sub // 128)
+    sd_cent = S.ivf_centroids(sub, "vec_id", "embedding", n_cells)
+    t_sem, sem = _timed(
+        lambda: S.semantic_dedup_cells(
+            S.assign_cells_vectorized(sub, sd_cent), min_score_bp=9900
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("kept").cast("long")).alias("kept"),
+        )
+        .collect()[0]
+    )
+    sub.unpersist()
     return {
         "probe": "ann",
         "n_vectors": n,
@@ -153,6 +175,10 @@ def probe_ann(spark) -> dict:
         "stored_lsh_recall10": len(exact & {r["vec_id"] for r in st}) / 10,
         "ivf_sec": t_ivf,
         "ivf_recall10": len(exact & {r["vec_id"] for r in iv}) / 10,
+        "semdedup_n_vectors": n_sub,
+        "semdedup_cells": n_cells,
+        "semdedup_sec": t_sem,
+        "semdedup_kept": int(sem["kept"]),
     }
 
 

@@ -308,3 +308,107 @@ def test_semantic_dedup_drops_planted_twin_keeps_rest(spark):
     assert sum(0 if r["kept"] else 1 for r in verdicts.values()) == 1
     # cells recorded and real (more than one in use)
     assert len({r["cell"] for r in verdicts.values()}) > 1
+
+
+def test_assign_cells_vectorized_matches_literal_sql_path(spark):
+    """The Arrow-batched cell assigner (the large-k scale path) must
+    route every vector to the SAME cell as the unrolled ivf_cell_sql
+    expression the oracles replay — same normalization, same 1-based
+    first-max-wins tie rule."""
+    import random
+
+    rng = random.Random(23)
+    rows = [
+        (i, [float(rng.uniform(-1, 1)) for _ in range(16)]) for i in range(300)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = S.ivf_centroids(emb, "vec_id", "embedding", 12)
+    lit = {
+        r["vec_id"]: r["c"]
+        for r in emb.select(
+            "vec_id",
+            F.expr(S.ivf_cell_sql("embedding", cents)).cast("int").alias("c"),
+        ).collect()
+    }
+    vec = {
+        r["vec_id"]: r["ivf_cell"]
+        for r in S.assign_cells_vectorized(emb, cents).collect()
+    }
+    assert lit == vec
+
+
+def test_hashed_embedding_semantic_dedup_composes(spark):
+    """The text→vector bridge also feeds SemDeDup: hashed-TF vectors of
+    an exact content dup must collapse (same cell, cosine 10000,
+    smaller id keeps); an unrelated document survives untouched."""
+    from libswish3_spark.functions.text import tokens
+
+    base = ("the training corpus contains many documents and this one "
+            "talks about feature hashing tricks for vectors at scale " * 3)
+    other = ("completely different topic entirely unrelated words "
+             "about cooking pasta recipes and olive oil " * 3)
+    df = spark.createDataFrame(
+        [("a", base), ("b", base), ("c", other)], ["doc_id", "text"]
+    )
+    emb = df.select(
+        "doc_id",
+        S.hashed_tf_embedding(tokens(F.col("text"))).alias("embedding"),
+    ).cache()
+    cents = S.ivf_centroids(emb, "doc_id", "embedding", 2)
+    assigned = S.assign_cells_vectorized(emb, cents)
+    verdicts = {
+        r["vec_id"]: r
+        for r in S.semantic_dedup_cells(
+            assigned, id_col="doc_id", min_score_bp=9900
+        ).collect()
+    }
+    assert verdicts["a"]["kept"] and verdicts["c"]["kept"]
+    vb = verdicts["b"]
+    assert not vb["kept"] and vb["n_dom"] == 1 and vb["max_bp"] == 10000
+
+
+def test_zero_vector_never_dominates_or_pairs(spark):
+    """NaN guard: a zero (failed/padded-encode) vector must score
+    cosine 0 against everything — Spark orders NaN above every number,
+    so an unguarded 0/0 would pass every `bp >= τ` gate and dominate
+    its whole cell. Pinned: the zero vector neither pairs, dominates,
+    nor is dominated."""
+    rows = [
+        (1, [1.0] * 8),
+        (2, [1.0] * 8),          # exact dup of 1 → dominated by 1
+        (3, [0.0] * 8),          # zero vector: cosine must be 0, not NaN
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    one_cell = emb.select("vec_id", "embedding", F.lit(1).alias("ivf_cell"))
+    verdicts = {
+        r["vec_id"]: r
+        for r in S.semantic_dedup_cells(one_cell, min_score_bp=9900).collect()
+    }
+    assert verdicts[3]["kept"] and verdicts[3]["max_bp"] == -1
+    assert verdicts[1]["kept"]
+    assert not verdicts[2]["kept"] and verdicts[2]["n_dom"] == 1
+    # brute-force scoring: zero vector scores 0 everywhere, never NaN
+    scored = {
+        r["vec_id"]: r["score_bp"]
+        for r in S.brute_force_topk(emb, "vec_id", "embedding", [1.0] * 8, k=3).collect()
+    }
+    assert scored[3] == 0
+
+
+def test_vectorized_index_build_matches_expression_build(spark):
+    """The Arrow-batched ingest kernel must produce the SAME stored
+    index as the pure-expression form the oracles mirror — every sig
+    int and every cell, over the real bench embeddings (both SFs'
+    worth of value patterns ride on sf0.001 here)."""
+    from libswish3_spark.operators.signatures import (
+        build_embedding_signature_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = build_embedding_signature_index(emb, vectorized=False).collect()
+    b = build_embedding_signature_index(emb, vectorized=True).collect()
+    key = lambda rows: {
+        r["vec_id"]: (r["sig0"], r["sig1"], r["sig2"], r["sig3"], r["ivf_cell"])
+        for r in rows
+    }
+    assert key(a) == key(b)
