@@ -497,7 +497,10 @@ def assign_cells_vectorized(
     import numpy as np
 
     C = np.asarray(centroids, dtype=np.float64)  # (k, dims)
-    Cn = (C / np.maximum(np.sqrt((C * C).sum(axis=1)), 1e-12)[:, None]).T
+    # sqrt(max(||c||², 1e-12)) — the EXACT clamp ivf_cell_sql applies
+    # (greatest inside the sqrt), so even degenerate sub-1e-6-norm
+    # centroids score identically on both paths
+    Cn = (C / np.sqrt(np.maximum((C * C).sum(axis=1), 1e-12))[:, None]).T
 
     from pyspark.sql.types import StructType
 
@@ -514,7 +517,7 @@ def assign_cells_vectorized(
                 )
                 pdf[out_col] = (V @ Cn).argmax(axis=1).astype("int32") + 1
             else:
-                pdf[out_col] = pdf.get(out_col, [])
+                pdf[out_col] = np.array([], dtype=np.int32)
             yield pdf
 
     return df.mapInPandas(fn, schema=out_schema)

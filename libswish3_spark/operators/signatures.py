@@ -130,7 +130,9 @@ def _build_signatures_vectorized(
     ]  # each (dims, n_planes)
     bits = [np.int64(2**p) for p in range(n_planes)]
     C = np.asarray(centroids, dtype=np.float64)
-    Cn = (C / np.maximum(np.sqrt((C * C).sum(axis=1)), 1e-12)[:, None]).T
+    # sqrt(max(||c||², 1e-12)): the exact ivf_cell_sql clamp (greatest
+    # INSIDE the sqrt) — see assign_cells_vectorized
+    Cn = (C / np.sqrt(np.maximum((C * C).sum(axis=1), 1e-12))[:, None]).T
 
     src = emb.select(id_col, vec_col)
     schema = StructType(list(src.schema.fields))

@@ -274,6 +274,13 @@ def test_ivf_zero_norm_centroid_guard(spark):
         ).collect()
     }
     assert cells == {1: 2, 2: 3}  # nonzero centroids win; no NaN routing
+    # the Arrow-batched assigner applies the IDENTICAL clamp (greatest
+    # inside the sqrt) — degenerate centroids route the same way
+    vec = {
+        r["vec_id"]: r["ivf_cell"]
+        for r in S.assign_cells_vectorized(df, centroids).collect()
+    }
+    assert vec == cells
 
 
 def test_semantic_dedup_drops_planted_twin_keeps_rest(spark):
