@@ -419,3 +419,38 @@ def test_vectorized_index_build_matches_expression_build(spark):
         for r in rows
     }
     assert key(a) == key(b)
+
+
+def test_vectorized_minhash_index_matches_expression_build(spark):
+    """The Arrow-batched minhash ingest kernel must emit the EXACT
+    (id, bucket) multiset of the expression chain the oracles mirror —
+    over the real bench corpus plus edge docs (empty, null, < 3
+    tokens, unicode, apostrophes/underscores)."""
+    from libswish3_spark.operators.signatures import (
+        build_minhash_bucket_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    edge = spark.createDataFrame(
+        [
+            ("e1", ""),
+            ("e2", None),
+            ("e3", "two tokens"),
+            ("e4", "don't under_score MIXED Case tokens here"),
+            ("e5", "héllo wörld ünïcode stripped down to ascii runs only"),
+            ("e6", "a b c a b c a b c repeated shingles collapse"),
+        ],
+        "doc_id string, text string",
+    )
+    both = docs.unionByName(edge)
+    expr = sorted(
+        (r["id"], r["bucket"])
+        for r in build_minhash_bucket_index(both, vectorized=False).collect()
+    )
+    vec = sorted(
+        (r["id"], r["bucket"])
+        for r in build_minhash_bucket_index(both, vectorized=True).collect()
+    )
+    assert expr == vec and len(vec) > 0
