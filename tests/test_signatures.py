@@ -454,3 +454,42 @@ def test_vectorized_minhash_index_matches_expression_build(spark):
         for r in build_minhash_bucket_index(both, vectorized=True).collect()
     )
     assert expr == vec and len(vec) > 0
+
+
+def test_vectorized_shingles_match_expression_form(spark):
+    """shingle_arrays_vectorized must emit element-identical (ordered,
+    first-occurrence-distinct) shingle arrays to shingles(tokens(col))
+    over the bench corpus + edge docs — jaccard_verify's two forms then
+    agree on every pair by construction."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    edge = spark.createDataFrame(
+        [
+            ("e1", ""),
+            ("e2", None),
+            ("e3", "just two"),
+            ("e4", "a b c a b c duplicated grams collapse to firsts"),
+            ("e5", "CASE and don't under_score mix"),
+        ],
+        "doc_id string, text string",
+    )
+    both = docs.unionByName(edge)
+    from libswish3_spark.functions.dedup import (
+        shingle_arrays_vectorized,
+        shingles,
+    )
+    from libswish3_spark.functions.text import tokens
+
+    expr = {
+        r["id"]: list(r["sh"])
+        for r in both.select(
+            F.col("doc_id").alias("id"),
+            shingles(tokens(F.col("text"))).alias("sh"),
+        ).collect()
+    }
+    vec = {
+        r["id"]: list(r["sh"])
+        for r in shingle_arrays_vectorized(both, "doc_id", "text").collect()
+    }
+    assert expr == vec
