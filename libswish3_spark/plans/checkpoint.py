@@ -43,6 +43,37 @@ def completed_buckets(spark: SparkSession, manifest_path: str) -> set[int]:
         return set()
 
 
+def _check_bucket_count(
+    spark: SparkSession, manifest_path: str, num_buckets: int
+) -> None:
+    """Croak when a resume changes the bucket count.
+
+    bucket = pmod(hash(doc_id), B) — under a new B every doc lands in a
+    DIFFERENT bucket, so anti-joining the new bucket range against a
+    manifest written at the old B silently skips docs (their old bucket
+    id is "done") and double-processes others. Manifests written before
+    this guard lack the column and pass (nothing to validate against).
+    """
+    try:
+        vals = (
+            spark.read.parquet(manifest_path)
+            .select("num_buckets")
+            .distinct()
+            .collect()
+        )
+    except Exception:
+        return
+    prior = {r["num_buckets"] for r in vals} - {None}
+    if prior and prior != {num_buckets}:
+        raise ValueError(
+            f"resume with num_buckets={num_buckets} but the manifest at "
+            f"{manifest_path} was written with num_buckets={sorted(prior)}: "
+            "bucket assignment is a function of the count, so resuming "
+            "under a different count corrupts the done-set. Re-run with "
+            f"num_buckets={sorted(prior)[0]} or start a fresh output path."
+        )
+
+
 def run_extraction(
     spark: SparkSession,
     docs: DataFrame,
@@ -75,6 +106,7 @@ def run_extraction(
     """
     manifest_path = os.path.join(output_path, "_manifest")
     data_path = os.path.join(output_path, "data")
+    _check_bucket_count(spark, manifest_path, num_buckets)
     done = completed_buckets(spark, manifest_path)
     bucketed = with_bucket(docs, num_buckets)
     todo = [b for b in range(num_buckets) if b not in done]
@@ -119,10 +151,12 @@ def run_extraction(
                     by_bucket[b]["words"] if b in by_bucket else 0,
                     by_bucket[b]["errors"] if b in by_bucket else 0,
                     run_id,
+                    num_buckets,
                 )
                 for b in chunk
             ],
-            "bucket int, docs long, words long, errors long, run_id string",
+            "bucket int, docs long, words long, errors long, run_id string,"
+            " num_buckets int",
         ).write.mode("append").parquet(manifest_path)
         processed.extend(chunk)
     return {"processed": processed, "skipped": sorted(done)}

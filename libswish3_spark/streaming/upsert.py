@@ -49,6 +49,14 @@ _STATE_SCHEMA = StructType(
 )
 
 
+# null seq sorts AFTER every genuine seq value — the batch twin
+# (pipeline.reconcile_actions) coalesces null seq to Long.MAX in its
+# max_by key, so a (mtime, seq=null) row beats a (mtime, seq=k) row in
+# BOTH engines; an earlier 0-coalesce here made the two twins resolve
+# that tie in opposite directions.
+_LONG_MAX = (1 << 63) - 1
+
+
 def _upsert(key, pdf_iter, state: GroupState):
     import pandas as pd
 
@@ -69,7 +77,7 @@ def _upsert(key, pdf_iter, state: GroupState):
             # ``m >= best`` could resurrect a deleted doc
             k = (
                 0 if pd.isnull(mtime) else int(mtime),
-                0 if pd.isnull(seq) else int(seq),
+                _LONG_MAX if pd.isnull(seq) else int(seq),
             )
             if best_key is None or k >= best_key:
                 best_key = k
@@ -99,9 +107,11 @@ def upsert_stream(docs: DataFrame) -> DataFrame:
         "doc_id",
         F.coalesce(F.col("mtime"), F.lit(0)).alias("mtime"),
         (
-            F.coalesce(F.col("seq"), F.lit(0))
+            # null seq → Long.MAX: identical tie key to the batch twin's
+            # reconcile_actions (see _LONG_MAX above)
+            F.coalesce(F.col("seq"), F.lit(_LONG_MAX))
             if "seq" in docs.columns
-            else F.lit(0)
+            else F.lit(_LONG_MAX)
         ).cast("long").alias("seq"),
         F.coalesce(F.col("action"), F.lit("add")).alias("action"),
         F.element_at("spans", 1)["text"].alias("text"),

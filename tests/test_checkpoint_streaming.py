@@ -49,6 +49,24 @@ def test_checkpoint_resume(spark, tmp_path):
     assert m[1] == result.agg(F.sum("nwords")).collect()[0][0]
 
 
+def test_resume_with_different_bucket_count_croaks(spark, tmp_path):
+    """bucket = pmod(hash(doc_id), B): a resume under a different B
+    re-hashes every doc into a different bucket, so the manifest's
+    done-set silently skips/doubles docs. The manifest records B and
+    run_extraction refuses a mismatched resume."""
+    out = str(tmp_path / "xbc")
+    docs = _docs(spark).limit(6)
+    cp.run_extraction(
+        spark, docs, out, num_buckets=8, buckets_per_pass=3, max_passes=1
+    )
+    with pytest.raises(ValueError, match="num_buckets"):
+        cp.run_extraction(spark, docs, out, num_buckets=16)
+    # the matching count still resumes fine
+    r = cp.run_extraction(spark, docs, out, num_buckets=8)
+    assert cp.read_extracted(spark, out).count() == 6
+    assert len(r["skipped"]) == 3
+
+
 def test_rerun_bucket_is_idempotent(spark, tmp_path):
     out = str(tmp_path / "x2")
     docs = _docs(spark).limit(6)

@@ -627,6 +627,46 @@ def test_upsert_equal_mtime_resolves_by_seq_not_iteration_order():
     assert out2["action"].iloc[0] == "add" and out2["alive"].iloc[0]
 
 
+def test_upsert_null_seq_sorts_after_real_seq_like_batch_twin():
+    """A null-seq row at equal mtime must BEAT a seq-carrying row, in
+    both engines: the batch twin (pipeline.reconcile_actions) coalesces
+    null seq to Long.MAX in its max_by key; the streaming kernel must
+    use the identical sentinel or the same replay resolves differently
+    across the two paths (this was a live divergence — streaming
+    coalesced null seq to 0, sorting it BEFORE every genuine seq)."""
+    import pandas as pd
+
+    from libswish3_spark.streaming.upsert import _upsert
+
+    class FakeState:
+        exists = False
+        hasTimedOut = False
+
+        def __init__(self):
+            self.stored = None
+
+        @property
+        def get(self):
+            return self.stored
+
+        def update(self, v):
+            self.stored = v
+
+    # delete carries NO seq (e.g. a non-framed feed), add carries seq=7:
+    # null-seq sorts last → the delete is the latest action
+    pdf = pd.DataFrame(
+        {
+            "mtime": [100, 100],
+            "seq": [None, 7],
+            "action": ["delete", "add"],
+            "text": [None, "body"],
+        }
+    )
+    state = FakeState()
+    (out,) = list(_upsert(("d1",), [pdf], state))
+    assert out["action"].iloc[0] == "delete" and not out["alive"].iloc[0]
+
+
 def test_sessionize_sorts_across_pandas_chunks():
     """Arrow splits a big group into multiple pandas chunks in no
     particular order: events must be sorted ACROSS chunks before the
