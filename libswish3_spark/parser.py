@@ -580,13 +580,33 @@ def parse_to_state(
                 except (ValueError, IndexError):
                     pass
             scanner = html_events if state.is_html else xml_events
+            # libxml2 never delivers characters OUTSIDE the root element
+            # (before it, after its close, or trailing a recovered bogus
+            # close at depth 0) — e.g. the newline between <?xml?> and
+            # <root> is not a SAX characters() event, so it must not
+            # seed the buffer with a pre-root bump (verified against a
+            # compiled reference binary: '<?xml?>\n<doc>hello' tokenizes
+            # hello at pos 1, not 2). Whole-doc XML parses track element
+            # depth across spans; XMLSEG segments other than the first
+            # sit at global depth > 0, so no filtering there.
+            xml_depth: list[int] | None = None
+            if not state.is_html:
+                xml_depth = [0]
+                if parser == "XMLSEG" and "\x02" in doc_id:
+                    try:
+                        if int(doc_id.rsplit("\x02", 3)[1]):
+                            xml_depth = None  # mid-doc segment
+                    except (ValueError, IndexError):
+                        pass
             for sp in spans:
                 kind, text, ref = _span_fields(sp)
                 if kind == "media":
                     state.bump_word = True
                     state.add_media(ref)
                 else:
-                    _consume_markup(state, scanner, text, include_resolver)
+                    _consume_markup(
+                        state, scanner, text, include_resolver, xml_depth
+                    )
             state.end_document()
             if parser in ("HTMLSEG", "XMLSEG"):
                 # end position rides a reserved metaname so the fixed
@@ -605,7 +625,13 @@ _XINCLUDE_NS_URIS = frozenset(
 )
 
 
-def _consume_markup(state: DocState, scanner, text: str, include_resolver) -> None:
+def _consume_markup(
+    state: DocState,
+    scanner,
+    text: str,
+    include_resolver,
+    xml_depth: list[int] | None = None,
+) -> None:
     """Event loop with XInclude expansion (reference: parser.c:919-951).
 
     An ``<xi:include href=...>`` element whose prefix is bound to either
@@ -614,14 +640,38 @@ def _consume_markup(state: DocState, scanner, text: str, include_resolver) -> No
     document as a *fresh* child document (``parse="text"`` forces the
     TXT parser), then merge child tokens/metanames/properties into the
     parent with renumbered positions (parser.c:963-988).
+
+    ``xml_depth`` (whole-doc XML parses): a 1-element element-depth
+    counter shared across a doc's spans; text events at depth 0 are
+    dropped — libxml2 fires no characters() callback outside the root
+    element, so pre-root/post-root whitespace must not touch the buffer.
+    The same gate drops MISMATCHED end tags: libxml2's recovering XML
+    parser emits only an "Opening and ending tag mismatch" warning and
+    NO endElement callback for a close that does not match the open
+    element (verified with a compiled reference binary on badxml.xml —
+    its SAX trace shows three open_tag calls and zero close_tag calls
+    around the mismatches), so a bogus close must not bake a bump.
+    Segmented XML parses keep the permissive behavior: a segment
+    legitimately closes elements opened in earlier segments.
     """
     follow = state.config.follow_xinclude and include_resolver is not None
     ns_bindings: dict[str, str] = {}
+    open_stack: list[str] | None = [] if xml_depth is not None else None
     for ev in scanner(text):
         k = ev[0]
         if k == "text":
+            if xml_depth is not None and xml_depth[0] == 0:
+                continue
             state.buffer_characters(ev[1])
         elif k == "start":
+            if xml_depth is not None:
+                xml_depth[0] += 1
+            if open_stack is not None:
+                # qname as written (prefix restored) — libxml2 matches
+                # end tags against the full name
+                open_stack.append(
+                    (ev[3] + ":" + ev[1]) if ev[3] else ev[1]
+                )
             if follow:
                 for ak, av in ev[2] or ():
                     if ak.startswith("xmlns:"):
@@ -634,6 +684,23 @@ def _consume_markup(state: DocState, scanner, text: str, include_resolver) -> No
                     _process_xinclude(state, ev[2] or [], include_resolver)
             state.open_tag(ev[1], ev[2], ev[3])
         elif k == "end":
+            if open_stack is not None:
+                qname = (ev[2] + ":" + ev[1]) if ev[2] else ev[1]
+                if not open_stack or open_stack[-1] != qname:
+                    # mismatched close: libxml2 recovery warns, pops its
+                    # top element SILENTLY (no endElement callback) and
+                    # continues — so no bake, no bump here (badxml.xml:
+                    # ref trace shows zero close callbacks around the
+                    # mismatches, and the next matching close then pairs
+                    # against the resynchronized stack)
+                    if open_stack:
+                        open_stack.pop()
+                        if xml_depth is not None and xml_depth[0] > 0:
+                            xml_depth[0] -= 1
+                    continue
+                open_stack.pop()
+            if xml_depth is not None and xml_depth[0] > 0:
+                xml_depth[0] -= 1
             state.close_tag(ev[1], ev[2])
         elif k == "comment":
             state.comment(ev[1])

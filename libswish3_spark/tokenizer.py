@@ -31,6 +31,16 @@ from libswish3_spark.config import MAX_WORD_LEN, MIN_WORD_LEN, TOKENPOS_BUMPER
 _BUMPER = TOKENPOS_BUMPER
 _EDGE_STRIP = "'_"
 
+# towlower parity (tokenizer.c:624-625 lowercases per character via
+# towlower): Python's str.lower() is context-sensitive where towlower
+# cannot be — final-position Σ lowers to ς (towlower: always σ) and İ
+# expands to i+U+0307 (towlower: plain i). Pre-mapping these two BEFORE
+# .lower() makes the whole pipeline match per-char towlower exactly
+# (verified against a compiled reference binary: towlower(U+03A3)=σ,
+# towlower(U+0130)=i); an original ς in the text correctly stays ς in
+# both engines. Applied only on the non-ASCII path — zero hot-path cost.
+_TOWLOWER_FIX = str.maketrans({0x3A3: "σ", 0x130: "i"})
+
 
 def _split_maxlen_ascii(run: str, maxlen: int) -> list[str]:
     # reference: tokenizer.c:872-905 — append char, force end at >= maxlen
@@ -67,12 +77,13 @@ def _split_maxlen_utf8(run: str, maxlen: int) -> list[str]:
 
 def split_tokens(segment: str) -> list[str]:
     """Tokenize one bumper-free text segment. Returns final token values."""
-    low = segment.lower()
-    is_ascii = low.isascii()
+    is_ascii = segment.isascii()
     if is_ascii:
+        low = segment.lower()
         runs = ASCII_WORD_RUN.findall(low)
         splitter = _split_maxlen_ascii
     else:
+        low = segment.translate(_TOWLOWER_FIX).lower()
         runs = word_run_re().findall(low)
         splitter = _split_maxlen_utf8
     if not runs:
