@@ -133,6 +133,19 @@ _RAWTEXT_CLOSE = {
     t: re.compile(rf"</{t}[\s>]", re.IGNORECASE) for t in RAWTEXT_TAGS
 }
 
+# libxml2's HTML parser IMPLIES <body> before any flow content that
+# appears without one (htmlParser's implied-element handling): tags in
+# this set may appear before/without body, anything else — or a
+# non-whitespace text node — auto-opens body first. This matters
+# because the default config aliases body → swishdescription
+# (config.c:369-371): '<html><p>some text' must land in the
+# swishdescription property exactly like the reference (verified
+# live: the compiled binary buckets html_broken.html's text there).
+_PRE_BODY_TAGS = frozenset(
+    ("html", "head", "title", "meta", "link", "base", "basefont",
+     "script", "style", "isindex")
+)
+
 
 def html_events(text: str):
     """Lenient HTML event stream (libxml2 htmlParser equivalents).
@@ -145,6 +158,13 @@ def html_events(text: str):
     last = 0
     n = len(text)
     rawtext_until: str | None = None
+    body_seen = False
+
+    def _imply_body():
+        # libxml2: flow content without a <body> opens one implicitly
+        stack.append("body")
+        return ("start", "body", [], None, False)
+
     for m in MARKUP_RE.finditer(text):
         if m.start() < last:
             continue  # inside already-consumed rawtext
@@ -158,7 +178,15 @@ def html_events(text: str):
             if m.start() < last:
                 continue
         if m.start() > last:
-            yield ("text", html_unescape(text[last : m.start()]))
+            chunk = html_unescape(text[last : m.start()])
+            if (
+                not body_seen
+                and chunk.strip()
+                and (not stack or stack == ["html"])
+            ):
+                body_seen = True
+                yield _imply_body()
+            yield ("text", chunk)
         last = m.end()
         if m.group("comment") is not None:
             yield ("comment", m.group("comment"))
@@ -179,6 +207,11 @@ def html_events(text: str):
                         break
             # bogus end tag: dropped (libxml2 html behavior)
             continue
+        if name == "body":
+            body_seen = True
+        elif not body_seen and name not in _PRE_BODY_TAGS:
+            body_seen = True
+            yield _imply_body()
         # implied end tags
         closers = AUTO_CLOSE.get(name)
         if closers:

@@ -172,6 +172,72 @@ def test_latin1_txt_reference_drops_ours_indexes():
     assert len(ot) > 0  # ours: transcode + index
 
 
+_BUF_MARK = re.compile(rb"print_buffer: len=(\d+) (MetaName|Property):<([^>]+)>")
+
+
+def _ref_buffers(binary: str, path: str):
+    """Final MetaName/Property buffers from SWISH_DEBUG=64.
+
+    ``len=N`` counts BYTES: slice the raw stderr bytes, not decoded
+    chars, or every non-ASCII buffer bleeds into the next dump line."""
+    env = dict(_ENV, SWISH_DEBUG="64")
+    r = subprocess.run(
+        [binary, "--tokenize", "0", "--xinclude", "0", path],
+        capture_output=True,
+        env=env,
+    )
+    metas, props = {}, {}
+    for m in _BUF_MARK.finditer(r.stderr):
+        n = int(m.group(1))
+        name = m.group(3).decode()
+        val = r.stderr[m.end() : m.end() + n].decode("utf-8", "replace")
+        (metas if m.group(2) == b"MetaName" else props)[name] = val
+    return metas, props
+
+
+def _our_buffers(path: str, parser: str):
+    from libswish3_spark.config import default_config
+    from libswish3_spark.parser import parse_to_state
+    from libswish3_spark.sources.files import _scrub_nuls
+
+    data = _scrub_nuls(open(path, "rb").read())
+    try:
+        text = data.decode("utf-8")
+    except UnicodeDecodeError:
+        text = data.decode("latin-1")
+    st = parse_to_state(path, [("text", text, "")], parser, default_config())
+    return dict(st.metanames), dict(st.properties)
+
+
+def test_metaname_and_property_buffers_match_compiled_reference():
+    """SWISH_DEBUG=64 dumps every final named buffer with its byte
+    length — comparing maps end-to-end covers metaname bucketing, the
+    body→swishdescription default alias (incl. libxml2's IMPLIED
+    <body> around bare flow content), property cleanwsp, and the NUL
+    scrub (reference pre-registers empty buffers; empty == absent)."""
+    binary = _binary()
+    norm = lambda d: {k: v for k, v in d.items() if v}
+    failures = []
+    checked = 0
+    for p in sorted(glob.glob(os.path.join(TEST_DOCS, "*"))):
+        name = os.path.basename(p)
+        ext = p.rsplit(".", 1)[-1].lower() if "." in p else ""
+        parser = _PARSER_BY_EXT.get(ext)
+        if parser is None or name in _KNOWN_DIVERGENT:
+            continue
+        rm, rp = map(norm, _ref_buffers(binary, p))
+        om, op = map(norm, _our_buffers(p, parser))
+        if rm != om:
+            failures.append(f"{name} META: ref={rm} ours={om}")
+        if rp != op:
+            failures.append(f"{name} PROP: ref={rp} ours={op}")
+        checked += 1
+    assert checked >= 30
+    assert not failures, "buffer divergence vs live reference:\n" + "\n".join(
+        failures[:10]
+    )
+
+
 def test_bench_shaped_html_docs_match_exactly(tmp_path):
     """A deterministic sample of sf documents in the bench HTML wrap —
     the corpus shape the throughput numbers are measured on."""
