@@ -734,33 +734,39 @@ def _process_xinclude(state: DocState, attrs, include_resolver) -> None:
         child_parser = "TXT"  # parser.c:1056-1059
     active.add(state.uri)
     try:
-        child = parse_document(
+        child = parse_to_state(
             child_uri,
             [{"kind": "text", "text": child_text, "media_ref": "", "offset": 0}],
-            parser=child_parser,
-            config=state.config,
+            child_parser,
+            state.config,
             include_resolver=include_resolver,
+            keep_token_meta=state.keep_token_meta,
         )
     finally:
         active.discard(state.uri)
+    if child.error:
+        return  # failed child parse: skipped like a missing file
     # merge (xinclude_handler, parser.c:963-988): child tokens appended
-    # with fresh parent positions; nwords summed; named buffers concat'd
-    for sp in child["spans"]:
-        if sp["kind"] == "word":
+    # with fresh parent positions; nwords summed; named buffers concat'd.
+    # Each child token KEEPS its own metaname/context — the reference
+    # merge copies the token's shared MetaName pointer, so a TXT child's
+    # title-from-path tokens stay under swishtitle in the parent's
+    # postings (verified live: SWISH_DEBUG=4 over xinclude.xml).
+    mi = 0
+    for sp in child.spans:
+        if sp[0] == "word":
             state.pos += 1
             state.nwords += 1
-            state.spans.append(("word", sp["text"], "", state.pos))
+            state.spans.append(("word", sp[1], "", state.pos))
             if state.keep_token_meta:
-                # child meta detail is collapsed on merge (the reference
-                # carries it via shared MetaName pointers; postings for
-                # merged includes land under the default metaname)
-                state.token_meta.append((DEFAULT_METANAME, DEFAULT_METANAME))
+                state.token_meta.append(child.token_meta[mi])
+                mi += 1
         else:
-            state.spans.append(("media", "", sp["media_ref"], state.pos + 1))
-    for name, val in child["metanames"].items():
+            state.spans.append(("media", "", sp[2], state.pos + 1))
+    for name, val in child.metanames.items():
         if state.meta_defined(name):
             state._nb_add(state.metanames, name, val, cleanwsp=False)
-    for name, val in child["properties"].items():
+    for name, val in child.properties.items():
         if state.prop_defined(name):
             state._nb_add(state.properties, name, val, cleanwsp=False)
 

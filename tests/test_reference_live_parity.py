@@ -163,6 +163,84 @@ def test_utf8_demo_known_single_divergence_is_the_reference_strip_bug():
         assert ref_tok[5][1 : 1 + len(our_tok[5])] == our_tok[5]
 
 
+def test_xinclude_expansion_token_stream_matches_compiled_reference():
+    """XInclude ENABLED (--xinclude 1) over the reference's own
+    xinclude.xml — the one parser feature the corpus-wide token test
+    bypasses. Exercises in one equality: nested expansion
+    (include-recursive.xml → included.xml), parse="text" forcing the
+    TXT parser (whose title-from-path tokens must stay under
+    swishtitle THROUGH the merge — the reference copies each child
+    token's MetaName pointer, parser.c:963-988), missing-href skip
+    (/tmp/nosuchfile.xml), and contiguous position/offset renumbering
+    across merge points."""
+    import pyarrow as pa
+
+    from libswish3_spark.config import default_config
+    from libswish3_spark.operators.postings import postings_batch_fn
+
+    binary = _binary()
+    path = os.path.join(TEST_DOCS, "xinclude.xml")
+    r = subprocess.run(
+        [binary, "--tokenize", "1", "--xinclude", "1", path],
+        capture_output=True,
+        env=_ENV,
+    )
+    err = r.stderr.decode("utf-8", errors="replace")
+    part = err.split("swish_token_list_debug:", 1)
+    part = part[1] if len(part) > 1 else part[0]
+    ref = [
+        (int(p), c, m, int(o), int(ln), v)
+        for p, c, m, o, ln, v in (x.groups() for x in _BLOCK.finditer(part))
+    ]
+    assert len(ref) == 50  # 001-wordcount.t:62 with $txt_file_words folded in
+
+    def rd(name):
+        return open(os.path.join(TEST_DOCS, name), "rb").read().decode("utf-8")
+
+    include_map = {
+        os.path.join(TEST_DOCS, n): (rd(n), p)
+        for n, p in [
+            ("included.xml", "XML"),
+            ("include-recursive.xml", "XML"),
+            ("foo.txt", "TXT"),
+        ]
+        # /tmp/nosuchfile.xml deliberately absent: resolver returns None
+    }
+    span_type = pa.struct(
+        [
+            ("kind", pa.string()),
+            ("text", pa.string()),
+            ("media_ref", pa.string()),
+            ("offset", pa.int32()),
+        ]
+    )
+    batch = pa.RecordBatch.from_arrays(
+        [
+            pa.array([path]),
+            pa.array(
+                [[{"kind": "text", "text": rd("xinclude.xml"), "media_ref": "", "offset": 0}]],
+                pa.list_(span_type),
+            ),
+            pa.array(["XML"]),
+        ],
+        names=["doc_id", "spans", "parser"],
+    )
+    out = pa.Table.from_batches(
+        list(postings_batch_fn(default_config(), include_map)([batch]))
+    )
+    ours = list(
+        zip(
+            out["pos"].to_pylist(),
+            out["context"].to_pylist(),
+            out["metaname"].to_pylist(),
+            out["offset"].to_pylist(),
+            out["len"].to_pylist(),
+            out["term"].to_pylist(),
+        )
+    )
+    assert ours == ref
+
+
 def test_latin1_txt_reference_drops_ours_indexes():
     binary = _binary()
     p = os.path.join(TEST_DOCS, "latin1.txt")
