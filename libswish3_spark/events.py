@@ -109,21 +109,24 @@ def xml_events(text: str):
         if m.start() > pos:
             yield ("text", xml_unescape(text[pos : m.start()]))
         pos = m.end()
-        if m.group("comment") is not None:
-            yield ("comment", m.group("comment"))
-        elif m.group("cdata") is not None:
-            yield ("text", m.group("cdata"))
-        elif m.group("decl") is not None or m.group("pi") is not None:
+        # one C-level call for all groups beats 4-8 named lookups
+        comment, cdata, decl, pi, close, name, rawattrs, selfclose = m.group(
+            "comment", "cdata", "decl", "pi", "close", "name", "attrs", "selfclose"
+        )
+        if comment is not None:
+            yield ("comment", comment)
+        elif cdata is not None:
+            yield ("text", cdata)
+        elif decl is not None or pi is not None:
             continue
         else:
-            name = m.group("name")
             prefix, local = _split_prefix(name)
-            if m.group("close"):
+            if close:
                 yield ("end", local, prefix)
             else:
-                attrs = _parse_attrs(m.group("attrs") or "", xml_unescape)
-                yield ("start", local, attrs, prefix, bool(m.group("selfclose")))
-                if m.group("selfclose"):
+                attrs = _parse_attrs(rawattrs or "", xml_unescape)
+                yield ("start", local, attrs, prefix, bool(selfclose))
+                if selfclose:
                     yield ("end", local, prefix)
     if pos < len(text):
         yield ("text", xml_unescape(text[pos:]))
@@ -188,16 +191,19 @@ def html_events(text: str):
                 yield _imply_body()
             yield ("text", chunk)
         last = m.end()
-        if m.group("comment") is not None:
-            yield ("comment", m.group("comment"))
+        comment, cdata, decl, pi, close, name, rawattrs, selfclose = m.group(
+            "comment", "cdata", "decl", "pi", "close", "name", "attrs", "selfclose"
+        )
+        if comment is not None:
+            yield ("comment", comment)
             continue
-        if m.group("cdata") is not None:
-            yield ("text", m.group("cdata"))
+        if cdata is not None:
+            yield ("text", cdata)
             continue
-        if m.group("decl") is not None or m.group("pi") is not None:
+        if decl is not None or pi is not None:
             continue
-        name = m.group("name").lower()
-        if m.group("close"):
+        name = name.lower()
+        if close:
             if name in stack:
                 # pop everything above, then the element itself
                 while stack:
@@ -221,12 +227,16 @@ def html_events(text: str):
         # case): without this, <META NAME=... CONTENT=...> never hits
         # bake_tag's case-sensitive k == "name" meta path and the
         # content silently vanishes from the index
-        attrs = [
-            (k.lower(), v)
-            for k, v in _parse_attrs(m.group("attrs") or "", html_unescape)
-        ]
-        yield ("start", name, attrs, None, name in VOID_TAGS)
-        if name in VOID_TAGS or m.group("selfclose"):
+        if rawattrs:
+            attrs = [
+                (k.lower(), v)
+                for k, v in _parse_attrs(rawattrs, html_unescape)
+            ]
+        else:
+            attrs = []
+        void = name in VOID_TAGS
+        yield ("start", name, attrs, None, void)
+        if void or selfclose:
             yield ("end", name, None)
         else:
             stack.append(name)

@@ -105,6 +105,9 @@ class DocState:
         self.keep_token_meta = False
         # T10: pluggable tokenizer resolved once per doc state
         self.split_tokens = resolve_tokenizer(config)
+        # bake_tag fast path: dotted-DOM-path alias keys are rare; when
+        # none exist the per-tag domstack join can never match
+        self._dom_aliases = any("." in k for k in config.tag_aliases)
         self.token_meta: list[tuple[str, str]] = []
         self.pos = 0
         self.nwords = 0
@@ -203,6 +206,11 @@ class DocState:
 
     # -- flush (reference: parser.c:756-808) ---------------------------------
     def flush_buffer(self, metaname: str, context: str) -> None:
+        if not self.meta_pieces:
+            # empty buffer: _nb_add would no-op on "" and tokenize has
+            # nothing to walk — skip the lookups (hot on meta-tag opens)
+            self.meta_len = 0
+            return
         meta = self.meta_def(metaname)
         stored = meta.alias_for if (meta and meta.alias_for) else metaname
         buf_text = "".join(v for k, v in self.meta_pieces if k == "t")
@@ -264,7 +272,10 @@ class DocState:
     # -- tag stacks (reference: parser.c:2939-3031) ---------------------------
     @staticmethod
     def _push(stack: list[_Tag], raw: str, baked: str, joiner: str) -> None:
-        ctx = joiner.join([t.baked for t in stack] + [baked])
+        # context = joiner-join of every baked name on the stack; each
+        # stack uses one fixed joiner, so extend the top's context
+        # incrementally instead of re-joining the whole stack per push
+        ctx = (stack[-1].context + joiner + baked) if stack else baked
         stack.append(_Tag(raw, baked, ctx))
 
     @staticmethod
@@ -340,7 +351,9 @@ class DocState:
         alias = cfg.tag_aliases.get(t)
         if alias:
             t = alias
-        else:
+        elif self._dom_aliases:
+            # only built when some alias key IS a dotted DOM path —
+            # otherwise the join can never hit and is pure overhead
             domtag = ".".join([d.baked for d in self.domstack] + [t])
             alias = cfg.tag_aliases.get(domtag)
             if alias:

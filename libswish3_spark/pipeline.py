@@ -216,19 +216,21 @@ def extract_batch_fn(config: SwishConfig, include_map: dict | None = None):
                         except (ValueError, IndexError):
                             off = 0
                     sp = st.spans
-                    s_kind.extend([x[0] for x in sp])
-                    s_text.extend([x[1] for x in sp])
-                    s_ref.extend([x[2] for x in sp])
-                    if off:
-                        s_ord.extend([x[3] + off for x in sp])
-                    else:
-                        s_ord.extend([x[3] for x in sp])
-                    for k, v in st.metanames.items():
-                        m_keys.append(k)
-                        m_vals.append(v)
-                    for k, v in st.properties.items():
-                        p_keys.append(k)
-                        p_vals.append(v)
+                    if sp:
+                        # one C-level transpose instead of 4 python
+                        # comprehensions over the same tuple list
+                        k_, t_, r_, o_ = zip(*sp)
+                        s_kind.extend(k_)
+                        s_text.extend(t_)
+                        s_ref.extend(r_)
+                        if off:
+                            s_ord.extend([x + off for x in o_])
+                        else:
+                            s_ord.extend(o_)
+                    m_keys.extend(st.metanames.keys())
+                    m_vals.extend(st.metanames.values())
+                    p_keys.extend(st.properties.keys())
+                    p_vals.extend(st.properties.values())
                     nwords.append(st.nwords)
                     out_parser.append(parser)
                     out_error.append(st.error)
