@@ -541,6 +541,11 @@ def _html_segments(
     """One HTML document → [(tail-encoded id, segment text)].
     Continuation segments re-open the elements still open at the cut so
     stacks (and DOM paths) match the single pass."""
+    if len(text) <= seg_chars:
+        # a cut requires m.start() - seg_start >= seg_chars, so a text
+        # this short can't produce one — skip the O(tags) scan and
+        # return exactly the no-cut result (single SEG, idx 0, nseg 1)
+        return [(f"{doc_id}{_SEG_SEP}0{_SEG_SEP}0{_SEG_SEP}1", text)]
     cuts, seeds, chains = _html_cut_scan(text, seg_chars, flush_tags)
     bounds = [0] + cuts + [len(text)]
     nseg = len(bounds) - 1
@@ -923,6 +928,10 @@ def _xml_segments(
     Continuation segments replay the root open tag verbatim so
     prefixes/attrs bake identically; a malformed doc yields one
     segment (the cut scan bails)."""
+    if len(text) <= seg_chars:
+        # no cut possible below seg_chars (see _html_segments) — same
+        # single-SEG result the scan would return, without the scan
+        return [(f"{doc_id}{_SEG_SEP}0{_SEG_SEP}0{_SEG_SEP}1", text)]
     cuts, seeds, root_raw = _xml_cut_scan(
         text, seg_chars, flush_tags, reset_exempt
     )
