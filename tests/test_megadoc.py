@@ -1,5 +1,8 @@
 """Mega-document segmentation: segmented == unsegmented, exactly."""
 
+import os
+import subprocess
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -748,3 +751,62 @@ def test_postings_positions_match_extract_for_txtseg(spark):
     # exact global sequence with no duplicates
     assert len(set(positions)) == len(positions)
     assert positions == expected[: len(positions)]
+
+
+def test_segmented_mega_doc_matches_compiled_reference_live(spark, tmp_path):
+    """The strongest mega-doc proof available: a ~90 KB HTML document is
+    parsed WHOLE by the compiled reference binary (SWISH_DEBUG=4 token
+    dump) and SEGMENTED by our router at seg_chars=4096 (~22 segments,
+    cut scan + continuation chains + window prefix-sum + reassembly) —
+    the reassembled (value, position) word sequence must match the
+    single-pass C engine token-for-token. Covers exactly the skewed
+    mega-document path the north rule calls out, against the reference
+    itself rather than our own single pass."""
+    from test_reference_live_parity import _BLOCK, _ENV, _binary
+
+    import pyarrow.parquet as pq
+
+    from libswish3_spark.operators.megadoc import (
+        extract_html_segmented,
+        segment_html_docs,
+    )
+
+    binary = _binary()
+    sf_docs = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    pfile = os.path.join(sf_docs, "documents.parquet")
+    if not os.path.exists(pfile):
+        pytest.skip("sf documents table not present")
+    texts = pq.read_table(pfile, columns=["text"])["text"].to_pylist()[:300]
+    body = "\n".join(f"<p>{t}</p>" for t in texts)
+    html = (
+        "<html><head><title>mega parity doc</title></head>"
+        f"<body>\n{body}\n</body></html>"
+    )
+    path = str(tmp_path / "mega.html")
+    with open(path, "w") as f:
+        f.write(html)
+
+    r = subprocess.run(
+        [binary, "--tokenize", "1", "--xinclude", "0", path],
+        capture_output=True,
+        env=_ENV,
+    )
+    err = r.stderr.decode("utf-8", errors="replace")
+    part = err.split("swish_token_list_debug:", 1)
+    part = part[1] if len(part) > 1 else part[0]
+    ref = [
+        (v, int(p))
+        for p, c, m, o, ln, v in (x.groups() for x in _BLOCK.finditer(part))
+    ]
+    assert len(ref) > 10000  # the dump really is the mega doc
+
+    docs = spark.createDataFrame(
+        [{"doc_id": path,
+          "spans": [{"kind": "text", "text": html, "media_ref": "", "offset": 0}]}],
+        schema=DOCS_SCHEMA,
+    )
+    assert segment_html_docs(docs, seg_chars=4096).count() > 10
+    row = extract_html_segmented(docs, seg_chars=4096).collect()[0]
+    ours = [(s["text"], s["order"]) for s in row["spans"] if s["kind"] == "word"]
+    assert len(ours) == len(ref)
+    assert ours == ref
