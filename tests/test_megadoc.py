@@ -810,3 +810,54 @@ def test_segmented_mega_doc_matches_compiled_reference_live(spark, tmp_path):
     ours = [(s["text"], s["order"]) for s in row["spans"] if s["kind"] == "word"]
     assert len(ours) == len(ref)
     assert ours == ref
+
+
+def test_segmented_mega_xml_matches_compiled_reference_live(spark, tmp_path):
+    """XML twin of the HTML mega-doc live test: _xml_cut_scan +
+    root-replay continuations + reassembly vs the reference parsing the
+    same ~95 KB feed whole — (value, position) equality over all
+    tokens."""
+    from test_reference_live_parity import _BLOCK, _ENV, _binary
+
+    import pyarrow.parquet as pq
+
+    from libswish3_spark.operators.megadoc import (
+        extract_xml_segmented,
+        segment_xml_docs,
+    )
+
+    binary = _binary()
+    sf_docs = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    pfile = os.path.join(sf_docs, "documents.parquet")
+    if not os.path.exists(pfile):
+        pytest.skip("sf documents table not present")
+    texts = pq.read_table(pfile, columns=["text"])["text"].to_pylist()[:300]
+    body = "\n".join(f"<item>{t}</item>" for t in texts)
+    xml = f'<?xml version="1.0"?>\n<feed>\n{body}\n</feed>'
+    path = str(tmp_path / "mega.xml")
+    with open(path, "w") as f:
+        f.write(xml)
+
+    r = subprocess.run(
+        [binary, "--tokenize", "1", "--xinclude", "0", path],
+        capture_output=True,
+        env=_ENV,
+    )
+    err = r.stderr.decode("utf-8", errors="replace")
+    part = err.split("swish_token_list_debug:", 1)
+    part = part[1] if len(part) > 1 else part[0]
+    ref = [
+        (v, int(p))
+        for p, c, m, o, ln, v in (x.groups() for x in _BLOCK.finditer(part))
+    ]
+    assert len(ref) > 10000
+
+    docs = spark.createDataFrame(
+        [{"doc_id": path,
+          "spans": [{"kind": "text", "text": xml, "media_ref": "", "offset": 0}]}],
+        schema=DOCS_SCHEMA,
+    )
+    assert segment_xml_docs(docs, seg_chars=4096).count() > 10
+    row = extract_xml_segmented(docs, seg_chars=4096).collect()[0]
+    ours = [(s["text"], s["order"]) for s in row["spans"] if s["kind"] == "word"]
+    assert ours == ref
