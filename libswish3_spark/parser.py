@@ -466,16 +466,21 @@ class DocState:
         self.flush_buffer(DEFAULT_METANAME, DEFAULT_METANAME)
 
     def consume(self, events) -> None:
+        # hot loop: bind the bound methods once, not per event
+        buffer_characters = self.buffer_characters
+        open_tag = self.open_tag
+        close_tag = self.close_tag
+        comment = self.comment
         for ev in events:
             k = ev[0]
             if k == "text":
-                self.buffer_characters(ev[1])
+                buffer_characters(ev[1])
             elif k == "start":
-                self.open_tag(ev[1], ev[2], ev[3])
+                open_tag(ev[1], ev[2], ev[3])
             elif k == "end":
-                self.close_tag(ev[1], ev[2])
+                close_tag(ev[1], ev[2])
             elif k == "comment":
-                self.comment(ev[1])
+                comment(ev[1])
 
 
 def parse_document(
@@ -668,6 +673,11 @@ def _consume_markup(
     legitimately closes elements opened in earlier segments.
     """
     follow = state.config.follow_xinclude and include_resolver is not None
+    if not follow and xml_depth is None:
+        # HTML/segment path with no XInclude: plain dispatch, no
+        # depth/stack/namespace bookkeeping — take the tight loop
+        state.consume(scanner(text))
+        return
     ns_bindings: dict[str, str] = {}
     open_stack: list[str] | None = [] if xml_depth is not None else None
     for ev in scanner(text):
