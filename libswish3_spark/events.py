@@ -9,7 +9,8 @@ bulk, which is what makes this viable inside an Arrow batch without
 per-character Python.
 
 Event tuples:
-    ("start", name, attrs: list[(k, v)], prefix, selfclosing: bool)
+    ("start", name, attrs: list[(k, v)], prefix, selfclosing: bool
+            [, nsdecls: list[(prefix, uri)] — XML events only])
     ("end", name, prefix)
     ("text", s)
     ("comment", s)
@@ -124,8 +125,28 @@ def xml_events(text: str):
             if close:
                 yield ("end", local, prefix)
             else:
-                attrs = _parse_attrs(rawattrs or "", xml_unescape)
-                yield ("start", local, attrs, prefix, bool(selfclose))
+                # namespace declarations are NOT attributes: libxml2's
+                # SAX2 layer consumes xmlns/xmlns:* before the callbacks,
+                # so the reference's bake_tag attr loop (parser.c:599-607)
+                # never sees them — under UndefinedXMLAttributes
+                # auto/index/error they must not mint metanames or index
+                # their URI values. And the reference's SAX2→atts shim
+                # (mystartElementNs, parser.c:897-911) writes NULL into
+                # the NAME slot of any EMPTY-valued attribute, so every
+                # atts[i] != NULL consumer loop stops there: a tag's
+                # attributes are visible only up to (excluding) the
+                # first one with an empty value.
+                attrs = []
+                nsdecls = []
+                for k, v in _parse_attrs(rawattrs or "", xml_unescape):
+                    if k.startswith("xmlns"):
+                        if k.startswith("xmlns:"):
+                            nsdecls.append((k[6:], v))
+                        continue
+                    if v == "":
+                        break
+                    attrs.append((k, v))
+                yield ("start", local, attrs, prefix, bool(selfclose), nsdecls)
                 if selfclose:
                     yield ("end", local, prefix)
     if pos < len(text):

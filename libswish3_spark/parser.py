@@ -696,9 +696,12 @@ def _consume_markup(
                     (ev[3] + ":" + ev[1]) if ev[3] else ev[1]
                 )
             if follow:
-                for ak, av in ev[2] or ():
-                    if ak.startswith("xmlns:"):
-                        ns_bindings[ak[6:]] = av
+                # prefix→uri bindings ride the event's nsdecls slot
+                # (xml_events separates them from attrs, as libxml2's
+                # SAX2 layer does); html_events has no such slot
+                if len(ev) > 5:
+                    for p, u in ev[5]:
+                        ns_bindings[p] = u
                 if (
                     ev[1] == "include"
                     and ev[3]

@@ -58,9 +58,11 @@ def _binary():
         pytest.skip(f"cannot build reference binary: {e}")
 
 
-def _ref_tokens(binary: str, path: str):
+def _ref_tokens(binary: str, path: str, extra: tuple[str, ...] = ()):
     r = subprocess.run(
-        [binary, "--tokenize", "1", "--xinclude", "0", path],
+        # extra (e.g. --config) BEFORE --xinclude: swish_config_add
+        # resets flags to config defaults, silently re-enabling xinclude
+        [binary, "--tokenize", "1", *extra, "--xinclude", "0", path],
         capture_output=True,
         env=_ENV,
     )
@@ -76,7 +78,7 @@ def _ref_tokens(binary: str, path: str):
     ]
 
 
-def _our_tokens(path: str, parser: str):
+def _our_tokens(path: str, parser: str, config=None):
     import pyarrow as pa
 
     from libswish3_spark.config import default_config
@@ -106,7 +108,9 @@ def _our_tokens(path: str, parser: str):
         ],
         names=["doc_id", "spans", "parser"],
     )
-    out = pa.Table.from_batches(list(postings_batch_fn(default_config())([batch])))
+    out = pa.Table.from_batches(
+        list(postings_batch_fn(config or default_config())([batch]))
+    )
     return list(
         zip(
             out["pos"].to_pylist(),
@@ -253,14 +257,14 @@ def test_latin1_txt_reference_drops_ours_indexes():
 _BUF_MARK = re.compile(rb"print_buffer: len=(\d+) (MetaName|Property):<([^>]+)>")
 
 
-def _ref_buffers(binary: str, path: str):
+def _ref_buffers(binary: str, path: str, extra: tuple[str, ...] = ()):
     """Final MetaName/Property buffers from SWISH_DEBUG=64.
 
     ``len=N`` counts BYTES: slice the raw stderr bytes, not decoded
     chars, or every non-ASCII buffer bleeds into the next dump line."""
     env = dict(_ENV, SWISH_DEBUG="64")
     r = subprocess.run(
-        [binary, "--tokenize", "0", "--xinclude", "0", path],
+        [binary, "--tokenize", "0", *extra, "--xinclude", "0", path],
         capture_output=True,
         env=env,
     )
@@ -273,7 +277,7 @@ def _ref_buffers(binary: str, path: str):
     return metas, props
 
 
-def _our_buffers(path: str, parser: str):
+def _our_buffers(path: str, parser: str, config=None):
     from libswish3_spark.config import default_config
     from libswish3_spark.parser import parse_to_state
     from libswish3_spark.sources.files import _scrub_nuls
@@ -283,7 +287,7 @@ def _our_buffers(path: str, parser: str):
         text = data.decode("utf-8")
     except UnicodeDecodeError:
         text = data.decode("latin-1")
-    st = parse_to_state(path, [("text", text, "")], parser, default_config())
+    st = parse_to_state(path, [("text", text, "")], parser, config or default_config())
     return dict(st.metanames), dict(st.properties)
 
 
