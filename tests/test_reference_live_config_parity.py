@@ -112,7 +112,11 @@ def _compare(binary, path, parser, cfg, extra):
 
 def _sweep(conf_name: str, allowed_crashers=frozenset()):
     binary = _binary()
-    conf = os.path.join(TEST_CONFIGS, conf_name)
+    conf = (
+        conf_name
+        if os.path.isabs(conf_name)
+        else os.path.join(TEST_CONFIGS, conf_name)
+    )
     cfg = _load_conf(conf)
     extra = ("--config", conf)
     failures, crashed, checked = [], set(), 0
@@ -140,6 +144,18 @@ def test_undeftags_auto_corpus_parity():
     bucketing surface. The reference double-frees on three docs
     (_AUTO_CRASHERS); parity holds on the 34 it survives."""
     _sweep("undeftags-auto.conf", _AUTO_CRASHERS)
+
+
+def test_undeftags_autoall_corpus_parity(tmp_path):
+    """autoall: auto metanames AND auto properties for every undefined
+    tag/attr. No shipped .conf exists for it (header.c:241-262 parses
+    it), so synthesize one."""
+    conf = tmp_path / "undeftags-autoall.conf"
+    conf.write_text(
+        "<swish>\n <UndefinedMetaTags>autoall</UndefinedMetaTags>\n"
+        " <UndefinedXMLAttributes>autoall</UndefinedXMLAttributes>\n</swish>\n"
+    )
+    _sweep(str(conf), _AUTO_CRASHERS)
 
 
 def test_undeftags_index_corpus_parity():
