@@ -31,7 +31,12 @@ from __future__ import annotations
 import re
 from html import unescape as html_unescape
 
-from libswish3_spark.htmltags import AUTO_CLOSE, RAWTEXT_TAGS, VOID_TAGS
+from libswish3_spark.htmltags import (
+    AUTO_CLOSE,
+    END_PRIORITY as _END_PRIORITY,
+    RAWTEXT_TAGS,
+    VOID_TAGS,
+)
 
 MARKUP_RE = re.compile(
     r"""
@@ -104,11 +109,20 @@ def _split_prefix(name: str) -> tuple[str | None, str]:
 
 
 def xml_events(text: str):
-    """Literal SAX-like event stream for XML (recovering)."""
+    """Literal SAX-like event stream for XML (recovering).
+
+    Text events carry a third slot: the RAW slice for markup text
+    (same object as the unescaped string when it holds no entity, so
+    no extra allocation), or None for CDATA content. The parser's
+    wounded mode (post-TAG_NAME_MISMATCH, see parser._consume_markup)
+    needs both: libxml2 then delivers literal bytes with entity/charref
+    expansions REMOVED and drops CDATA blocks entirely.
+    """
     pos = 0
     for m in MARKUP_RE.finditer(text):
         if m.start() > pos:
-            yield ("text", xml_unescape(text[pos : m.start()]))
+            raw = text[pos : m.start()]
+            yield ("text", xml_unescape(raw), raw)
         pos = m.end()
         # one C-level call for all groups beats 4-8 named lookups
         comment, cdata, decl, pi, close, name, rawattrs, selfclose = m.group(
@@ -117,7 +131,7 @@ def xml_events(text: str):
         if comment is not None:
             yield ("comment", comment)
         elif cdata is not None:
-            yield ("text", cdata)
+            yield ("text", cdata, None)  # None raw: CDATA (see above)
         elif decl is not None or pi is not None:
             continue
         else:
@@ -150,7 +164,8 @@ def xml_events(text: str):
                 if selfclose:
                     yield ("end", local, prefix)
     if pos < len(text):
-        yield ("text", xml_unescape(text[pos:]))
+        raw = text[pos:]
+        yield ("text", xml_unescape(raw), raw)
 
 
 _RAWTEXT_CLOSE = {
@@ -203,14 +218,23 @@ def html_events(text: str):
                 continue
         if m.start() > last:
             chunk = html_unescape(text[last : m.start()])
-            if (
+            if not chunk.strip() and not stack and not body_seen:
+                # whitespace-only text before ANY element: libxml2
+                # classifies it ignorable (areBlanks: node NULL) and
+                # swish's ignorableWhitespace handler is NULL
+                # (parser.c:1472) — it never reaches the buffer.
+                # Blanks inside html/head ARE delivered (fixture t.html
+                # pins the resulting leading bumper gap).
+                chunk = None
+            elif (
                 not body_seen
                 and chunk.strip()
                 and (not stack or stack == ["html"])
             ):
                 body_seen = True
                 yield _imply_body()
-            yield ("text", chunk)
+            if chunk is not None:
+                yield ("text", chunk)
         last = m.end()
         comment, cdata, decl, pi, close, name, rawattrs, selfclose = m.group(
             "comment", "cdata", "decl", "pi", "close", "name", "attrs", "selfclose"
@@ -226,6 +250,22 @@ def html_events(text: str):
         name = name.lower()
         if close:
             if name in stack:
+                # libxml2 htmlAutoCloseOnClose: an end tag may pop the
+                # elements above its (topmost) match ONLY when none of
+                # them has a HIGHER end priority (htmlEndPriority:
+                # div 150 < td 160 < table 170 < head 180 < body 190 <
+                # html 200, default 100) — '</div>' cannot force a <td>
+                # closed, '</td>' cannot force a <table> closed; such
+                # an end tag is IGNORED entirely (probed matrix vs the
+                # compiled binary, tests/test_reference_live_parity)
+                if stack[-1] != name:
+                    idx = len(stack) - 1 - stack[::-1].index(name)
+                    pr = _END_PRIORITY.get(name, 100)
+                    if any(
+                        _END_PRIORITY.get(t, 100) > pr
+                        for t in stack[idx + 1 :]
+                    ):
+                        continue
                 # pop everything above, then the element itself
                 while stack:
                     top = stack.pop()
@@ -267,6 +307,17 @@ def html_events(text: str):
         if last < n:
             yield ("text", text[last:])
     elif last < n:
-        yield ("text", html_unescape(text[last:]))
+        chunk = html_unescape(text[last:])
+        # tail text in a markup-free (or post-</html>) document still
+        # opens the implied <body> — libxml2 wraps ANY bare flow
+        # content, so body's swishdescription alias must see it; a
+        # whitespace-only tail outside body is ignorable (see above)
+        if not chunk.strip() and not stack and not body_seen:
+            chunk = None
+        elif not body_seen and chunk.strip() and (not stack or stack == ["html"]):
+            body_seen = True
+            yield _imply_body()
+        if chunk is not None:
+            yield ("text", chunk)
     while stack:
         yield ("end", stack.pop(), None)

@@ -41,25 +41,63 @@ VOID_TAGS = frozenset(
 # Raw-text elements: content is character data, no tag parsing inside.
 RAWTEXT_TAGS = frozenset(("script", "style"))
 
+# libxml2 htmlEndPriority: an end tag cannot force-close an open
+# element of higher priority (default 100).
+END_PRIORITY = {
+    "div": 150,
+    "td": 160,
+    "table": 170,
+    "head": 180,
+    "body": 190,
+    "html": 200,
+}
+
 # Implied end tags: opening key closes any open element in its value set
-# (libxml2 htmlAutoClose / htmlCheckImplied equivalents, trimmed to the
-# rules that affect text bucketing).
-_P_CLOSERS = frozenset(
-    """
-    address blockquote center dir div dl fieldset form h1 h2 h3 h4 h5 h6
-    hr isindex menu noframes ol p pre table ul li dt dd
-    """.split()
-)
+# while it sits on top of the stack (libxml2 htmlCheckAutoClose pair
+# table). Extracted EMPIRICALLY from a compiled reference binary: every
+# (open A, then B) pair of known tags was traced with SWISH_DEBUG=8 and
+# B gets A in its set iff the binary fired close(A) before open(B)
+# (tests/test_reference_live_parity drives the same binary). The body/
+# frameset entries model htmlCheckImplied head-closure, which the pair
+# probe cannot see (head is auto-opened).
 AUTO_CLOSE: dict[str, frozenset] = {
-    **{t: frozenset(("p",)) for t in _P_CLOSERS},
-    "li": frozenset(("li", "p")),
-    "dt": frozenset(("dt", "dd", "p")),
-    "dd": frozenset(("dt", "dd", "p")),
-    "td": frozenset(("td", "th")),
-    "th": frozenset(("td", "th")),
-    "tr": frozenset(("tr", "td", "th")),
+    "a": frozenset(("a",)),
+    "address": frozenset(("p", "ul",)),
+    "blockquote": frozenset(("p",)),
+    "body": frozenset(("head", "style", "title",)),
+    "caption": frozenset(("p",)),
+    "center": frozenset(("b", "font", "i", "p",)),
+    "col": frozenset(("caption", "p",)),
+    "colgroup": frozenset(("caption", "colgroup", "p",)),
+    "dd": frozenset(("address", "dir", "dt", "menu", "p", "pre",)),
+    "dir": frozenset(("p",)),
+    "div": frozenset(("p",)),
+    "dl": frozenset(("address", "dir", "dt", "menu", "p", "pre",)),
+    "dt": frozenset(("address", "dd", "dir", "menu", "p", "pre",)),
+    "fieldset": frozenset(("a", "h1", "h2", "h3", "h4", "h5", "h6", "legend", "p", "pre",)),
+    "form": frozenset(("address", "dir", "dl", "form", "h1", "h2", "h3", "h4", "h5", "h6", "menu", "ol", "p", "pre", "ul",)),
+    "frameset": frozenset(("p", "title",)),
+    "h1": frozenset(("p",)),
+    "h2": frozenset(("p",)),
+    "h3": frozenset(("p",)),
+    "h4": frozenset(("p",)),
+    "h5": frozenset(("p",)),
+    "h6": frozenset(("p",)),
+    "hr": frozenset(("p",)),
+    "li": frozenset(("address", "dl", "h1", "h2", "h3", "h4", "h5", "h6", "li", "p", "pre",)),
+    "menu": frozenset(("p", "ul",)),
+    "ol": frozenset(("p", "ul",)),
+    "optgroup": frozenset(("option",)),
     "option": frozenset(("option",)),
-    "optgroup": frozenset(("option", "optgroup")),
-    "body": frozenset(("head", "title", "style")),
-    "frameset": frozenset(("head", "title")),
+    "p": frozenset(("b", "big", "h1", "h2", "h3", "h4", "h5", "h6", "i", "p", "s", "small", "strike", "tt", "u",)),
+    "pre": frozenset(("p", "ul",)),
+    "table": frozenset(("a", "h1", "h2", "h3", "h4", "h5", "h6", "p", "pre",)),
+    "tbody": frozenset(("caption", "colgroup", "p", "tbody", "td", "tfoot", "th", "thead", "tr",)),
+    "td": frozenset(("a", "b", "font", "i", "p", "span", "td", "th", "u",)),
+    "tfoot": frozenset(("caption", "colgroup", "p", "tbody", "td", "th", "thead", "tr",)),
+    "th": frozenset(("a", "b", "font", "i", "p", "span", "td", "th", "u",)),
+    "thead": frozenset(("caption", "colgroup",)),
+    "title": frozenset(("p",)),
+    "tr": frozenset(("caption", "colgroup", "p", "td", "th", "tr",)),
+    "ul": frozenset(("address", "dir", "menu", "ol", "p", "pre",)),
 }

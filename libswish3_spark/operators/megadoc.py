@@ -859,13 +859,19 @@ def _xml_cut_scan(
     # carries across segment boundaries until a real flush.
     text_seen = False
 
-    def note_text(s: str) -> None:
+    def note_text(s: str) -> bool:
+        # returns True when the doc must run UNSEGMENTED: non-whitespace
+        # text at element depth 0 — pre-root it fatals the whole doc
+        # (libxml2 "Start tag expected"), post-root it is never
+        # delivered; a final segment (no depth gate) would index it
         nonlocal text_seen
         if s and not ignore:
             text_seen = True
+        return bool(depth == 0 and s.strip())
 
     for m in MARKUP_RE.finditer(text):
-        note_text(text[last : m.start()])
+        if note_text(text[last : m.start()]):
+            return [], [], None
         last = m.end()
         if m.group("comment") is not None:
             t = m.group("comment").strip()
@@ -878,7 +884,8 @@ def _xml_cut_scan(
                 ignore -= 1
             continue
         if m.group("cdata") is not None:
-            note_text(m.group("cdata"))
+            if note_text(m.group("cdata")):
+                return [], [], None
             continue
         if m.group("decl") is not None or m.group("pi") is not None:
             continue
@@ -905,6 +912,11 @@ def _xml_cut_scan(
             seg_start = m.start()
         if name.lower() in flush_tags:
             text_seen = False  # open_tag flushes before pushing
+        if depth == 0 and root_raw is not None:
+            # second top-level element: libxml2 "Extra content at the
+            # end of the document" stops delivery at the root's close —
+            # a segment would index it, so run unsegmented
+            return [], [], None
         if not m.group("selfclose"):
             if depth == 0 and root_raw is None:
                 if name.lower() in flush_tags:

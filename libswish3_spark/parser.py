@@ -29,6 +29,8 @@ the media reference without disturbing reference token positions.
 
 from __future__ import annotations
 
+import re
+
 from libswish3_spark.config import (
     CLASS_ATTRIBUTES,
     DEFAULT_METANAME,
@@ -45,7 +47,7 @@ from libswish3_spark.config import (
     Property,
     default_config,
 )
-from libswish3_spark.events import html_events, xml_events
+from libswish3_spark.events import _ENT_RE, html_events, xml_events
 from libswish3_spark.htmltags import INLINE_TAGS, KNOWN_TAGS
 from libswish3_spark.tokenizer import resolve_tokenizer, split_tokens
 
@@ -141,18 +143,22 @@ class DocState:
     def buffer_characters(self, text: str) -> None:
         if self.ignore_content:
             return
-        if not text:
-            return
-        if self.bump_word and self.meta_len:
-            self.meta_pieces.append(("t", _BUMPER))
-            self.meta_len += 1
-        self.meta_pieces.append(("t", text))
-        self.meta_len += len(text)
-        if self.bump_word and self.prop_len:
-            self.prop_parts.append(_BUMPER)
-            self.prop_len += 1
-        self.prop_parts.append(text)
-        self.prop_len += len(text)
+        # NO empty early-out: the reference appends the bumper and
+        # resets bump_word even for zero-length content (parser.c:
+        # 128-169) — '<meta name="x" content="">' leaves a trailing
+        # \x03 in the enclosing buffer and eats the pending bump
+        if self.bump_word:
+            if self.meta_len:
+                self.meta_pieces.append(("t", _BUMPER))
+                self.meta_len += 1
+            if self.prop_len:
+                self.prop_parts.append(_BUMPER)
+                self.prop_len += 1
+        if text:
+            self.meta_pieces.append(("t", text))
+            self.meta_len += len(text)
+            self.prop_parts.append(text)
+            self.prop_len += len(text)
         self.bump_word = False
 
     def add_media(self, ref: str) -> None:
@@ -609,7 +615,14 @@ def parse_to_state(
             # sit at global depth > 0, so no filtering there.
             xml_depth: list[int] | None = None
             if not state.is_html:
-                xml_depth = [0]
+                # [depth, phase] — phase tracks prolog/root/fatal (see
+                # _consume_markup). A doc's FIRST segment keeps the
+                # phase cell (it contains the prolog; the cut scanner
+                # refuses docs with depth-0 text or extra top-level
+                # content, so a multi-segment seg 0 can never trip the
+                # extra-content rule); later segments sit at global
+                # depth > 0 and skip the gates entirely.
+                xml_depth = [0, 0]
                 if parser == "XMLSEG" and "\x02" in doc_id:
                     try:
                         if int(doc_id.rsplit("\x02", 3)[1]):
@@ -633,6 +646,28 @@ def parse_to_state(
     except ValueError as e:
         state.error = str(e)
     return state
+
+
+_NON_ASCII_RE = re.compile(r"[^\x00-\x7f]")
+
+
+def _wounded_text(raw: str) -> str:
+    """Post-TAG_NAME_MISMATCH text delivery (libxml2 2.13, no
+    recovery), mapped empirically: entity/charref tokens disappear and
+    DELIMIT runs like markup does; each run is delivered only up to its
+    first non-ASCII byte."""
+    pieces = _ENT_RE.split(raw) if "&" in raw else (raw,)
+    out = []
+    for i, p in enumerate(pieces):
+        if i & 1:  # capture-group slots from _ENT_RE.split
+            continue
+        if not p:
+            continue
+        if p.isascii():
+            out.append(p)
+        else:
+            out.append(p[: _NON_ASCII_RE.search(p).start()])
+    return "".join(out)
 
 
 _XINCLUDE_NS_URIS = frozenset(
@@ -671,6 +706,30 @@ def _consume_markup(
     around the mismatches), so a bogus close must not bake a bump.
     Segmented XML parses keep the permissive behavior: a segment
     legitimately closes elements opened in earlier segments.
+
+    ``xml_depth[1]`` is the well-formedness phase (whole-doc only),
+    mirroring libxml2's fatal handling verified against the binary:
+    0 = prolog (only whitespace/comments/PIs seen), 1 = root element
+    seen, 2 = skip everything, 3 = wounded (see below). Non-whitespace
+    TEXT in the prolog ("Start tag expected" — 'pre <root>x</root>')
+    kills the ENTIRE document: libxml2 delivers no callbacks at all, so
+    the reference indexes nothing. A SECOND top-level element ("Extra
+    content at the end of the document" — '<root>x</root><extra>y'
+    '</extra>') ends delivery at the root's close: the extra element is
+    never seen.
+
+    Phase 3 — WOUNDED — is libxml2's post-TAG_NAME_MISMATCH state,
+    mapped empirically against the compiled binary (probes q1-q16,
+    libxml2 2.13 without XML_PARSE_RECOVER): the first close tag that
+    does not match the open element pops ONE element silently, and from
+    then on startElement/endElement callbacks NEVER fire again while
+    the internal parser keeps tracking depth (every later close pops
+    one element silently, opens push); characters() KEEPS streaming
+    into the buffer at the wound-time context until the internal stack
+    empties, after which nothing more is delivered. The residual buffer
+    then flushes at end-of-document under swishdefault (myendDocument,
+    parser.c:832-846) — so '<title><p></b>word</title>' indexes word
+    under swishdefault, with NO swishtitle buffer or property.
     """
     follow = state.config.follow_xinclude and include_resolver is not None
     if not follow and xml_depth is None:
@@ -680,14 +739,53 @@ def _consume_markup(
         return
     ns_bindings: dict[str, str] = {}
     open_stack: list[str] | None = [] if xml_depth is not None else None
+    phased = xml_depth is not None and len(xml_depth) > 1
     for ev in scanner(text):
         k = ev[0]
+        if phased and xml_depth[1] == 2:
+            continue  # fatal prolog text / extra content: nothing more
+        if phased and xml_depth[1] == 3:
+            # wounded: element callbacks are gone; depth-track silently.
+            # Text arrives as LITERAL bytes with entity/charref
+            # expansions removed, each run (markup- or entity-
+            # delimited) truncated at its first NON-ASCII byte, and
+            # CDATA blocks (raw=None) dropped — all verified against
+            # the binary: 'x&amp;y' → 'xy'; 'a Σ b<q/>c d' → 'a c d'
+            if k == "start":
+                xml_depth[0] += 1
+            elif k == "end":
+                xml_depth[0] -= 1
+                if xml_depth[0] <= 0:
+                    xml_depth[1] = 2
+            elif k == "text":
+                raw = ev[2] if len(ev) > 2 else ev[1]
+                if raw is not None:
+                    t = _wounded_text(raw)
+                    if t:
+                        # empty-after-truncation delivers NO callback:
+                        # no bumper, no bump_word reset
+                        state.buffer_characters(t)
+            # comment callbacks are suppressed too: a post-wound
+            # SwishCommand noindex comment has no effect (verified —
+            # the binary keeps indexing after it)
+            continue
         if k == "text":
             if xml_depth is not None and xml_depth[0] == 0:
+                if phased and xml_depth[1] == 0 and ev[1].strip():
+                    # non-whitespace before the root element: libxml2
+                    # fatals and the whole doc yields nothing
+                    xml_depth[1] = 2
                 continue
             state.buffer_characters(ev[1])
         elif k == "start":
             if xml_depth is not None:
+                if phased:
+                    if xml_depth[1] == 0:
+                        xml_depth[1] = 1
+                    elif xml_depth[0] == 0:
+                        # second top-level element = extra content
+                        xml_depth[1] = 2
+                        continue
                 xml_depth[0] += 1
             if open_stack is not None:
                 # qname as written (prefix restored) — libxml2 matches
@@ -713,16 +811,16 @@ def _consume_markup(
             if open_stack is not None:
                 qname = (ev[2] + ":" + ev[1]) if ev[2] else ev[1]
                 if not open_stack or open_stack[-1] != qname:
-                    # mismatched close: libxml2 recovery warns, pops its
-                    # top element SILENTLY (no endElement callback) and
-                    # continues — so no bake, no bump here (badxml.xml:
-                    # ref trace shows zero close callbacks around the
-                    # mismatches, and the next matching close then pairs
-                    # against the resynchronized stack)
+                    # mismatched close: libxml2 pops its top element
+                    # SILENTLY (no endElement callback) — and the
+                    # TAG_NAME_MISMATCH fatal wounds the parse: no
+                    # element callback fires again (phase 3 above)
                     if open_stack:
                         open_stack.pop()
                         if xml_depth is not None and xml_depth[0] > 0:
                             xml_depth[0] -= 1
+                    if phased:
+                        xml_depth[1] = 2 if xml_depth[0] <= 0 else 3
                     continue
                 open_stack.pop()
             if xml_depth is not None and xml_depth[0] > 0:

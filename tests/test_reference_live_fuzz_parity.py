@@ -1,0 +1,181 @@
+"""Seeded random-markup parity against the compiled reference binary.
+
+The fixture corpus is 39 hand-written documents; this module generates
+pseudo-random XML/HTML (fixed seed — fully deterministic) and compares
+token streams AND named buffers end-to-end against the live binary.
+Driving this generator found and fixed eight real divergence classes
+the fixtures never exercised (all now modeled + cited in code):
+
+* xmlns declarations minting attr metanames (events.xml_events);
+* SAX2 atts truncation at the first empty-valued attribute
+  (mystartElementNs, parser.c:897-911);
+* non-whitespace text before the XML root ("Start tag expected")
+  killing the whole document, and a second top-level element ("Extra
+  content") ending delivery at the root's close (parser phase gate);
+* libxml2's post-TAG_NAME_MISMATCH wounded state: one silent pop, no
+  element callbacks ever again, literal text with entity/charref
+  expansions REMOVED and per-run truncation at the first non-ASCII
+  byte, CDATA dropped, delivery ending when the stack empties
+  (parser._consume_markup phase 3, probes q1-q16/u1-u6/w1-w2);
+* buffer_characters appending the bumper and eating the pending bump
+  even for EMPTY content (<meta content=""> leaves a trailing \\x03);
+* the HTML AUTO_CLOSE table (now extracted empirically from the binary
+  — <table> closes <pre>, <p> closes <b>/<i>/…, full matrix);
+* htmlEndPriority: '</div>' cannot force-close a <td>/<table>; such
+  end tags are ignored entirely (htmltags.END_PRIORITY);
+* document-leading whitespace-only text (node NULL) never reaching
+  the buffer (ignorableWhitespace handler is NULL, parser.c:1472).
+
+Generator constraints (deliberate, reference-bug shaped):
+
+* no duplicate attribute names per element — a duplicate attr is a
+  fatal wf error whose libxml2 recovery mangles content byte-garbage;
+* no leading-apostrophe words — the reference's strip_utf8_chrs bug
+  (tokenizer.c:242-245) corrupts them on the UTF-8 path (pinned
+  separately by test_reference_live_parity).
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from test_reference_live_parity import (
+    _binary,
+    _our_buffers,
+    _our_tokens,
+    _ref_buffers,
+    _ref_tokens,
+)
+
+TAGS = ["title", "p", "b", "div", "foo", "bar2", "em", "span"]
+ATTR_NAMES = ["a", "href", "name", "class", "id"]
+WORDS = [
+    "hello", "world", "don't", "foo.bar", "x1", "MiXeD", "naïve",
+    "Σίσυφος", "tôt", "a_b", "O'Neil", "trailing'", "under_score_",
+    "42", "3.14", "—dash—", "co&amp;de", "&lt;tag&gt;", "&#65;bc",
+    "ordinary",
+]
+HTML_TAGS = [
+    "p", "b", "i", "div", "span", "h1", "li", "table", "td", "pre",
+    "custom",
+]
+
+
+def _text(rng, n):
+    parts = []
+    for _ in range(n):
+        parts.append(rng.choice(WORDS))
+        parts.append(rng.choice([" ", "  ", "\n", " \t "]))
+    return "".join(parts)
+
+
+def _xml(rng, depth=0):
+    out = []
+    for _ in range(rng.randint(1, 5)):
+        r = rng.random()
+        if r < 0.35 or depth >= 4:
+            out.append(_text(rng, rng.randint(1, 6)))
+        elif r < 0.45:
+            c = rng.choice(
+                ["a comment", "noindex", "index", "SwishCommand noindex"]
+            )
+            out.append(f"<!-- {c} -->")
+        elif r < 0.52:
+            out.append(f"<![CDATA[{_text(rng, 2)}]]>")
+        else:
+            t = rng.choice(TAGS)
+            attrs = ""
+            for an in rng.sample(ATTR_NAMES, rng.randint(0, 3)):
+                av = rng.choice(["v1", "", "Two Words", "don't", "ü"])
+                attrs += f' {an}="{av}"'
+            if rng.random() < 0.15:
+                out.append(f"<{t}{attrs}/>")
+            else:
+                inner = _xml(rng, depth + 1)
+                close = t if rng.random() > 0.06 else rng.choice(TAGS)
+                out.append(f"<{t}{attrs}>{inner}</{close}>")
+    return "".join(out)
+
+
+def gen_xml_doc(rng):
+    pre = rng.choice(
+        ["", "\n", '<?xml version="1.0" encoding="utf-8"?>\n']
+    )
+    return f"{pre}<root>{_xml(rng)}</root>{rng.choice(['', chr(10)])}"
+
+
+def _html(rng, depth=0):
+    out = []
+    for _ in range(rng.randint(1, 5)):
+        r = rng.random()
+        if r < 0.4 or depth >= 4:
+            out.append(_text(rng, rng.randint(1, 6)))
+        elif r < 0.48:
+            out.append(f"<!-- {rng.choice(['c', 'noindex', 'index'])} -->")
+        elif r < 0.56:
+            out.append(
+                rng.choice(["<br>", "<br/>", '<img src="x.gif">', "<hr>"])
+            )
+        else:
+            t = rng.choice(HTML_TAGS)
+            inner = _html(rng, depth + 1)
+            if rng.random() < 0.12:
+                out.append(f"<{t}>{inner}")  # unclosed
+            else:
+                out.append(f"<{t}>{inner}</{t}>")
+    return "".join(out)
+
+
+def gen_html_doc(rng):
+    body = _html(rng)
+    shape = rng.random()
+    if shape < 0.4:
+        return (
+            f"<html><head><title>{_text(rng, 3)}</title></head>"
+            f"<body>{body}</body></html>"
+        )
+    if shape < 0.6:
+        return f"<html><body>{body}</body></html>"
+    if shape < 0.8:
+        return body  # bare flow content (implied body/html)
+    return (
+        f'<html><head><meta name="author" content="{_text(rng, 2)}">'
+        f'<meta name="keywords" content=""></head><body>{body}</body></html>'
+    )
+
+
+def _norm(d):
+    return {k: v for k, v in d.items() if v}
+
+
+@pytest.mark.parametrize("seed", [42, 7])
+def test_fuzz_corpus_matches_compiled_reference(seed, tmp_path):
+    binary = _binary()
+    rng = random.Random(seed)
+    failures = []
+    for i in range(50):
+        for kind, parser, gen_fn in (
+            ("xml", "XML", gen_xml_doc),
+            ("html", "HTML", gen_html_doc),
+        ):
+            doc = gen_fn(rng)
+            p = tmp_path / f"fuzz{i}.{kind}"
+            p.write_text(doc)
+            rt = _ref_tokens(binary, str(p))
+            ot = _our_tokens(str(p), parser)
+            if rt != ot:
+                first = next(
+                    ((a, b) for a, b in zip(rt, ot) if a != b),
+                    ("len", (len(rt), len(ot))),
+                )
+                failures.append(f"seed{seed}/{i}.{kind} tokens: {first}")
+                continue
+            rb = _ref_buffers(binary, str(p))
+            ob = _our_buffers(str(p), parser)
+            if (_norm(rb[0]), _norm(rb[1])) != (_norm(ob[0]), _norm(ob[1])):
+                failures.append(f"seed{seed}/{i}.{kind} buffers diverge")
+    assert not failures, "fuzz divergence vs live reference:\n" + "\n".join(
+        failures[:10]
+    )

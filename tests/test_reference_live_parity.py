@@ -83,12 +83,15 @@ def _our_tokens(path: str, parser: str, config=None):
 
     from libswish3_spark.config import default_config
     from libswish3_spark.operators.postings import postings_batch_fn
+    from libswish3_spark.sources.files import _decode, _scrub_nuls
 
-    data = open(path, "rb").read()
-    try:
-        text = data.decode("utf-8")
-    except UnicodeDecodeError:
-        text = data.decode("latin-1")
+    data = _scrub_nuls(open(path, "rb").read())
+    # the PRODUCT decode (D5): xml-decl / meta-charset / libxml2's
+    # latin-1 HTML default — naive utf-8-first here diverged from the
+    # binary on undeclared-charset HTML carrying UTF-8 bytes
+    text, _enc, err = _decode(data, parser, None, config or default_config())
+    if err:
+        text = ""
     span_type = pa.struct(
         [
             ("kind", pa.string()),
@@ -280,14 +283,14 @@ def _ref_buffers(binary: str, path: str, extra: tuple[str, ...] = ()):
 def _our_buffers(path: str, parser: str, config=None):
     from libswish3_spark.config import default_config
     from libswish3_spark.parser import parse_to_state
-    from libswish3_spark.sources.files import _scrub_nuls
+    from libswish3_spark.sources.files import _decode, _scrub_nuls
 
+    cfg = config or default_config()
     data = _scrub_nuls(open(path, "rb").read())
-    try:
-        text = data.decode("utf-8")
-    except UnicodeDecodeError:
-        text = data.decode("latin-1")
-    st = parse_to_state(path, [("text", text, "")], parser, config or default_config())
+    text, _enc, err = _decode(data, parser, None, cfg)
+    if err:
+        text = ""
+    st = parse_to_state(path, [("text", text, "")], parser, cfg)
     return dict(st.metanames), dict(st.properties)
 
 
