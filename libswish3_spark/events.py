@@ -29,8 +29,8 @@ contents treated as character data.
 from __future__ import annotations
 
 import re
-from html import unescape as html_unescape
 
+from libswish3_spark.htmlentities import HTML_ENTITIES
 from libswish3_spark.htmltags import (
     AUTO_CLOSE,
     END_PRIORITY as _END_PRIORITY,
@@ -88,6 +88,41 @@ def xml_unescape(s: str) -> str:
         return _XML_ENT.get(e, m.group(0))
 
     return _ENT_RE.sub(sub, s)
+
+
+_HTML_REF_RE = re.compile(
+    r"&(?:#[xX]([0-9a-fA-F]+);?|#([0-9]+);?|([A-Za-z][A-Za-z0-9]*);)"
+)
+_HTML_BAD_CHARREF_RE = re.compile(r"&#[xX]?")
+
+
+def html_unescape(s: str) -> str:
+    """Entity resolution as libxml2's HTML parser does it — NOT
+    Python's html.unescape (that implements HTML5: legacy semicolon-
+    less names, longest-prefix matching, windows-1252 charref remaps,
+    U+FFFD for invalid codepoints — all of which diverge from the
+    binary). Verified rules: named refs resolve only on an exact
+    `&name;` hit in the HTML4 table (htmlentities.HTML_ENTITIES);
+    numeric refs resolve with or without ';', keep control codepoints
+    raw (&#150; → U+0096), and DISAPPEAR for NUL/surrogates/past
+    U+10FFFF; a malformed charref's consumed prefix ('&#'/'&#x')
+    disappears too ('&#zz;' → 'zz;')."""
+    if "&" not in s:
+        return s
+
+    def sub(m: re.Match) -> str:
+        name = m.group(3)
+        if name is not None:
+            return HTML_ENTITIES.get(name, m.group(0))
+        cp = int(m.group(1), 16) if m.group(1) else int(m.group(2))
+        if cp == 0 or 0xD800 <= cp <= 0xDFFF or cp > 0x10FFFF:
+            return ""
+        return chr(cp)
+
+    s = _HTML_REF_RE.sub(sub, s)
+    if "&#" in s:
+        s = _HTML_BAD_CHARREF_RE.sub("", s)
+    return s
 
 
 def _parse_attrs(raw: str, unescape) -> list[tuple[str, str]]:

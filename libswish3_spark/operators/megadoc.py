@@ -863,11 +863,21 @@ def _xml_cut_scan(
         # returns True when the doc must run UNSEGMENTED: non-whitespace
         # text at element depth 0 — pre-root it fatals the whole doc
         # (libxml2 "Start tag expected"), post-root it is never
-        # delivered; a final segment (no depth gate) would index it
+        # delivered; a final segment (no depth gate) would index it.
+        # Same for an invalid entity/charref anywhere: it WOUNDS the
+        # whole-doc parse (parser phase 3) and segments (no phase gate)
+        # would diverge from that.
         nonlocal text_seen
         if s and not ignore:
             text_seen = True
-        return bool(depth == 0 and s.strip())
+        if depth == 0 and s.strip():
+            return True
+        if "&" in s:
+            from libswish3_spark.parser import _first_invalid_ref
+
+            if _first_invalid_ref(s) is not None:
+                return True
+        return False
 
     for m in MARKUP_RE.finditer(text):
         if note_text(text[last : m.start()]):

@@ -47,7 +47,7 @@ from libswish3_spark.config import (
     Property,
     default_config,
 )
-from libswish3_spark.events import _ENT_RE, html_events, xml_events
+from libswish3_spark.events import _ENT_RE, html_events, xml_events, xml_unescape
 from libswish3_spark.htmltags import INLINE_TAGS, KNOWN_TAGS
 from libswish3_spark.tokenizer import resolve_tokenizer, split_tokens
 
@@ -649,24 +649,71 @@ def parse_to_state(
 
 
 _NON_ASCII_RE = re.compile(r"[^\x00-\x7f]")
+# a reference libxml2 accepts without erroring: the 5 predefined
+# entities, or a numeric charref (validity of the codepoint is checked
+# separately — 0/surrogates/out-of-range are fatal)
+_VALID_REF_RE = re.compile(r"&(?:#(\d+);|#[xX]([0-9a-fA-F]+);|(amp|lt|gt|quot|apos);)")
+_BAD_NAMED_REF_RE = re.compile(r"&[A-Za-z_:][A-Za-z0-9._:-]*;?")
+_BAD_NUM_REF_RE = re.compile(r"&#(?:[xX][0-9a-fA-F]*|\d*)")
+
+
+def _bad_ref_consumed(raw: str, i: int) -> int:
+    """How many bytes libxml2 eats for the malformed/undefined ref at
+    raw[i] (== '&'), mapped empirically: '&broken;' → all 8, '&foo '
+    → 4 (name, no ';'), '&#zz;' → 2 (just '&#'), '&;'/'& ' → 1."""
+    m = _BAD_NAMED_REF_RE.match(raw, i)
+    if m:
+        return m.end() - i
+    m = _BAD_NUM_REF_RE.match(raw, i)
+    if m:
+        return m.end() - i
+    return 1
+
+
+def _first_invalid_ref(raw: str) -> tuple[int, int] | None:
+    """(offset, consumed) of the first '&' that libxml2 fatals on in
+    content — an undefined/unterminated entity, a malformed charref,
+    or a numeric ref to NUL/a surrogate/past U+10FFFF — else None."""
+    pos = 0
+    while True:
+        i = raw.find("&", pos)
+        if i < 0:
+            return None
+        m = _VALID_REF_RE.match(raw, i)
+        if m:
+            if m.group(3):
+                pos = m.end()
+                continue
+            cp = int(m.group(1)) if m.group(1) else int(m.group(2), 16)
+            if 0 < cp <= 0x10FFFF and not (0xD800 <= cp <= 0xDFFF):
+                pos = m.end()
+                continue
+            return i, m.end() - i  # well-shaped, invalid codepoint
+        return i, _bad_ref_consumed(raw, i)
 
 
 def _wounded_text(raw: str) -> str:
-    """Post-TAG_NAME_MISMATCH text delivery (libxml2 2.13, no
-    recovery), mapped empirically: entity/charref tokens disappear and
-    DELIMIT runs like markup does; each run is delivered only up to its
-    first non-ASCII byte."""
-    pieces = _ENT_RE.split(raw) if "&" in raw else (raw,)
+    """Post-fatal text delivery (libxml2 2.13, no recovery), mapped
+    empirically: ALL reference tokens disappear (valid ones too — the
+    entity machinery is dead) and DELIMIT runs like markup does; each
+    run is delivered only up to its first non-ASCII byte; malformed
+    refs consume the same bytes as at wound time ('&#zz;' → 'zz;'
+    survives)."""
     out = []
-    for i, p in enumerate(pieces):
-        if i & 1:  # capture-group slots from _ENT_RE.split
-            continue
-        if not p:
-            continue
-        if p.isascii():
-            out.append(p)
-        else:
-            out.append(p[: _NON_ASCII_RE.search(p).start()])
+    pos = 0
+    n = len(raw)
+    while pos < n:
+        i = raw.find("&", pos)
+        run = raw[pos:] if i < 0 else raw[pos:i]
+        if run:
+            if run.isascii():
+                out.append(run)
+            else:
+                out.append(run[: _NON_ASCII_RE.search(run).start()])
+        if i < 0:
+            break
+        m = _ENT_RE.match(raw, i)
+        pos = m.end() if m else i + _bad_ref_consumed(raw, i)
     return "".join(out)
 
 
@@ -776,6 +823,21 @@ def _consume_markup(
                     # fatals and the whole doc yields nothing
                     xml_depth[1] = 2
                 continue
+            if phased and len(ev) > 2 and ev[2] is not None and "&" in ev[2]:
+                # an undefined entity / malformed or out-of-range
+                # charref in content is FATAL: text before it delivers
+                # normally, the ref's bytes are consumed, and the parse
+                # is wounded from that point (probes e8-e10, f1-f7)
+                bad = _first_invalid_ref(ev[2])
+                if bad is not None:
+                    i, consumed = bad
+                    if i:
+                        state.buffer_characters(xml_unescape(ev[2][:i]))
+                    xml_depth[1] = 3
+                    rest = _wounded_text(ev[2][i + consumed :])
+                    if rest:
+                        state.buffer_characters(rest)
+                    continue
             state.buffer_characters(ev[1])
         elif k == "start":
             if xml_depth is not None:

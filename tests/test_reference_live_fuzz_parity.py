@@ -63,10 +63,18 @@ HTML_TAGS = [
 ]
 
 
+# injected rarely (3%): an invalid ref WOUNDS a whole-doc XML parse
+# (parser phase 3), so a high rate would starve normal-path coverage
+BAD_REFS = ["&broken;", "&#zz;", "&", "&;", "&#150;", "&notit;", "&amp x"]
+
+
 def _text(rng, n):
     parts = []
     for _ in range(n):
-        parts.append(rng.choice(WORDS))
+        if rng.random() < 0.03:
+            parts.append(rng.choice(BAD_REFS))
+        else:
+            parts.append(rng.choice(WORDS))
         parts.append(rng.choice([" ", "  ", "\n", " \t "]))
     return "".join(parts)
 
