@@ -42,8 +42,34 @@ MARKUP_RE = re.compile(
     r"""
     <!--(?P<comment>.*?)(?:-->|\Z)
   | <!\[CDATA\[(?P<cdata>.*?)(?:\]\]>|\Z)
+  | <!(?P<doctype>DOCTYPE\b
+      (?:"[^"]*"|'[^']*'|[^>\[])*
+      (?:\[(?:<!--.*?-->|"[^"]*"|'[^']*'|[^\]])*\])?
+      [^>]*>)
   | <!(?P<decl>[^>]*)>
   | <\?(?P<pi>.*?)(?:\?>|\Z)
+  | <(?P<close>/)?(?P<name>(?:[:_]|[^\W\d])[^\s<>/]*)
+      (?P<attrs>(?:"[^"]*"|'[^']*'|[^<>"'])*?)
+      (?P<selfclose>/)?>
+    """,
+    re.DOTALL | re.VERBOSE,
+)
+
+# The HTML scanner's lexer is DELIBERATELY different (all probed
+# against the compiled reference, tests/test_reference_live_fuzz_parity):
+# libxml2's HTML parser has no CDATA sections and no generic <!decl>
+# skipping — `<!` not opening a comment or DOCTYPE delivers `<` as
+# literal text and resumes normal content parsing at the `!`
+# (`alpha<![CDATA[ hid <b>x</b>]]>` indexes "cdata", "hid", and parses
+# the inner <b>); its DOCTYPE and processing instructions both end at
+# the FIRST `>`, bracket subsets included (`<!DOCTYPE html [<!ENTITY…>`
+# stops at the entity's `>`, leaving `]>` as text; `<?pi with <b>` eats
+# the `<b`). Constructs absent here simply fall into the text slices.
+HTML_MARKUP_RE = re.compile(
+    r"""
+    <!--(?P<comment>.*?)(?:-->|\Z)
+  | <!(?P<doctype>[Dd][Oo][Cc][Tt][Yy][Pp][Ee][^>]*)(?:>|\Z)
+  | <\?(?P<pi>[^>]*)(?:>|\Z)
   | <(?P<close>/)?(?P<name>(?:[:_]|[^\W\d])[^\s<>/]*)
       (?P<attrs>(?:"[^"]*"|'[^']*'|[^<>"'])*?)
       (?P<selfclose>/)?>
@@ -57,6 +83,9 @@ ATTR_RE = re.compile(
 
 _XML_ENT = {"amp": "&", "lt": "<", "gt": ">", "quot": '"', "apos": "'"}
 _ENT_RE = re.compile(r"&(#x?[0-9a-fA-F]+|\w+);")
+# DOCTYPE with an ExternalID (SYSTEM or PUBLIC, XML spec [75]) — the
+# keyword immediately follows the doctype name, before any [subset]
+_EXTERNAL_ID_RE = re.compile(r"DOCTYPE\s+\S+\s+(?:SYSTEM|PUBLIC)\b")
 
 
 def xml_unescape(s: str) -> str:
@@ -160,13 +189,28 @@ def xml_events(text: str):
             yield ("text", xml_unescape(raw), raw)
         pos = m.end()
         # one C-level call for all groups beats 4-8 named lookups
-        comment, cdata, decl, pi, close, name, rawattrs, selfclose = m.group(
-            "comment", "cdata", "decl", "pi", "close", "name", "attrs", "selfclose"
+        comment, cdata, doctype, decl, pi, close, name, rawattrs, selfclose = (
+            m.group(
+                "comment", "cdata", "doctype", "decl", "pi",
+                "close", "name", "attrs", "selfclose",
+            )
         )
         if comment is not None:
             yield ("comment", comment)
         elif cdata is not None:
             yield ("text", cdata, None)  # None raw: CDATA (see above)
+        elif doctype is not None:
+            # DOCTYPE has its own bracket-aware alternative so an
+            # internal subset's `>`s don't truncate the lex (the old
+            # generic decl match left `]>` behind as fatal pre-root
+            # text). A bare/internal-subset-only DOCTYPE changes
+            # nothing (six wound shapes probed token-identical), but
+            # an EXTERNAL-id DOCTYPE (SYSTEM/PUBLIC) flips libxml2
+            # into benign-skip recovery for invalid entity refs — the
+            # unloadable DTD might define them, so no wound (probes
+            # r1-r8, s1-s13 vs the compiled reference)
+            if _EXTERNAL_ID_RE.match(doctype):
+                yield ("dtd",)
         elif decl is not None or pi is not None:
             continue
         else:
@@ -233,13 +277,80 @@ def html_events(text: str):
     n = len(text)
     rawtext_until: str | None = None
     body_seen = False
+    # prolog_done: any element opened or text delivered — a DOCTYPE
+    # after that point is MISPLACED, and libxml2 then lexes the
+    # immediately-adjacent next `</…`/`<!…` construct as bogus text
+    # (probes v4-v6, y1-y7, z1-z5, w1-w7: closes and doctypes go
+    # literal, start tags/comments/PIs parse normally, any gap —
+    # even whitespace — defuses it)
+    prolog_done = False
+    bogus_at = -1
 
     def _imply_body():
         # libxml2: flow content without a <body> opens one implicitly
         stack.append("body")
         return ("start", "body", [], None, False)
 
-    for m in MARKUP_RE.finditer(text):
+    def _imply_body_p():
+        # TEXT outside body implies <body> AND <p> (traced: 'word'
+        # alone opens html/body/p; a later </p> or block tag really
+        # pops it — probe y4's `</p>` bumps only with the p open).
+        # Tag-triggered implication opens body only.
+        yield _imply_body()
+        stack.append("p")
+        yield ("start", "p", [], None, False)
+
+    def _deliver(raw):
+        # text delivery with the implied-body dance. Literal '<'s from
+        # bogus constructs are delivered BEFORE the implied open —
+        # libxml2 emits them pre-tree, so the implied-open bumper lands
+        # AFTER the '<' bytes (probes u2/u3/v8/z4: '<< x' buffers
+        # '<<\x03 x', not '\x03<< x'). Entity-produced '<' (&lt;) is
+        # normal text — the check is on the RAW slice.
+        nonlocal body_seen, prolog_done
+        if (
+            raw
+            and raw[0] == "<"
+            and not body_seen
+            and (not stack or stack == ["html"])
+        ):
+            pre = len(raw) - len(raw.lstrip("<"))
+            prolog_done = True
+            yield ("text", raw[:pre])
+            rest = raw[pre:]
+            if rest:
+                if rest.strip():
+                    body_seen = True
+                    yield from _imply_body_p()
+                yield ("text", html_unescape(rest))
+            return
+        if raw and not prolog_done and not stack and not body_seen:
+            # pre-tree text: libxml2 splits the LEADING blank run into
+            # its own ignorable-whitespace callback (areBlanks: node
+            # NULL) and swish's ignorableWhitespace handler is NULL
+            # (parser.c:1472) — it never reaches the buffer; the
+            # remainder then implies body. Blanks inside html/head ARE
+            # delivered (fixture t.html pins the resulting leading
+            # bumper gap), and blanks AFTER any delivered content
+            # (e.g. a literal '<') are normal text — probed
+            # '<?pi x> rest' drops the gap, '<< x' keeps it.
+            raw = raw.lstrip(" \t\r\n")
+        chunk = html_unescape(raw)
+        if not chunk.strip() and not stack and not body_seen:
+            # whitespace-only (or fully-consumed) text before ANY
+            # element is ignorable
+            return
+        if (
+            not body_seen
+            and chunk.strip()
+            and (not stack or stack == ["html"])
+        ):
+            body_seen = True
+            yield from _imply_body_p()
+        prolog_done = True
+        yield ("text", chunk)
+
+    for m in HTML_MARKUP_RE.finditer(text):
         if m.start() < last:
             continue  # inside already-consumed rawtext
         if rawtext_until is not None:
@@ -252,37 +363,41 @@ def html_events(text: str):
             if m.start() < last:
                 continue
         if m.start() > last:
-            chunk = html_unescape(text[last : m.start()])
-            if not chunk.strip() and not stack and not body_seen:
-                # whitespace-only text before ANY element: libxml2
-                # classifies it ignorable (areBlanks: node NULL) and
-                # swish's ignorableWhitespace handler is NULL
-                # (parser.c:1472) — it never reaches the buffer.
-                # Blanks inside html/head ARE delivered (fixture t.html
-                # pins the resulting leading bumper gap).
-                chunk = None
-            elif (
-                not body_seen
-                and chunk.strip()
-                and (not stack or stack == ["html"])
-            ):
-                body_seen = True
-                yield _imply_body()
-            if chunk is not None:
-                yield ("text", chunk)
-        last = m.end()
-        comment, cdata, decl, pi, close, name, rawattrs, selfclose = m.group(
-            "comment", "cdata", "decl", "pi", "close", "name", "attrs", "selfclose"
+            # hot path: once body is open, text needs none of the
+            # implied-element / pre-tree dance — keep it inline (the
+            # generator round-trip measurably slows the parse kernel)
+            if body_seen:
+                prolog_done = True
+                yield ("text", html_unescape(text[last : m.start()]))
+            else:
+                yield from _deliver(text[last : m.start()])
+        comment, doctype, pi, close, name, rawattrs, selfclose = m.group(
+            "comment", "doctype", "pi", "close", "name", "attrs", "selfclose"
         )
+        if (close or doctype is not None) and m.start() == bogus_at:
+            # immediately after a misplaced DOCTYPE, a close tag or
+            # another DOCTYPE lexes as bogus text: '<' delivers now
+            # (pre-tree if body isn't open) and scanning resumes at
+            # the next byte — the construct's body lands in the next
+            # text slice
+            bogus_at = -1
+            prolog_done = True
+            yield ("text", "<")
+            last = m.start() + 1
+            continue
+        bogus_at = -1
+        last = m.end()
         if comment is not None:
             yield ("comment", comment)
             continue
-        if cdata is not None:
-            yield ("text", cdata)
+        if doctype is not None:
+            if prolog_done:
+                bogus_at = m.end()
             continue
-        if decl is not None or pi is not None:
+        if pi is not None:
             continue
         name = name.lower()
+        prolog_done = True
         if close:
             if name in stack:
                 # libxml2 htmlAutoCloseOnClose: an end tag may pop the
@@ -342,17 +457,13 @@ def html_events(text: str):
         if last < n:
             yield ("text", text[last:])
     elif last < n:
-        chunk = html_unescape(text[last:])
         # tail text in a markup-free (or post-</html>) document still
         # opens the implied <body> — libxml2 wraps ANY bare flow
         # content, so body's swishdescription alias must see it; a
         # whitespace-only tail outside body is ignorable (see above)
-        if not chunk.strip() and not stack and not body_seen:
-            chunk = None
-        elif not body_seen and chunk.strip() and (not stack or stack == ["html"]):
-            body_seen = True
-            yield _imply_body()
-        if chunk is not None:
-            yield ("text", chunk)
+        if body_seen:
+            yield ("text", html_unescape(text[last:]))
+        else:
+            yield from _deliver(text[last:])
     while stack:
         yield ("end", stack.pop(), None)

@@ -385,7 +385,7 @@ def _html_cut_scan(
     """Find parser-neutral cut offsets in one HTML document.
 
     Position-tracking twin of events.html_events' consume loop (same
-    MARKUP_RE, same auto-close/void/rawtext handling) that tracks only
+    HTML_MARKUP_RE, same auto-close/void/rawtext handling) that tracks only
     the open-element stack, the noindex counter and whether any text has
     been buffered. Cost is O(tags) with tiny per-tag work — no
     tokenization, no attribute parsing, no buffer building.
@@ -395,7 +395,7 @@ def _html_cut_scan(
     and the open-element chain (⊆ {html, body}) the next segment must
     re-open.
     """
-    from libswish3_spark.events import MARKUP_RE
+    from libswish3_spark.events import HTML_MARKUP_RE
     from libswish3_spark.htmltags import (
         AUTO_CLOSE,
         INLINE_TAGS,
@@ -417,13 +417,23 @@ def _html_cut_scan(
     # open/close of a meta-defined tag empties the parser's buffer, so
     # only text after the latest flush leaves a pending bumper at a cut
     text_seen = False
+    # misplaced-DOCTYPE adjacency (events.html_events twin): after a
+    # mid-content DOCTYPE, an immediately-adjacent close/DOCTYPE lexes
+    # as bogus text, so it must not pop the stack here
+    prolog_done = False
+    bogus_at = -1
 
     def note_text(s: str) -> None:
-        nonlocal text_seen
-        if s and not ignore:
-            text_seen = True
+        nonlocal text_seen, prolog_done
+        if s:
+            # pre-tree whitespace-only text is ignorable (html_events
+            # drops it) — it must not mark the prolog as done
+            if s.strip() or stack:
+                prolog_done = True
+            if not ignore:
+                text_seen = True
 
-    for m in MARKUP_RE.finditer(text):
+    for m in HTML_MARKUP_RE.finditer(text):
         if m.start() < last:
             continue
         if rawtext_until is not None:
@@ -437,6 +447,14 @@ def _html_cut_scan(
             if m.start() < last:
                 continue
         note_text(text[last : m.start()])
+        if (
+            m.group("close") or m.group("doctype") is not None
+        ) and m.start() == bogus_at:
+            bogus_at = -1
+            note_text("<")
+            last = m.start() + 1
+            continue
+        bogus_at = -1
         last = m.end()
         if m.group("comment") is not None:
             # noindex/index toggles (parser.c:1321-1388 incl. SwishCommand)
@@ -449,12 +467,17 @@ def _html_cut_scan(
             elif tl == "index" and ignore > 0:
                 ignore -= 1
             continue
-        if m.group("cdata") is not None:
-            note_text(m.group("cdata"))
+        if m.group("doctype") is not None:
+            if prolog_done:
+                bogus_at = m.end()
             continue
-        if m.group("decl") is not None or m.group("pi") is not None:
+        if m.group("pi") is not None:
+            # bogus `<!…`/`<![CDATA[` constructs are NOT matched by
+            # HTML_MARKUP_RE — they fall into the text slices above,
+            # exactly as html_events delivers them as literal text
             continue
         name = m.group("name").lower()
+        prolog_done = True
         if m.group("close"):
             # html_events DROPS a close whose tag is not open (bogus
             # </title> must not clear text_seen — no flush happened);
@@ -897,7 +920,15 @@ def _xml_cut_scan(
             if note_text(m.group("cdata")):
                 return [], [], None
             continue
-        if m.group("decl") is not None or m.group("pi") is not None:
+        if (
+            m.group("doctype") is not None
+            or m.group("decl") is not None
+            or m.group("pi") is not None
+        ):
+            # a DOCTYPE (internal subset included) is a skipped decl;
+            # entity refs it might make benign-LOOKING still wound the
+            # parse identically (probed), and any doc containing an
+            # invalid ref already routes unsegmented via note_text
             continue
         name = m.group("name")
         if m.group("close"):

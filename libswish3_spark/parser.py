@@ -615,14 +615,16 @@ def parse_to_state(
             # sit at global depth > 0, so no filtering there.
             xml_depth: list[int] | None = None
             if not state.is_html:
-                # [depth, phase] — phase tracks prolog/root/fatal (see
-                # _consume_markup). A doc's FIRST segment keeps the
-                # phase cell (it contains the prolog; the cut scanner
-                # refuses docs with depth-0 text or extra top-level
-                # content, so a multi-segment seg 0 can never trip the
-                # extra-content rule); later segments sit at global
-                # depth > 0 and skip the gates entirely.
-                xml_depth = [0, 0]
+                # [depth, phase, ext_dtd] — phase tracks prolog/root/
+                # fatal (see _consume_markup); ext_dtd flips when an
+                # external-id DOCTYPE is seen (invalid entity refs
+                # downgrade from fatal wound to benign skip). A doc's
+                # FIRST segment keeps the phase cell (it contains the
+                # prolog; the cut scanner refuses docs with depth-0
+                # text or extra top-level content, so a multi-segment
+                # seg 0 can never trip the extra-content rule); later
+                # segments sit at global depth > 0 and skip the gates.
+                xml_depth = [0, 0, 0]
                 if parser == "XMLSEG" and "\x02" in doc_id:
                     try:
                         if int(doc_id.rsplit("\x02", 3)[1]):
@@ -654,6 +656,10 @@ _NON_ASCII_RE = re.compile(r"[^\x00-\x7f]")
 # separately — 0/surrogates/out-of-range are fatal)
 _VALID_REF_RE = re.compile(r"&(?:#(\d+);|#[xX]([0-9a-fA-F]+);|(amp|lt|gt|quot|apos);)")
 _BAD_NAMED_REF_RE = re.compile(r"&[A-Za-z_:][A-Za-z0-9._:-]*;?")
+# a syntactically complete `&name;` — the only invalid-ref shape an
+# external-id DTD rescues (it might define the entity); everything
+# else wounds even then (probed s6-s8/s12-s13)
+_WF_NAMED_REF_RE = re.compile(r"&[A-Za-z_:][A-Za-z0-9._:-]*;")
 _BAD_NUM_REF_RE = re.compile(r"&#(?:[xX][0-9a-fA-F]*|\d*)")
 
 
@@ -827,14 +833,45 @@ def _consume_markup(
                 # an undefined entity / malformed or out-of-range
                 # charref in content is FATAL: text before it delivers
                 # normally, the ref's bytes are consumed, and the parse
-                # is wounded from that point (probes e8-e10, f1-f7)
+                # is wounded from that point (probes e8-e10, f1-f7).
+                # A bare or internal-subset-only DOCTYPE changes
+                # NOTHING (six wound shapes probed token-identical;
+                # the libxml2 message downgrades error → warning but
+                # the SAX wound is the same). An EXTERNAL-id DOCTYPE
+                # (SYSTEM/PUBLIC) is different: the unloadable DTD
+                # might define the entity, so every invalid ref is a
+                # BENIGN SKIP — same byte consumption, parse continues,
+                # elements/CDATA/non-ASCII all deliver normally
+                # (probes r1-r8, s1-s13; mismatched closes still wound)
                 bad = _first_invalid_ref(ev[2])
                 if bad is not None:
+                    raw = ev[2]
+                    if xml_depth[2]:
+                        # the DTD might define a WELL-FORMED `&name;`
+                        # (and only that shape — `&#zz;`, bare `&`,
+                        # `&name`-no-semicolon and out-of-range
+                        # numerics wound even here, probed s6-s8/
+                        # s12-s13): skip such refs until a truly
+                        # malformed one appears
+                        while bad is not None and _WF_NAMED_REF_RE.match(
+                            raw, bad[0]
+                        ):
+                            i, consumed = bad
+                            if i:
+                                state.buffer_characters(
+                                    xml_unescape(raw[:i])
+                                )
+                            raw = raw[i + consumed :]
+                            bad = _first_invalid_ref(raw)
+                        if bad is None:
+                            if raw:
+                                state.buffer_characters(xml_unescape(raw))
+                            continue
                     i, consumed = bad
                     if i:
-                        state.buffer_characters(xml_unescape(ev[2][:i]))
+                        state.buffer_characters(xml_unescape(raw[:i]))
                     xml_depth[1] = 3
-                    rest = _wounded_text(ev[2][i + consumed :])
+                    rest = _wounded_text(raw[i + consumed :])
                     if rest:
                         state.buffer_characters(rest)
                     continue
@@ -890,6 +927,10 @@ def _consume_markup(
             state.close_tag(ev[1], ev[2])
         elif k == "comment":
             state.comment(ev[1])
+        elif k == "dtd":
+            # external-id DOCTYPE seen: benign-skip entity recovery
+            if xml_depth is not None and len(xml_depth) > 2:
+                xml_depth[2] = 1
 
 
 def _process_xinclude(state: DocState, attrs, include_resolver) -> None:

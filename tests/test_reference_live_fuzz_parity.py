@@ -90,8 +90,10 @@ def _xml(rng, depth=0):
                 ["a comment", "noindex", "index", "SwishCommand noindex"]
             )
             out.append(f"<!-- {c} -->")
-        elif r < 0.52:
+        elif r < 0.5:
             out.append(f"<![CDATA[{_text(rng, 2)}]]>")
+        elif r < 0.52:
+            out.append(rng.choice(["<?pi data?>", "<?php echo 1; ?>"]))
         else:
             t = rng.choice(TAGS)
             attrs = ""
@@ -111,6 +113,21 @@ def gen_xml_doc(rng):
     pre = rng.choice(
         ["", "\n", '<?xml version="1.0" encoding="utf-8"?>\n']
     )
+    if rng.random() < 0.25:
+        # DOCTYPE declarations: skipped decls whose internal subset
+        # must lex bracket-aware (quoted `]>`, nested decls, comments);
+        # entity-error recovery is probed identical with/without one
+        pre += rng.choice(
+            [
+                "<!DOCTYPE root>",
+                '<!DOCTYPE root SYSTEM "missing.dtd">',
+                '<!DOCTYPE root PUBLIC "-//X//Y//EN" "no.dtd">',
+                '<!DOCTYPE root [<!ENTITY c "X">]>',
+                '<!DOCTYPE root SYSTEM "m.dtd" [<!ENTITY c "X">]>',
+                '<!DOCTYPE root [\n<!ENTITY c "tricky ]> val">'
+                "<!-- dtd ]> comment -->\n<!ELEMENT root ANY>]>",
+            ]
+        )
     return f"{pre}<root>{_xml(rng)}</root>{rng.choice(['', chr(10)])}"
 
 
@@ -122,6 +139,26 @@ def _html(rng, depth=0):
             out.append(_text(rng, rng.randint(1, 6)))
         elif r < 0.48:
             out.append(f"<!-- {rng.choice(['c', 'noindex', 'index'])} -->")
+        elif r < 0.53:
+            # libxml2 HTML has NO CDATA sections / generic decls: `<!`
+            # that opens neither a comment nor a DOCTYPE delivers `<`
+            # as literal text and resumes content parsing at the `!`;
+            # `<?` PIs end at the FIRST `>` (probed h1-h10/l1-l3)
+            out.append(
+                rng.choice(
+                    [
+                        "<![CDATA[ hidden words ]]>",
+                        "<![CDATA[zz]]>",
+                        "<!x bogus>",
+                        "<!- y>",
+                        "<!->",
+                        "<!>",
+                        "<?pi data?>",
+                        "<?pi first > rest?>",
+                        "<!DOCTYPE html>",
+                    ]
+                )
+            )
         elif r < 0.56:
             out.append(
                 rng.choice(["<br>", "<br/>", '<img src="x.gif">', "<hr>"])
@@ -187,3 +224,79 @@ def test_fuzz_corpus_matches_compiled_reference(seed, tmp_path):
     assert not failures, "fuzz divergence vs live reference:\n" + "\n".join(
         failures[:10]
     )
+
+
+# Pinned probe corpus from the DOCTYPE / bogus-markup / entity-recovery
+# parity session: every case was first observed against the compiled
+# binary, minimized, and the engine fixed to match. Covers: XML DOCTYPE
+# internal subsets lexing bracket-aware (quoted ]>, nested decls,
+# comments); the external-id (SYSTEM/PUBLIC) entity rescue — a
+# well-formed `&name;` is a benign skip while every other invalid ref
+# still wounds; HTML's bogus `<!…` → literal '<' + resume; HTML
+# PI/DOCTYPE ending at the first '>'; the misplaced-DOCTYPE adjacency
+# (an immediately-following close/DOCTYPE lexes as bogus text); the
+# implied <p> around top-level text; and pre-tree leading-blank drops.
+PINNED_PROBES = {
+    "dt4.xml": '<!DOCTYPE root [<!ENTITY custom "expanded words">]><root>alpha &custom; beta</root>',
+    "e10.xml": '<!DOCTYPE root [<!ENTITY c "X">]><root><title>al &c; be</title>rest</root>',
+    "e12.xml": '<!DOCTYPE root [<!ENTITY c "tricky ]> value">]><root>alpha &c; beta</root>',
+    "s1.xml": '<!DOCTYPE r SYSTEM "m.dtd"><root>al &c; <title>be</title>rest</root>',
+    "s2.xml": '<!DOCTYPE r SYSTEM "m.dtd"><root>al &c; naïve end</root>',
+    "s3.xml": '<!DOCTYPE r SYSTEM "m.dtd"><root>al &c; x<![CDATA[ inner ]]>y</root>',
+    "s5.xml": '<!DOCTYPE r SYSTEM "m.dtd"><root>p&q;r</root>',
+    "s6.xml": '<!DOCTYPE r SYSTEM "m.dtd"><root>al &#zz; be <b>w</b></root>',
+    "s7.xml": '<!DOCTYPE r SYSTEM "m.dtd"><root>al & be <b>w</b></root>',
+    "s8.xml": '<!DOCTYPE r SYSTEM "m.dtd"><root>al &unterminated be <title>w</title></root>',
+    "s9.xml": '<!DOCTYPE r SYSTEM "m.dtd"><root><a>x</b>word<title>t</title></root>',
+    "s10.xml": '<!DOCTYPE r PUBLIC "-//X//Y//EN" "no.dtd"><root>al &c; <title>be</title>rest</root>',
+    "s11.xml": '<!DOCTYPE r SYSTEM "m.dtd" [<!ENTITY z "Z">]><root>al &c; <title>be</title>rest</root>',
+    "s12.xml": '<!DOCTYPE r SYSTEM "m.dtd"><root>al &#0; be <title>w</title></root>',
+    "s14.xml": '<!DOCTYPE r SYSTEM "m.dtd"><root>al &ok; mid &#zz; be <title>w</title></root>',
+    "r1.xml": '<!DOCTYPE root SYSTEM "missing.dtd"><root>x &notit; 3.14 &#65;bc',
+    "q1.xml": '<!DOCTYPE r><root>al &c; a&#66;c</root>',
+    "p1.xml": '<!DOCTYPE r><root>al &c; <title>be</title> rest</root>',
+    "cd1.html": "<p>alpha<![CDATA[ hidden words ]]>beta</p>",
+    "h1.html": "<p>alpha<![CDATA[ hid <b>bold</b> den]]>beta</p>",
+    "h2.html": "<p>alpha<!x junk<b>bold</b>beta</p>",
+    "h6.html": "<p>a<script>x<![CDATA[y]]>z</script>b</p>",
+    "h10.html": "<p>alpha <?pi with <b>inner?> beta</p>",
+    "l3.html": "<!DOCTYPE html [<!ENTITY x 'y'>]><p>alpha</p>",
+    "u2.html": "<!x bogus>word",
+    "u3.html": "< bogus word",
+    "v6.html": "a_b<!DOCTYPE html></table>end",
+    "v7.html": "&lt;x word",
+    "v8.html": "<< x word",
+    "y2.html": "a<!DOCTYPE html></a></b>end",
+    "y4.html": "a<!DOCTYPE html><!DOCTYPE html></p>x",
+    "y7.html": "a<!DOCTYPE html></p><b>w</b>",
+    "z1.html": "<!DOCTYPE a><p>x</p><!DOCTYPE b>y",
+    "z3.html": "x<!doctype lower></table>end",
+    "z4.html": "<head><title>t</title></head><!DOCTYPE html></table>end",
+    "w3.html": "<!-- c --><!DOCTYPE html></p>x",
+    "w5.html": "<html><!DOCTYPE html></p>x",
+    "pi1.html": "<?pi first > rest?>",
+    "k2.html": "<html><head></head>word<div>x</div>",
+}
+
+
+def test_pinned_doctype_and_bogus_markup_probes(tmp_path):
+    binary = _binary()
+    failures = []
+    for name, doc in PINNED_PROBES.items():
+        parser = "XML" if name.endswith(".xml") else "HTML"
+        p = tmp_path / name
+        p.write_text(doc)
+        rt = _ref_tokens(binary, str(p))
+        ot = _our_tokens(str(p), parser)
+        if rt != ot:
+            first = next(
+                ((a, b) for a, b in zip(rt, ot) if a != b),
+                ("len", (len(rt), len(ot))),
+            )
+            failures.append(f"{name} tokens: {first}")
+            continue
+        rb = _ref_buffers(binary, str(p))
+        ob = _our_buffers(str(p), parser)
+        if (_norm(rb[0]), _norm(rb[1])) != (_norm(ob[0]), _norm(ob[1])):
+            failures.append(f"{name} buffers diverge")
+    assert not failures, "pinned probe divergence:\n" + "\n".join(failures)
