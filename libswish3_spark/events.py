@@ -71,8 +71,9 @@ HTML_MARKUP_RE = re.compile(
   | <!(?P<doctype>[Dd][Oo][Cc][Tt][Yy][Pp][Ee][^>]*)(?:>|\Z)
   | <\?(?P<pi>[^>]*)(?:>|\Z)
   | <(?P<close>/)?(?P<name>(?:[:_]|[^\W\d])[^\s<>/]*)
-      (?P<attrs>(?:"[^"]*"|'[^']*'|[^<>"'])*?)
+      (?P<attrs>(?:"[^"]*"|'[^']*'|[^>"'])*?)
       (?P<selfclose>/)?>
+  | <(?P<unterm>/?(?:[:_]|[^\W\d])[^>]*)\Z
     """,
     re.DOTALL | re.VERBOSE,
 )
@@ -247,9 +248,43 @@ def xml_events(text: str):
         yield ("text", xml_unescape(raw), raw)
 
 
-_RAWTEXT_CLOSE = {
-    t: re.compile(rf"</{t}[\s>]", re.IGNORECASE) for t in RAWTEXT_TAGS
-}
+_RAWTEXT_STOP = re.compile(r"</[A-Za-z]")
+
+
+def _rawtext_step(text: str, pos: int, n: int):
+    """One libxml2 script/style scan step from ``pos``.
+
+    The rawtext scan stops at ``</`` + ASCII letter (ANY letter —
+    ``</scr>`` stops a <script> scan; ``</0>`` and ``</ x`` do not,
+    probed rb1-rb7/sc1-sc2). The stop's end tag is then parsed
+    NORMALLY — htmlAutoCloseOnClose applies, so ``</span>`` with span
+    on the stack pops the open script implicitly (probed: zero-token
+    '<span><script></span>…'), a not-open name is a dropped bogus
+    close, and rawtext RESUMES whenever the element survived. The tag
+    is consumed to its first '>', which can swallow even the real
+    ``</script>`` (probe sc1); unterminated at EOF it is dropped.
+
+    Returns (run, close_name, resume): the literal text run, the
+    lowercased end-tag name at the stop (None at EOF), and the offset
+    after the consumed tag.
+    """
+    mm = _RAWTEXT_STOP.search(text, pos)
+    if mm is None:
+        return text[pos:n], None, n
+    s = mm.start()
+    run = text[pos:s]
+    j = s + 2
+    while j < n and (
+        "a" <= text[j] <= "z"
+        or "A" <= text[j] <= "Z"
+        or "0" <= text[j] <= "9"
+        or text[j] in "-_:."
+    ):
+        j += 1
+    gt = text.find(">", s)
+    if gt < 0:
+        return run, None, n  # unterminated close at EOF: dropped
+    return run, text[s + 2 : j].lower(), gt + 1
 
 # libxml2's HTML parser IMPLIES <body> before any flow content that
 # appears without one (htmlParser's implied-element handling): tags in
@@ -290,6 +325,31 @@ def html_events(text: str):
         # libxml2: flow content without a <body> opens one implicitly
         stack.append("body")
         return ("start", "body", [], None, False)
+
+    def _do_close(name):
+        # libxml2 htmlAutoCloseOnClose: an end tag may pop the
+        # elements above its (topmost) match ONLY when none of them
+        # has a HIGHER end priority (htmlEndPriority: div 150 < td
+        # 160 < table 170 < head 180 < body 190 < html 200, default
+        # 100) — '</div>' cannot force a <td> closed, '</td>' cannot
+        # force a <table> closed; such an end tag is IGNORED entirely
+        # (probed matrix vs the compiled binary). A close whose tag is
+        # not open at all is a dropped bogus end tag.
+        if name not in stack:
+            return
+        if stack[-1] != name:
+            idx = len(stack) - 1 - stack[::-1].index(name)
+            pr = _END_PRIORITY.get(name, 100)
+            if any(
+                _END_PRIORITY.get(t, 100) > pr for t in stack[idx + 1 :]
+            ):
+                return
+        # pop everything above, then the element itself
+        while stack:
+            top = stack.pop()
+            yield ("end", top, None)
+            if top == name:
+                break
 
     def _imply_body_p():
         # TEXT outside body implies <body> AND <p> (traced: 'word'
@@ -354,12 +414,22 @@ def html_events(text: str):
         if m.start() < last:
             continue  # inside already-consumed rawtext
         if rawtext_until is not None:
-            mm = _RAWTEXT_CLOSE[rawtext_until].search(text, last)
-            end = mm.start() if mm else n
-            if end > last:
-                yield ("text", text[last:end])
-            last = end
-            rawtext_until = None
+            # closes are processed HERE (not via finditer — a
+            # '<'-spanning tag inside the rawtext can swallow the real
+            # close from the regex's view, probe rc6's 'if(a<b)x');
+            # rawtext resumes until the element actually leaves the
+            # stack (probe re1: '<b>' after a bogus '</scr>' stays
+            # literal; probe m2: '</span>' auto-closes the script)
+            while rawtext_until is not None:
+                run, cname, last = _rawtext_step(text, last, n)
+                if run:
+                    yield ("text", run)
+                if cname is None:
+                    rawtext_until = None
+                else:
+                    yield from _do_close(cname)
+                    if rawtext_until not in stack:
+                        rawtext_until = None
             if m.start() < last:
                 continue
         if m.start() > last:
@@ -396,33 +466,20 @@ def html_events(text: str):
             continue
         if pi is not None:
             continue
+        if name is None:
+            # unterminated tag at EOF (`<p>a<title`): libxml2 drops it
+            # entirely — the element never opens (probes q1-q5)
+            continue
         name = name.lower()
         prolog_done = True
         if close:
-            if name in stack:
-                # libxml2 htmlAutoCloseOnClose: an end tag may pop the
-                # elements above its (topmost) match ONLY when none of
-                # them has a HIGHER end priority (htmlEndPriority:
-                # div 150 < td 160 < table 170 < head 180 < body 190 <
-                # html 200, default 100) — '</div>' cannot force a <td>
-                # closed, '</td>' cannot force a <table> closed; such
-                # an end tag is IGNORED entirely (probed matrix vs the
-                # compiled binary, tests/test_reference_live_parity)
-                if stack[-1] != name:
-                    idx = len(stack) - 1 - stack[::-1].index(name)
-                    pr = _END_PRIORITY.get(name, 100)
-                    if any(
-                        _END_PRIORITY.get(t, 100) > pr
-                        for t in stack[idx + 1 :]
-                    ):
-                        continue
-                # pop everything above, then the element itself
-                while stack:
-                    top = stack.pop()
-                    yield ("end", top, None)
-                    if top == name:
-                        break
-            # bogus end tag: dropped (libxml2 html behavior)
+            # hot path: a properly-nested close (stack top) needs no
+            # auto-close/priority logic — keep it inline
+            if stack and stack[-1] == name:
+                stack.pop()
+                yield ("end", name, None)
+            else:
+                yield from _do_close(name)
             continue
         if name == "body":
             body_seen = True
@@ -453,10 +510,17 @@ def html_events(text: str):
             stack.append(name)
             if name in RAWTEXT_TAGS:
                 rawtext_until = name
-    if rawtext_until is not None:
-        if last < n:
-            yield ("text", text[last:])
-    elif last < n:
+    while rawtext_until is not None:
+        run, cname, last = _rawtext_step(text, last, n)
+        if run:
+            yield ("text", run)
+        if cname is None:
+            rawtext_until = None
+        else:
+            yield from _do_close(cname)
+            if rawtext_until not in stack:
+                rawtext_until = None
+    if last < n:
         # tail text in a markup-free (or post-</html>) document still
         # opens the implied <body> — libxml2 wraps ANY bare flow
         # content, so body's swishdescription alias must see it; a

@@ -433,17 +433,35 @@ def _html_cut_scan(
             if not ignore:
                 text_seen = True
 
+    def do_close(name: str) -> None:
+        # html_events._do_close twin: bogus closes dropped; a real
+        # close pops every element above it, and each popped flush tag
+        # DID flush (implied end events → close_tag)
+        nonlocal text_seen
+        if name in stack:
+            idx = len(stack) - 1 - stack[::-1].index(name)
+            popped = stack[idx:]
+            del stack[idx:]
+            if any(t in flush_tags for t in popped):
+                text_seen = False
+
     for m in HTML_MARKUP_RE.finditer(text):
         if m.start() < last:
             continue
         if rawtext_until is not None:
-            from libswish3_spark.events import _RAWTEXT_CLOSE
+            from libswish3_spark.events import _rawtext_step
 
-            mm = _RAWTEXT_CLOSE[rawtext_until].search(text, last)
-            end = mm.start() if mm else n
-            note_text(text[last:end])
-            last = end
-            rawtext_until = None
+            # closes processed here (html_events twin): rawtext
+            # resumes until the element actually leaves the stack
+            while rawtext_until is not None:
+                run, cname, last = _rawtext_step(text, last, n)
+                note_text(run)
+                if cname is None:
+                    rawtext_until = None
+                else:
+                    do_close(cname)
+                    if rawtext_until not in stack:
+                        rawtext_until = None
             if m.start() < last:
                 continue
         note_text(text[last : m.start()])
@@ -476,19 +494,12 @@ def _html_cut_scan(
             # HTML_MARKUP_RE — they fall into the text slices above,
             # exactly as html_events delivers them as literal text
             continue
+        if m.group("name") is None:
+            continue  # unterminated tag at EOF: dropped (html_events twin)
         name = m.group("name").lower()
         prolog_done = True
         if m.group("close"):
-            # html_events DROPS a close whose tag is not open (bogus
-            # </title> must not clear text_seen — no flush happened);
-            # a real close pops every element above it, and each popped
-            # flush tag DID flush (implied end events → close_tag)
-            if name in stack:
-                idx = len(stack) - 1 - stack[::-1].index(name)
-                popped = stack[idx:]
-                del stack[idx:]
-                if any(t in flush_tags for t in popped):
-                    text_seen = False
+            do_close(name)
             continue
         if name == "meta":
             # <meta name content>: content buffers invisibly to this

@@ -163,18 +163,51 @@ def _html(rng, depth=0):
             out.append(
                 rng.choice(["<br>", "<br/>", '<img src="x.gif">', "<hr>"])
             )
+        elif r < 0.60:
+            # rawtext: scan stops at `</`+letter; non-matching closes
+            # are consumed-and-dropped with rawtext resuming; tags
+            # lex through '<' to the first '>' (probes rb1-7/rc1-7/
+            # sc1-2/g1-7)
+            out.append(
+                rng.choice(
+                    [
+                        "<script>var x = 1;</script>",
+                        "<script>if (a<b && c>d) f();</script>",
+                        "<script>x</scr>y</script>",
+                        "<script>x // </notag, </script>",
+                        "<style>p { color: red }</style>",
+                        "<style>x</styleQ>y</style>",
+                        "<SCRIPT>x</SCRIPT>",
+                    ]
+                )
+            )
         else:
             t = rng.choice(HTML_TAGS)
+            attrs = ""
+            if rng.random() < 0.4:
+                for an in rng.sample(ATTR_NAMES, rng.randint(1, 2)):
+                    # NOT "'word …'": when the tag text lands as
+                    # literal rawtext/bogus content, ='word becomes a
+                    # leading-apostrophe token and the reference's
+                    # strip_utf8_chrs bug corrupts it (see module
+                    # docstring exclusions)
+                    av = rng.choice(
+                        ['"v1"', "' sq v'", "unquoted", '""', ""]
+                    )
+                    attrs += f" {an}={av}" if av else f" {an}"
             inner = _html(rng, depth + 1)
             if rng.random() < 0.12:
-                out.append(f"<{t}>{inner}")  # unclosed
+                out.append(f"<{t}{attrs}>{inner}")  # unclosed
             else:
-                out.append(f"<{t}>{inner}</{t}>")
+                out.append(f"<{t}{attrs}>{inner}</{t}>")
     return "".join(out)
 
 
 def gen_html_doc(rng):
     body = _html(rng)
+    if rng.random() < 0.05:
+        # unterminated tag at EOF: dropped entirely (probes q1-q5)
+        body += rng.choice(["<title x=1", "</b x", "<div", "<script"])
     shape = rng.random()
     if shape < 0.4:
         return (
@@ -276,6 +309,29 @@ PINNED_PROBES = {
     "w5.html": "<html><!DOCTYPE html></p>x",
     "pi1.html": "<?pi first > rest?>",
     "k2.html": "<html><head></head>word<div>x</div>",
+    # rawtext scan: stops at `</`+letter; the end tag there is parsed
+    # NORMALLY (auto-close pops an open script via `</h1>`/`</span>`),
+    # a not-open name is dropped with rawtext RESUMING, the tag is
+    # consumed to its first '>' (can swallow the real `</script>`),
+    # and tags lex through '<' to the first '>' (probes rb/rc/sc/re/g)
+    "rc2.html": "<p>a<script>x y</scriptx>b</p>",
+    "rc6.html": "<p>a<script>if(a<b)x</script>b</p>",
+    "rb1.html": "<p>a<script>x</scr>y</script>b</p>",
+    "rb3.html": "<p>a<script>x</ script>y</script>b</p>",
+    "rb5.html": "<p>a<style>x</styleQ>y</style>b</p>",
+    "re1.html": "<p>a<script>x</scr>y<b>z</b>q</script>w</p>",
+    "sc1.html": "<p>a<script>x // </notag, </script>w</p>",
+    "sc2.html": "<p>a<script>x</0>y</script>w</p>",
+    "m2x.html": "<span><script></span><script>",
+    "hx1.html": '<h1 id="v1" class=\' sq v\'><script></h1><td>',
+    "g1.html": "<p>a</b x<i>y>w</p>",
+    "g2.html": "<p a=x<y>w</p>",
+    "g7.html": "<p>a<b x=1 y=2<i>z>w</p>",
+    # unterminated tags at EOF: dropped entirely (probes q1-q5)
+    "q1x.html": "<p>a<title",
+    "q3x.html": "<p>a</p",
+    "q5x.html": "a<script",
+    "sw1.html": "a<script>x<b)</script>tail words",
 }
 
 
