@@ -289,3 +289,50 @@ def test_xml_events_attr_visibility_rules():
     assert x[5] == [("xi", "http://u")]
     y = evs[1]
     assert y[2] == [] and y[5] == []  # default xmlns: filtered, unbound
+
+
+def test_fuzz_corpus_config_variant_parity(tmp_path):
+    """Seeded fuzz docs (the generator from the fuzz-parity module)
+    compared under the undefined-tags policy configs AND the perl
+    typed-property config — the construct classes the fixture corpus
+    sweep can't reach (DOCTYPEs, bogus markup, rawtext, attribute
+    shapes) interacting with attr-metaname minting and noindex resets.
+    Reference crashes (the auto-policy double free, a reference bug)
+    are skipped: survival parity only there."""
+    import random
+
+    from test_reference_live_fuzz_parity import gen_html_doc, gen_xml_doc
+
+    binary = _binary()
+    confs = [
+        os.path.join(TEST_CONFIGS, "undeftags-auto.conf"),
+        os.path.join(TEST_CONFIGS, "undeftags-index.conf"),
+        os.path.join(TEST_CONFIGS, "undeftags-ignore.conf"),
+        PERL_T_CONF,
+    ]
+    rng = random.Random(20240817)
+    failures, checked = [], 0
+    for i in range(12):
+        for kind, parser, gen in (
+            ("xml", "XML", gen_xml_doc),
+            ("html", "HTML", gen_html_doc),
+        ):
+            p = tmp_path / f"cfuzz{i}.{kind}"
+            p.write_text(gen(rng))
+            for conf in confs:
+                extra = ("--config", conf)
+                r = subprocess.run(
+                    [binary, "--tokenize", "1", *extra, "--xinclude", "0", str(p)],
+                    capture_output=True,
+                    env=_ENV,
+                )
+                if r.returncode != 0:
+                    continue  # reference double-free: skip
+                failures += _compare(
+                    binary, str(p), parser, _load_conf(conf), extra
+                )
+                checked += 1
+    assert checked >= 50
+    assert not failures, "config-variant fuzz divergence:\n" + "\n".join(
+        failures[:10]
+    )
