@@ -356,3 +356,109 @@ def test_pinned_doctype_and_bogus_markup_probes(tmp_path):
         if (_norm(rb[0]), _norm(rb[1])) != (_norm(ob[0]), _norm(ob[1])):
             failures.append(f"{name} buffers diverge")
     assert not failures, "pinned probe divergence:\n" + "\n".join(failures)
+
+
+def test_xinclude_fuzz_matches_compiled_reference(tmp_path):
+    """Seeded random XInclude trees (plain/metaname/nested-includer/
+    parse="text"/missing-href children, mixed 2001/2003 namespaces like
+    the fixtures) expanded with --xinclude 1 and compared
+    token-for-token through the postings kernel's include_map path."""
+    import os
+    import subprocess
+
+    import pyarrow as pa
+
+    from libswish3_spark.config import default_config
+    from libswish3_spark.operators.postings import postings_batch_fn
+    from test_reference_live_parity import _BLOCK, _ENV
+
+    binary = _binary()
+    rng = random.Random(20240818)
+    d = str(tmp_path)
+    words = ["hello", "world", "alpha", "beta", "don't", "x1", "naïve"]
+
+    def txt(k):
+        return " ".join(rng.choice(words) for _ in range(k))
+
+    files = {
+        "childa.xml": f'<?xml version="1.0"?>\n<ca>{txt(4)}<b>{txt(2)}</b></ca>\n',
+        "childb.xml": f"<cb><title>{txt(2)}</title>{txt(3)}</cb>",
+        "childn.xml": (
+            '<cn xmlns:xi="http://www.w3.org/2003/XInclude">'
+            f'{txt(2)} <xi:include href="childa.xml"/> {txt(1)}</cn>'
+        ),
+        "childt.txt": txt(5) + "\n",
+    }
+    for n, c in files.items():
+        (tmp_path / n).write_text(c)
+    include_map = {
+        os.path.join(d, n): (c, "TXT" if n.endswith(".txt") else "XML")
+        for n, c in files.items()
+    }
+    pool = [
+        '<xi:include href="childa.xml"/>',
+        '<xi:include href="childb.xml"/>',
+        '<xi:include href="childn.xml"/>',
+        '<xi:include href="childt.txt" parse="text"/>',
+        '<xi:include href="childa.xml" parse="text"/>',
+        '<xi:include href="/tmp/definitely_missing_xyz.xml"/>',
+    ]
+    span_type = pa.struct(
+        [("kind", pa.string()), ("text", pa.string()),
+         ("media_ref", pa.string()), ("offset", pa.int32())]
+    )
+    failures = []
+    for i in range(8):
+        parts = [f" {txt(rng.randint(1, 4))} "]
+        for _ in range(rng.randint(1, 4)):
+            parts.append(rng.choice(pool))
+            parts.append(f" {txt(rng.randint(0, 3))} ")
+            if rng.random() < 0.3:
+                parts.append(f"<sect>{txt(2)}</sect>")
+        doc = (
+            rng.choice(["", '<?xml version="1.0"?>\n'])
+            + '<doc xmlns:xi="http://www.w3.org/2001/XInclude">'
+            + "".join(parts)
+            + "</doc>\n"
+        )
+        p = os.path.join(d, f"parent{i}.xml")
+        open(p, "w").write(doc)
+        r = subprocess.run(
+            [binary, "--tokenize", "1", "--xinclude", "1", p],
+            capture_output=True, env=_ENV,
+        )
+        assert r.returncode == 0
+        err = r.stderr.decode("utf-8", errors="replace")
+        part = err.split("swish_token_list_debug:", 1)
+        part = part[1] if len(part) > 1 else part[0]
+        ref = [
+            (int(pp), c, m, int(o), int(ln), v)
+            for pp, c, m, o, ln, v in (x.groups() for x in _BLOCK.finditer(part))
+        ]
+        batch = pa.RecordBatch.from_arrays(
+            [
+                pa.array([p]),
+                pa.array(
+                    [[{"kind": "text", "text": doc, "media_ref": "",
+                       "offset": 0}]],
+                    pa.list_(span_type),
+                ),
+                pa.array(["XML"]),
+            ],
+            names=["doc_id", "spans", "parser"],
+        )
+        out = pa.Table.from_batches(
+            list(postings_batch_fn(default_config(), include_map)([batch]))
+        )
+        ours = list(zip(
+            out["pos"].to_pylist(), out["context"].to_pylist(),
+            out["metaname"].to_pylist(), out["offset"].to_pylist(),
+            out["len"].to_pylist(), out["term"].to_pylist(),
+        ))
+        if ref != ours:
+            first = next(
+                ((a, b) for a, b in zip(ref, ours) if a != b),
+                ("len", (len(ref), len(ours))),
+            )
+            failures.append(f"parent{i}: {first}")
+    assert not failures, "xinclude fuzz divergence:\n" + "\n".join(failures)
