@@ -67,7 +67,7 @@ MARKUP_RE = re.compile(
 # the `<b`). Constructs absent here simply fall into the text slices.
 HTML_MARKUP_RE = re.compile(
     r"""
-    <!--(?P<comment>.*?)(?:-->|\Z)
+    <!--(?P<comment>.*?)(?:--!?>|\Z)
   | <!(?P<doctype>[Dd][Oo][Cc][Tt][Yy][Pp][Ee][^>]*)(?:>|\Z)
   | <\?(?P<pi>[^>]*)(?:>|\Z)
   | <(?P<close>/)?(?P<name>(?:[:_]|[^\W\d])[^\s<>/]*)
@@ -155,6 +155,43 @@ def html_unescape(s: str) -> str:
     return s
 
 
+def html_attr_unescape(s: str) -> str:
+    """Entity resolution inside ATTRIBUTE values — one probed
+    difference from content (html_unescape): a malformed charref
+    (`&#zz;`) or a numeric ref to NUL/a surrogate/past U+10FFFF
+    TRUNCATES the value at the ref (content merely drops the ref's
+    bytes); named/valid-numeric/semicolon-less forms behave exactly
+    like content (probes a1-a12 vs the compiled reference)."""
+    if "&" not in s:
+        return s
+    out = []
+    pos = 0
+    while True:
+        i = s.find("&", pos)
+        if i < 0:
+            out.append(s[pos:])
+            break
+        m = _HTML_REF_RE.match(s, i)
+        if m is None:
+            if _HTML_BAD_CHARREF_RE.match(s, i):
+                out.append(s[pos:i])  # malformed charref: truncate
+                break
+            out.append(s[pos : i + 1])  # bare '&': literal
+            pos = i + 1
+            continue
+        name = m.group(3)
+        out.append(s[pos:i])
+        if name is not None:
+            out.append(HTML_ENTITIES.get(name, m.group(0)))
+        else:
+            cp = int(m.group(1), 16) if m.group(1) else int(m.group(2))
+            if cp == 0 or 0xD800 <= cp <= 0xDFFF or cp > 0x10FFFF:
+                break  # invalid codepoint: truncate
+            out.append(chr(cp))
+        pos = m.end()
+    return "".join(out)
+
+
 def _parse_attrs(raw: str, unescape) -> list[tuple[str, str]]:
     if not raw or "=" not in raw and not raw.strip():
         return []
@@ -185,6 +222,8 @@ def xml_events(text: str):
     """
     pos = 0
     for m in MARKUP_RE.finditer(text):
+        if m.start() < pos:
+            continue  # inside a fatal comment's extended consumption
         if m.start() > pos:
             raw = text[pos : m.start()]
             yield ("text", xml_unescape(raw), raw)
@@ -197,6 +236,22 @@ def xml_events(text: str):
             )
         )
         if comment is not None:
+            if "--" in comment or comment.endswith("-"):
+                # XML forbids '--' inside a comment (and a '-' right
+                # before the terminator): libxml2 fatals — NO comment
+                # callback, consumption resyncs at the next '-->'
+                # AFTER the offending hyphens (EOF if none), and the
+                # parse is WOUNDED from there: element callbacks stop,
+                # text keeps flowing wound-style ('a<!-- x -- y -->'
+                # '<title>t</title>b' indexes the merged 'atb'; probes
+                # c7/d1-d6/e1-e5 vs the compiled reference)
+                cstart = m.start() + 4
+                q = comment.find("--")
+                bad_abs = cstart + (q if q >= 0 else len(comment) - 1)
+                nxt = text.find("-->", bad_abs + 2)
+                pos = nxt + 3 if nxt >= 0 else len(text)
+                yield ("wound",)
+                continue
             yield ("comment", comment)
         elif cdata is not None:
             yield ("text", cdata, None)  # None raw: CDATA (see above)
@@ -498,7 +553,7 @@ def html_events(text: str):
         if rawattrs:
             attrs = [
                 (k.lower(), v)
-                for k, v in _parse_attrs(rawattrs, html_unescape)
+                for k, v in _parse_attrs(rawattrs, html_attr_unescape)
             ]
         else:
             attrs = []

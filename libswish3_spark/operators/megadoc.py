@@ -511,9 +511,9 @@ def _html_cut_scan(
             # unconditional); undefined (default policy: index) →
             # non-empty content joins the CURRENT buffer when not
             # suppressed by noindex.
-            from libswish3_spark.events import _parse_attrs, html_unescape
+            from libswish3_spark.events import _parse_attrs, html_attr_unescape
 
-            attrs = _parse_attrs(m.group("attrs") or "", html_unescape)
+            attrs = _parse_attrs(m.group("attrs") or "", html_attr_unescape)
             metaname = next((v for k, v in attrs if k == "name"), None)
             metacontent = next((v for k, v in attrs if k == "content"), None)
             if metaname is not None and metacontent is not None:
@@ -918,7 +918,13 @@ def _xml_cut_scan(
             return [], [], None
         last = m.end()
         if m.group("comment") is not None:
-            t = m.group("comment").strip()
+            c = m.group("comment")
+            if "--" in c or c.endswith("-"):
+                # double-hyphen comment: fatal wound (xml_events yields
+                # ("wound",)) — segments have no phase gate, so the
+                # document must run unsegmented
+                return [], [], None
+            t = c.strip()
             if t.lower().startswith("swishcommand"):
                 t = t[len("swishcommand") :].strip()
             tl = t.lower()

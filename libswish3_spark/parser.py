@@ -931,6 +931,13 @@ def _consume_markup(
             # external-id DOCTYPE seen: benign-skip entity recovery
             if xml_depth is not None and len(xml_depth) > 2:
                 xml_depth[2] = 1
+        elif k == "wound":
+            # scanner-detected fatal (double-hyphen comment): same
+            # phase-3 wound as a mismatched close — works pre-root too
+            # ('<!-- x -- y --><root>a<title>t</title>b' indexes the
+            # merged 'atb', probe e1)
+            if phased:
+                xml_depth[1] = 3
 
 
 def _process_xinclude(state: DocState, attrs, include_resolver) -> None:

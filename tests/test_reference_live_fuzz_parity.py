@@ -89,7 +89,15 @@ def _xml(rng, depth=0):
             c = rng.choice(
                 ["a comment", "noindex", "index", "SwishCommand noindex"]
             )
-            out.append(f"<!-- {c} -->")
+            if rng.random() < 0.06:
+                # double-hyphen / trailing-hyphen comments: FATAL wound
+                # (no callback, resync at the next '-->'; probes
+                # c7/d1-d6/e1-e5) — rare so they don't starve coverage
+                out.append(rng.choice(
+                    [f"<!-- {c} -- bad -->", f"<!-- {c} --->"]
+                ))
+            else:
+                out.append(f"<!-- {c} -->")
         elif r < 0.5:
             out.append(f"<![CDATA[{_text(rng, 2)}]]>")
         elif r < 0.52:
@@ -138,7 +146,9 @@ def _html(rng, depth=0):
         if r < 0.4 or depth >= 4:
             out.append(_text(rng, rng.randint(1, 6)))
         elif r < 0.48:
-            out.append(f"<!-- {rng.choice(['c', 'noindex', 'index'])} -->")
+            # --!> is a valid HTML comment terminator (probes c5/d7/d9)
+            term = "--!>" if rng.random() < 0.15 else "-->"
+            out.append(f"<!-- {rng.choice(['c', 'noindex', 'index'])} {term}")
         elif r < 0.53:
             # libxml2 HTML has NO CDATA sections / generic decls: `<!`
             # that opens neither a comment nor a DOCTYPE delivers `<`
@@ -328,6 +338,20 @@ PINNED_PROBES = {
     "g2.html": "<p a=x<y>w</p>",
     "g7.html": "<p>a<b x=1 y=2<i>z>w</p>",
     # unterminated tags at EOF: dropped entirely (probes q1-q5)
+    # attribute-value entity rules: malformed / invalid-codepoint
+    # charrefs TRUNCATE the value (content merely drops the ref bytes)
+    "av1.html": '<meta name="author" content="x &#zz; y"><p>w</p>',
+    "av2.html": '<meta name="author" content="x &#0; y"><p>w</p>',
+    "av3.html": '<meta name="author" content="x &broken; &#66; &amp y"><p>w</p>',
+    "av4.html": '<meta name="author" content="&#zz;  foo.bar"><p>w</p>',
+    # comment terminators / fatal double-hyphen comments
+    "cm1.html": "<p>a<!-- x --!>b</p>",
+    "cm2.html": "<p>a<!-- noindex --!>hidden<!-- index -->shown</p>",
+    "cm3.xml": "<root>a<!-- x -- y --><title>t</title>b</root>",
+    "cm4.xml": "<root>a<!-- x -- y --><!-- z -->b<title>t</title></root>",
+    "cm5.xml": "<root>a<!--- x --->b<title>t</title></root>",
+    "cm6.xml": "<!-- x -- y --><root>a<title>t</title>b</root>",
+    "cm7.xml": "<root>a<!-- x --!>b</root>",
     "q1x.html": "<p>a<title",
     "q3x.html": "<p>a</p",
     "q5x.html": "a<script",
