@@ -192,6 +192,76 @@ def html_attr_unescape(s: str) -> str:
     return "".join(out)
 
 
+# a reference libxml2 accepts without erroring: the 5 predefined
+# entities, or a numeric charref (validity of the codepoint is checked
+# separately — 0/surrogates/out-of-range are fatal)
+_VALID_REF_RE = re.compile(r"&(?:#(\d+);|#[xX]([0-9a-fA-F]+);|(amp|lt|gt|quot|apos);)")
+_BAD_NAMED_REF_RE = re.compile(r"&[A-Za-z_:][A-Za-z0-9._:-]*;?")
+# a syntactically complete `&name;` — the only invalid-ref shape an
+# external-id DTD rescues (it might define the entity); everything
+# else wounds even then (probed s6-s8/s12-s13, attrs z1-z6)
+_WF_NAMED_REF_RE = re.compile(r"&[A-Za-z_:][A-Za-z0-9._:-]*;")
+_BAD_NUM_REF_RE = re.compile(r"&#(?:[xX][0-9a-fA-F]*|\d*)")
+# well-formed named refs that are NOT predefined — the shape an
+# external-id DTD rescue strips from attribute values (probe z3/z6)
+_SOFT_REF_STRIP_RE = re.compile(
+    r"&(?!(?:amp|lt|gt|quot|apos);)[A-Za-z_:][A-Za-z0-9._:-]*;"
+)
+
+
+def _bad_ref_consumed(raw: str, i: int) -> int:
+    """How many bytes libxml2 eats for the malformed/undefined ref at
+    raw[i] (== '&'), mapped empirically: '&broken;' → all 8, '&foo '
+    → 4 (name, no ';'), '&#zz;' → 2 (just '&#'), '&;'/'& ' → 1."""
+    m = _BAD_NAMED_REF_RE.match(raw, i)
+    if m:
+        return m.end() - i
+    m = _BAD_NUM_REF_RE.match(raw, i)
+    if m:
+        return m.end() - i
+    return 1
+
+
+def _first_invalid_ref(raw: str) -> tuple[int, int] | None:
+    """(offset, consumed) of the first '&' that libxml2 fatals on in
+    content — an undefined/unterminated entity, a malformed charref,
+    or a numeric ref to NUL/a surrogate/past U+10FFFF — else None."""
+    pos = 0
+    while True:
+        i = raw.find("&", pos)
+        if i < 0:
+            return None
+        m = _VALID_REF_RE.match(raw, i)
+        if m:
+            if m.group(3):
+                pos = m.end()
+                continue
+            cp = int(m.group(1)) if m.group(1) else int(m.group(2), 16)
+            if 0 < cp <= 0x10FFFF and not (0xD800 <= cp <= 0xDFFF):
+                pos = m.end()
+                continue
+            return i, m.end() - i  # well-shaped, invalid codepoint
+        return i, _bad_ref_consumed(raw, i)
+
+
+def _attr_ref_badness(v: str) -> int:
+    """0 = no invalid refs in this raw attr value; 1 = only well-formed
+    `&name;` refs (an external-id DTD rescues these, probe z3/z6);
+    2 = a malformed/bare/invalid-numeric ref (wounds even then)."""
+    badness = 0
+    pos = 0
+    while True:
+        bad = _first_invalid_ref(v[pos:])
+        if bad is None:
+            return badness
+        i, consumed = bad
+        if _WF_NAMED_REF_RE.match(v, pos + i):
+            badness = 1
+            pos += i + consumed
+        else:
+            return 2
+
+
 def _parse_attrs(raw: str, unescape) -> list[tuple[str, str]]:
     if not raw or "=" not in raw and not raw.strip():
         return []
@@ -287,15 +357,52 @@ def xml_events(text: str):
                 # first one with an empty value.
                 attrs = []
                 nsdecls = []
-                for k, v in _parse_attrs(rawattrs or "", xml_unescape):
-                    if k.startswith("xmlns"):
-                        if k.startswith("xmlns:"):
-                            nsdecls.append((k[6:], v))
-                        continue
-                    if v == "":
-                        break
-                    attrs.append((k, v))
-                yield ("start", local, attrs, prefix, bool(selfclose), nsdecls)
+                badattr = 0
+                if rawattrs and "&" in rawattrs:
+                    # an invalid entity ref in an ATTRIBUTE value wounds
+                    # the parse AT THE START TAG — the element fires no
+                    # callbacks, its attrs are never indexed (probes
+                    # x1-x7/y1-y7/z1-z7 under the attr-indexing config).
+                    # An external-id DTD rescues only well-formed
+                    # `&name;` refs: the value is kept with those refs
+                    # stripped. Raw-value scan first, then unescape.
+                    raw_pairs = _parse_attrs(rawattrs, str)
+                    for k, v in raw_pairs:
+                        b = _attr_ref_badness(v)
+                        if b > badattr:
+                            badattr = b
+                            if b == 2:
+                                break
+                    for k, v in raw_pairs:
+                        if badattr == 1:
+                            v = _SOFT_REF_STRIP_RE.sub("", v)
+                        v = xml_unescape(v)
+                        if k.startswith("xmlns"):
+                            if k.startswith("xmlns:"):
+                                nsdecls.append((k[6:], v))
+                            continue
+                        if v == "":
+                            break
+                        attrs.append((k, v))
+                else:
+                    for k, v in _parse_attrs(rawattrs or "", xml_unescape):
+                        if k.startswith("xmlns"):
+                            if k.startswith("xmlns:"):
+                                nsdecls.append((k[6:], v))
+                            continue
+                        if v == "":
+                            break
+                        attrs.append((k, v))
+                if badattr:
+                    yield (
+                        "start", local, attrs, prefix,
+                        bool(selfclose), nsdecls, badattr,
+                    )
+                else:
+                    yield (
+                        "start", local, attrs, prefix,
+                        bool(selfclose), nsdecls,
+                    )
                 if selfclose:
                     yield ("end", local, prefix)
     if pos < len(text):

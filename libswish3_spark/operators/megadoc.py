@@ -948,6 +948,17 @@ def _xml_cut_scan(
             # invalid ref already routes unsegmented via note_text
             continue
         name = m.group("name")
+        rawattrs = m.group("attrs")
+        if rawattrs and "&" in rawattrs:
+            from libswish3_spark.events import _first_invalid_ref
+
+            if _first_invalid_ref(rawattrs) is not None:
+                # invalid ref in an attribute value wounds the parse AT
+                # the start tag (events.xml_events badattr path) —
+                # segments have no phase gate, run unsegmented.
+                # Conservative: scans the raw attr region, so a '&' in
+                # an attr NAME also refuses (harmless, just unsegmented)
+                return [], [], None
         if m.group("close"):
             if not names or names[-1] != name:
                 return [], [], None  # malformed: refuse to segment

@@ -47,7 +47,15 @@ from libswish3_spark.config import (
     Property,
     default_config,
 )
-from libswish3_spark.events import _ENT_RE, html_events, xml_events, xml_unescape
+from libswish3_spark.events import (
+    _ENT_RE,
+    _bad_ref_consumed,
+    _first_invalid_ref,
+    _WF_NAMED_REF_RE,
+    html_events,
+    xml_events,
+    xml_unescape,
+)
 from libswish3_spark.htmltags import INLINE_TAGS, KNOWN_TAGS
 from libswish3_spark.tokenizer import resolve_tokenizer, split_tokens
 
@@ -651,53 +659,6 @@ def parse_to_state(
 
 
 _NON_ASCII_RE = re.compile(r"[^\x00-\x7f]")
-# a reference libxml2 accepts without erroring: the 5 predefined
-# entities, or a numeric charref (validity of the codepoint is checked
-# separately — 0/surrogates/out-of-range are fatal)
-_VALID_REF_RE = re.compile(r"&(?:#(\d+);|#[xX]([0-9a-fA-F]+);|(amp|lt|gt|quot|apos);)")
-_BAD_NAMED_REF_RE = re.compile(r"&[A-Za-z_:][A-Za-z0-9._:-]*;?")
-# a syntactically complete `&name;` — the only invalid-ref shape an
-# external-id DTD rescues (it might define the entity); everything
-# else wounds even then (probed s6-s8/s12-s13)
-_WF_NAMED_REF_RE = re.compile(r"&[A-Za-z_:][A-Za-z0-9._:-]*;")
-_BAD_NUM_REF_RE = re.compile(r"&#(?:[xX][0-9a-fA-F]*|\d*)")
-
-
-def _bad_ref_consumed(raw: str, i: int) -> int:
-    """How many bytes libxml2 eats for the malformed/undefined ref at
-    raw[i] (== '&'), mapped empirically: '&broken;' → all 8, '&foo '
-    → 4 (name, no ';'), '&#zz;' → 2 (just '&#'), '&;'/'& ' → 1."""
-    m = _BAD_NAMED_REF_RE.match(raw, i)
-    if m:
-        return m.end() - i
-    m = _BAD_NUM_REF_RE.match(raw, i)
-    if m:
-        return m.end() - i
-    return 1
-
-
-def _first_invalid_ref(raw: str) -> tuple[int, int] | None:
-    """(offset, consumed) of the first '&' that libxml2 fatals on in
-    content — an undefined/unterminated entity, a malformed charref,
-    or a numeric ref to NUL/a surrogate/past U+10FFFF — else None."""
-    pos = 0
-    while True:
-        i = raw.find("&", pos)
-        if i < 0:
-            return None
-        m = _VALID_REF_RE.match(raw, i)
-        if m:
-            if m.group(3):
-                pos = m.end()
-                continue
-            cp = int(m.group(1)) if m.group(1) else int(m.group(2), 16)
-            if 0 < cp <= 0x10FFFF and not (0xD800 <= cp <= 0xDFFF):
-                pos = m.end()
-                continue
-            return i, m.end() - i  # well-shaped, invalid codepoint
-        return i, _bad_ref_consumed(raw, i)
-
-
 def _wounded_text(raw: str) -> str:
     """Post-fatal text delivery (libxml2 2.13, no recovery), mapped
     empirically: ALL reference tokens disappear (valid ones too — the
@@ -877,6 +838,19 @@ def _consume_markup(
                     continue
             state.buffer_characters(ev[1])
         elif k == "start":
+            if phased and len(ev) > 6 and (ev[6] > 1 or not xml_depth[2]):
+                # invalid ref in an ATTRIBUTE value: the parse wounds
+                # AT this start tag — no callbacks for the element,
+                # silent depth push, wound-mode delivery from here
+                # (probes x1-x7/z1-z7; an external-id DTD rescues only
+                # well-formed `&name;` refs — badness 1 — in which
+                # case the scanner already stripped them and we fall
+                # through to a normal start)
+                xml_depth[1] = 3
+                # always push: a self-closing tag's SYNTHETIC end event
+                # (and a real close later) pops it back in wound mode
+                xml_depth[0] += 1
+                continue
             if xml_depth is not None:
                 if phased:
                     if xml_depth[1] == 0:

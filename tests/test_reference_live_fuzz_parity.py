@@ -106,7 +106,17 @@ def _xml(rng, depth=0):
             t = rng.choice(TAGS)
             attrs = ""
             for an in rng.sample(ATTR_NAMES, rng.randint(0, 3)):
-                av = rng.choice(["v1", "", "Two Words", "don't", "ü"])
+                if rng.random() < 0.04:
+                    # invalid ref in an attr value: wounds AT the start
+                    # tag; an external-id DTD rescues `&name;` only
+                    # (probes x/y/z series) — rare to keep coverage
+                    av = rng.choice(
+                        ["p &broken; q", "p &#zz; q", "p & q", "p &#0; q"]
+                    )
+                else:
+                    av = rng.choice(
+                        ["v1", "", "Two Words", "don't", "ü", "p &amp; q"]
+                    )
                 attrs += f' {an}="{av}"'
             if rng.random() < 0.15:
                 out.append(f"<{t}{attrs}/>")
@@ -338,6 +348,17 @@ PINNED_PROBES = {
     "g2.html": "<p a=x<y>w</p>",
     "g7.html": "<p>a<b x=1 y=2<i>z>w</p>",
     # unterminated tags at EOF: dropped entirely (probes q1-q5)
+    # XML: an invalid ref in an ATTRIBUTE value wounds AT the start
+    # tag (no callbacks for the element); an external-id DTD rescues
+    # well-formed &name; refs only (value kept, refs stripped)
+    "ax1.xml": '<root><foo a="p &c; q">w</foo><title>t</title></root>',
+    "ax2.xml": '<root>pre<foo a="p &broken; q">w</foo>post</root>',
+    "ax3.xml": '<root><foo a="p &broken; q"><bar>in</bar></foo>post</root>',
+    "ax4.xml": '<root><foo a="p &#66; q"><title>t</title></foo></root>',
+    "ax5.xml": '<!DOCTYPE r SYSTEM "m.dtd"><root><foo a="p &c; q">w</foo><title>t</title></root>',
+    "ax6.xml": '<!DOCTYPE r SYSTEM "m.dtd"><root><foo a="p &#zz; q">w</foo><title>t</title></root>',
+    "ax7.xml": '<root>a<span id="p & q"/>trailing</root>',
+    "ax8.xml": '<!DOCTYPE r [<!ENTITY c "X">]><root><foo a="p &c; q">w</foo><title>t</title></root>',
     # attribute-value entity rules: malformed / invalid-codepoint
     # charrefs TRUNCATE the value (content merely drops the ref bytes)
     "av1.html": '<meta name="author" content="x &#zz; y"><p>w</p>',
