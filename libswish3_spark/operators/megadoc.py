@@ -417,6 +417,16 @@ def _html_cut_scan(
     # open/close of a meta-defined tag empties the parser's buffer, so
     # only text after the latest flush leaves a pending bumper at a cut
     text_seen = False
+    # bump_word twin (parser.c:399-424): each KNOWN tag open/close
+    # overwrites bump_word — an INLINE tag between a cut tag and the
+    # next text CANCELS the cut tag's bump, so the single pass FUSES
+    # the token across the cut ('</script><td><script>var' glues
+    # 'xy'+'var'). A seeded cut is provisional until the next buffered
+    # text confirms the bump survived; otherwise it is cancelled
+    # (fuzz-caught vs the plain parse).
+    bump = True
+    pending_cuts = 0
+    pending_prev_seg = 0
     # misplaced-DOCTYPE adjacency (events.html_events twin): after a
     # mid-content DOCTYPE, an immediately-adjacent close/DOCTYPE lexes
     # as bogus text, so it must not pop the stack here
@@ -424,26 +434,42 @@ def _html_cut_scan(
     bogus_at = -1
 
     def note_text(s: str) -> None:
-        nonlocal text_seen, prolog_done
+        nonlocal text_seen, prolog_done, bump, pending_cuts, seg_start
         if s:
             # pre-tree whitespace-only text is ignorable (html_events
             # drops it) — it must not mark the prolog as done
             if s.strip() or stack:
                 prolog_done = True
             if not ignore:
+                if pending_cuts and not bump and not s[0].isspace():
+                    # the single pass reaches this text with NO pending
+                    # bump (an inline tag cancelled the cut tag's) and
+                    # a non-empty buffer: the token FUSES across the
+                    # provisional cut(s) — cancel them
+                    del cuts[-pending_cuts:]
+                    del seeds[-pending_cuts:]
+                    del chains[-pending_cuts:]
+                    seg_start = pending_prev_seg
+                pending_cuts = 0
                 text_seen = True
+                bump = False
 
     def do_close(name: str) -> None:
         # html_events._do_close twin: bogus closes dropped; a real
         # close pops every element above it, and each popped flush tag
-        # DID flush (implied end events → close_tag)
-        nonlocal text_seen
+        # DID flush (implied end events → close_tag). The LAST pop
+        # re-bakes the named tag: bump_word follows its inline rule
+        # (dropped bogus closes leave bump untouched — 'a_b</table>end'
+        # fuses in the binary)
+        nonlocal text_seen, bump
         if name in stack:
             idx = len(stack) - 1 - stack[::-1].index(name)
             popped = stack[idx:]
             del stack[idx:]
             if any(t in flush_tags for t in popped):
                 text_seen = False
+            if name in KNOWN_TAGS:
+                bump = name not in INLINE_TAGS
 
     for m in HTML_MARKUP_RE.finditer(text):
         if m.start() < last:
@@ -521,6 +547,14 @@ def _html_cut_scan(
                     text_seen = False
                 elif metacontent and ignore == 0:
                     text_seen = True
+                if ignore == 0:
+                    # content buffers (even empty) → eats any pending
+                    # bump; it lands in its own metaname bucket, so no
+                    # fusion with the main buffer — just resolve cuts
+                    pending_cuts = 0
+                    bump = False
+            elif name in KNOWN_TAGS:
+                bump = name not in INLINE_TAGS
             continue
         # cut BEFORE this start tag if, after its implied closes, only
         # html/body remain open — i.e. it begins a top-level body child
@@ -551,7 +585,18 @@ def _html_cut_scan(
             cuts.append(m.start())
             seeds.append(int(text_seen))
             chains.append(tuple(stack[:peek]))
+            if text_seen:
+                # provisional: if an inline tag cancels this tag's bump
+                # before the next text, the single pass fuses a token
+                # across this boundary and note_text cancels the cut
+                if pending_cuts == 0:
+                    pending_prev_seg = seg_start
+                pending_cuts += 1
             seg_start = m.start()
+        if name in ("br", "img"):
+            bump = True
+        elif name in KNOWN_TAGS:
+            bump = name not in INLINE_TAGS
         if name in flush_tags:
             text_seen = False  # open_tag flushes before pushing
         if closers:
@@ -902,7 +947,11 @@ def _xml_cut_scan(
         # whole-doc parse (parser phase 3) and segments (no phase gate)
         # would diverge from that.
         nonlocal text_seen
-        if s and not ignore:
+        # depth-0 text NEVER reaches the buffer (libxml2 fires no
+        # characters() outside the root): prolog whitespace must not
+        # flag a pending bumper or the first cut's seed over-pays a
+        # position gap (fuzz-caught: '<?xml?>\n<!DOCTYPE r><root>…')
+        if s and not ignore and depth > 0:
             text_seen = True
         if depth == 0 and s.strip():
             return True

@@ -861,3 +861,51 @@ def test_segmented_mega_xml_matches_compiled_reference_live(spark, tmp_path):
     row = extract_xml_segmented(docs, seg_chars=4096).collect()[0]
     ours = [(s["text"], s["order"]) for s in row["spans"] if s["kind"] == "word"]
     assert ours == ref
+
+
+def test_segmentation_fuzz_parity_live_generator_constructs(spark):
+    """Segmented-vs-plain parity over the LIVE-parity fuzz generators —
+    DOCTYPEs (bracket subsets, external ids), bogus `<!` markup, HTML
+    PIs/`--!>` comments, rawtext with non-matching closes, invalid
+    entity refs in content AND attr values, fatal double-hyphen
+    comments. This sweep caught two real cut-scanner bugs: prolog
+    whitespace flagging a pending bumper (depth-0 text never buffers),
+    and a seeded cut surviving an inline tag that cancels the cut
+    tag's bump before the next text (the single pass fuses the token
+    across the cut — '</script><td><script>var' glues 'xy'+'var')."""
+    import random
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_reference_live_fuzz_parity import gen_html_doc, gen_xml_doc
+
+    from libswish3_spark.operators.megadoc import (
+        extract_html_segmented,
+        extract_xml_segmented,
+    )
+
+    rng = random.Random(1234)
+    for gen, parser, seg_fn in (
+        (gen_xml_doc, "XML", extract_xml_segmented),
+        (gen_html_doc, "HTML", extract_html_segmented),
+    ):
+        rows = []
+        for i in range(60):
+            rows.append(
+                {
+                    "doc_id": f"f{i}",
+                    "spans": [
+                        {"kind": "text", "text": gen(rng),
+                         "media_ref": "", "offset": 0}
+                    ],
+                }
+            )
+        docs = spark.createDataFrame(rows, schema=DOCS_SCHEMA)
+        plain = _spans(lsw.extract(docs.withColumn("parser", F.lit(parser))))
+        for sc in (16, 120):
+            seg = _spans(seg_fn(docs, seg_chars=sc))
+            assert seg == plain, (
+                parser,
+                sc,
+                [k for k in plain if seg.get(k) != plain[k]][:3],
+            )
