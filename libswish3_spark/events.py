@@ -82,6 +82,14 @@ ATTR_RE = re.compile(
     r"""([^\s=/'"<>]+)(?:\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]*)))?""",
 )
 
+# Decode-level wound marker (sources.files._decode): an invalid byte
+# under an effective UTF-8 encoding is FATAL to a libxml2 XML parse —
+# text before the byte delivers, the rest of that text run DROPS, and
+# the parse wounds (probed m4/m5/t1: '<root>na\xefve <b>rest</b> more'
+# indexes 'narest', 'more'). The marker is a private-use char scrubbed
+# from the decoded payload, so it cannot occur naturally.
+WOUND_SENTINEL = "\ue000"
+
 _XML_ENT = {"amp": "&", "lt": "<", "gt": ">", "quot": '"', "apos": "'"}
 _ENT_RE = re.compile(r"&(#x?[0-9a-fA-F]+|\w+);")
 # DOCTYPE with an ExternalID (SYSTEM or PUBLIC, XML spec [75]) — the

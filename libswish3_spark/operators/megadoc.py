@@ -918,7 +918,7 @@ def _xml_cut_scan(
     open-tag text, replayed verbatim as each continuation segment's
     prefix so prefixes/attrs bake identically.
     """
-    from libswish3_spark.events import MARKUP_RE
+    from libswish3_spark.events import MARKUP_RE, WOUND_SENTINEL
 
     cuts: list[int] = []
     seeds: list[int] = []
@@ -954,6 +954,10 @@ def _xml_cut_scan(
         if s and not ignore and depth > 0:
             text_seen = True
         if depth == 0 and s.strip():
+            return True
+        if WOUND_SENTINEL in s:
+            # decode-level wound marker (invalid source byte): the
+            # whole-doc parse wounds there — run unsegmented
             return True
         if "&" in s:
             from libswish3_spark.parser import _first_invalid_ref

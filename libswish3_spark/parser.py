@@ -52,6 +52,7 @@ from libswish3_spark.events import (
     _bad_ref_consumed,
     _first_invalid_ref,
     _WF_NAMED_REF_RE,
+    WOUND_SENTINEL,
     html_events,
     xml_events,
     xml_unescape,
@@ -789,6 +790,17 @@ def _consume_markup(
                     # non-whitespace before the root element: libxml2
                     # fatals and the whole doc yields nothing
                     xml_depth[1] = 2
+                continue
+            if phased and WOUND_SENTINEL in ev[1]:
+                # invalid byte in the source encoding (decode-level
+                # marker, sources.files._decode): libxml2 fatals at
+                # the byte — text before it delivers, the REST OF THIS
+                # RUN drops entirely (probes m4/m5/t1), and the parse
+                # is wounded from there
+                i = ev[1].find(WOUND_SENTINEL)
+                if i:
+                    state.buffer_characters(ev[1][:i])
+                xml_depth[1] = 3
                 continue
             if phased and len(ev) > 2 and ev[2] is not None and "&" in ev[2]:
                 # an undefined entity / malformed or out-of-range

@@ -24,6 +24,7 @@ import gzip
 import re
 
 from libswish3_spark.config import LATIN1_ENCODING, SwishConfig, default_config
+from libswish3_spark.events import WOUND_SENTINEL
 
 _XML_DECL_ENC = re.compile(rb'<\?xml[^>]*encoding=["\']([^"\']+)["\']', re.I)
 _HTML_META_CHARSET = re.compile(
@@ -142,6 +143,20 @@ def ingest_bytes(
     return row
 
 
+def _utf8_then_latin1(data: bytes) -> str:
+    """Decode as UTF-8 until the first invalid byte, LATIN-1 from
+    there on — libxml2's recovery for a lying utf-8 declaration
+    (probed m1/m2/t5 vs the compiled reference: content before the
+    bad byte keeps its multi-byte sequences, content after reads as
+    latin-1 mojibake; HTML parses on without a wound)."""
+    try:
+        return data.decode("utf-8")
+    except UnicodeDecodeError as e:
+        return data[: e.start].decode("utf-8") + data[e.start :].decode(
+            "latin-1"
+        )
+
+
 def _decode(
     data: bytes, parser: str, declared: str | None, cfg: SwishConfig
 ) -> tuple[str, str, str | None]:
@@ -149,6 +164,9 @@ def _decode(
     declared_norm = (declared or "").replace("-", "").replace("_", "").lower()
 
     if parser.startswith("X"):
+        # a UTF-8 BOM is stripped and selects UTF-8 (probes t3/t4)
+        if data.startswith(b"\xef\xbb\xbf"):
+            data = data[3:]
         m = _XML_DECL_ENC.search(data[:1024])
         enc = (m.group(1).decode("ascii", "ignore") if m else declared) or None
         if enc and enc.replace("-", "").replace("_", "").lower() in (
@@ -163,13 +181,35 @@ def _decode(
                 pass
         if _valid_utf8(data):
             return data.decode("utf-8"), "UTF-8", None
-        return data.decode("latin-1"), LATIN1_ENCODING, None
+        # invalid byte under an effective UTF-8 encoding: FATAL to a
+        # libxml2 XML parse — text before the byte delivers, the rest
+        # of that run drops, and the parse wounds (probes m4/m5/t1:
+        # '<root>na\xefve <b>rest</b> more' indexes 'narest', 'more').
+        # The sentinel carries the wound point to the parser; the
+        # remainder reads as latin-1 so its markup keeps driving the
+        # wound's silent depth bookkeeping.
+        try:
+            data.decode("utf-8")
+        except UnicodeDecodeError as e:
+            text = (
+                data[: e.start].decode("utf-8")
+                + WOUND_SENTINEL
+                + data[e.start :].decode("latin-1").replace(WOUND_SENTINEL, "")
+            )
+            return text, "UTF-8", None
 
     if parser.startswith("H"):
+        bom = data.startswith(b"\xef\xbb\xbf")
+        if bom:
+            data = data[3:]
         m = _HTML_META_CHARSET.search(data[:4096])
         enc = m.group(1).decode("ascii", "ignore").lower() if m else None
-        if enc in ("utf-8", "utf8"):
-            return data.decode("utf-8", errors="replace"), "UTF-8", None
+        if enc in ("utf-8", "utf8") or (bom and enc is None):
+            # a lying utf-8 declaration switches to latin-1 at the
+            # first invalid byte (no wound in HTML, probe t5); a BOM
+            # with no meta selects utf-8 (probes c13/t6); a meta
+            # OVERRIDES the BOM (probe m7)
+            return _utf8_then_latin1(data), "UTF-8", None
         if enc:
             try:
                 return data.decode(enc), enc.upper(), None

@@ -342,3 +342,57 @@ def test_bench_shaped_html_docs_match_exactly(tmp_path):
         assert rt == ot, f"doc {r.doc_id}: first diff " + str(
             next(((a, b) for a, b in zip(rt, ot) if a != b), "len")
         )
+
+
+def test_charset_declaration_parity_matches_compiled_reference(tmp_path):
+    """Byte-level decode rules probed against the binary (c/m/t
+    series): a UTF-8 BOM is stripped and selects UTF-8 (a meta charset
+    still OVERRIDES it); a lying utf-8 declaration switches to latin-1
+    at the FIRST invalid byte in HTML (content before keeps its
+    multi-byte sequences, content after reads as mojibake, the parse
+    continues); the same invalid byte in XML is FATAL — text before
+    the byte delivers, the rest of that run drops, and the parse
+    wounds ('<root>na\\xefve <b>rest</b> more' indexes 'narest',
+    'more'); undeclared HTML stays latin-1 from byte 0."""
+    CASES = {
+        "c1.html": '<html><head><meta charset="utf-8"></head><body>naïve tôt</body></html>'.encode("utf-8"),
+        "c3.html": '<html><head><meta charset="iso-8859-1"></head><body>na\xefve t\xf4t</body></html>'.encode("latin-1"),
+        "c5.html": '<html><head><meta charset="iso-8859-1"></head><body>naïve</body></html>'.encode("utf-8"),
+        "c6.html": '<html><head><meta charset="utf-8"></head><body>na\xefve end</body></html>'.encode("latin-1"),
+        "c7.html": "<html><body>naïve tôt</body></html>".encode("utf-8"),
+        "c13.html": "﻿<html><body>naïve</body></html>".encode("utf-8"),
+        "m1.html": b'<html><head><meta charset="utf-8"></head><body>caf\xc3\xa9 na\xefve</body></html>',
+        "m2.html": b'<html><head><meta charset="utf-8"></head><body>na\xefve caf\xc3\xa9</body></html>',
+        "m4.xml": b'<?xml version="1.0" encoding="utf-8"?><root>na\xefve rest</root>',
+        "m5.xml": b'<root>na\xefve rest</root>',
+        "m7.html": b'\xef\xbb\xbf<html><head><meta charset="iso-8859-1"></head><body>caf\xc3\xa9</body></html>',
+        "t1.xml": b'<root>na\xefve <b>rest</b> more</root>',
+        "t3.xml": b'\xef\xbb\xbf<?xml version="1.0"?><root>na\xc3\xafve ok</root>',
+        "t5.html": b'<html><head><meta charset="utf-8"></head><body>a<b>caf\xe9 x</b>done</body></html>',
+        "t6.html": "﻿plain bare naivëe</html>".encode("utf-8"),
+        "c11.xml": '<?xml version="1.0" encoding="ISO-8859-1"?><root>na\xefve</root>'.encode("latin-1"),
+    }
+    binary = _binary()
+
+    def _norm(d):
+        return {k: v for k, v in d.items() if v}
+
+    failures = []
+    for name, raw in CASES.items():
+        p = tmp_path / name
+        p.write_bytes(raw)
+        parser = "XML" if name.endswith(".xml") else "HTML"
+        rt = _ref_tokens(binary, str(p))
+        ot = _our_tokens(str(p), parser)
+        if rt != ot:
+            first = next(
+                ((a, b) for a, b in zip(rt, ot) if a != b),
+                ("len", (len(rt), len(ot))),
+            )
+            failures.append(f"{name} tokens: {first}")
+            continue
+        rb = _ref_buffers(binary, str(p))
+        ob = _our_buffers(str(p), parser)
+        if (_norm(rb[0]), _norm(rb[1])) != (_norm(ob[0]), _norm(ob[1])):
+            failures.append(f"{name} buffers diverge")
+    assert not failures, "charset parity divergence:\n" + "\n".join(failures)
