@@ -34,7 +34,9 @@ from libswish3_spark.htmlentities import HTML_ENTITIES
 from libswish3_spark.htmltags import (
     AUTO_CLOSE,
     END_PRIORITY as _END_PRIORITY,
+    KNOWN_TAGS,
     RAWTEXT_TAGS,
+    TABLE_INTERNAL,
     VOID_TAGS,
 )
 
@@ -490,6 +492,13 @@ def html_events(text: str):
     # even whitespace — defuses it)
     prolog_done = False
     bogus_at = -1
+    # implied-head context: a head element (meta/title/script/…) at the
+    # top opens an implied <head>; a KNOWN body tag then forces the
+    # head→body transition, but table-internal and UNKNOWN tags NEST in
+    # the head instead — their content never reaches body/
+    # swishdescription ('<meta …><td>word' — probed vs the binary;
+    # '<meta …><td>w<p>x' stays in head through the nesting too)
+    in_head = False
 
     def _imply_body():
         # libxml2: flow content without a <body> opens one implicitly
@@ -643,6 +652,10 @@ def html_events(text: str):
         name = name.lower()
         prolog_done = True
         if close:
+            if name == "head":
+                # an explicitly closed head exits head context: a
+                # following <td> then forces body like any block tag
+                in_head = False
             # hot path: a properly-nested close (stack top) needs no
             # auto-close/priority logic — keep it inline
             if stack and stack[-1] == name:
@@ -653,9 +666,22 @@ def html_events(text: str):
             continue
         if name == "body":
             body_seen = True
-        elif not body_seen and name not in _PRE_BODY_TAGS:
-            body_seen = True
-            yield _imply_body()
+        elif name in _PRE_BODY_TAGS:
+            if name != "html":
+                in_head = True
+        elif not body_seen:
+            if in_head and (
+                name not in KNOWN_TAGS
+                or name in TABLE_INTERNAL
+                or any(
+                    t not in KNOWN_TAGS or t in TABLE_INTERNAL
+                    for t in stack
+                )
+            ):
+                pass  # nests inside the (implied) head
+            else:
+                body_seen = True
+                yield _imply_body()
         # implied end tags
         closers = AUTO_CLOSE.get(name)
         if closers:

@@ -101,3 +101,13 @@ AUTO_CLOSE: dict[str, frozenset] = {
     "tr": frozenset(("caption", "colgroup", "p", "td", "th", "tr",)),
     "ul": frozenset(("address", "dir", "menu", "ol", "p", "pre",)),
 }
+
+# table-internal elements: libxml2's HTML4-era tables do not treat
+# these as body-content starters, so inside an (implied) <head> they
+# NEST there instead of forcing the head→body transition (probed:
+# '<meta …><td>word' keeps word OUT of body/swishdescription, while
+# p/div/h1/table force body). Unknown tags behave the same way.
+TABLE_INTERNAL = frozenset(
+    ("td", "th", "tr", "tbody", "thead", "tfoot", "caption",
+     "colgroup", "col")
+)

@@ -395,12 +395,13 @@ def _html_cut_scan(
     and the open-element chain (⊆ {html, body}) the next segment must
     re-open.
     """
-    from libswish3_spark.events import HTML_MARKUP_RE
+    from libswish3_spark.events import _PRE_BODY_TAGS, HTML_MARKUP_RE
     from libswish3_spark.htmltags import (
         AUTO_CLOSE,
         INLINE_TAGS,
         KNOWN_TAGS,
         RAWTEXT_TAGS,
+        TABLE_INTERNAL,
         VOID_TAGS,
     )
 
@@ -427,6 +428,10 @@ def _html_cut_scan(
     bump = True
     pending_cuts = 0
     pending_prev_seg = 0
+    # implied-head twin (events.html_events): a table-internal tag
+    # inside head context NESTS in the head — body is never implied
+    # there, so a cut's [html, body] chain replay would diverge
+    in_head = False
     # misplaced-DOCTYPE adjacency (events.html_events twin): after a
     # mid-content DOCTYPE, an immediately-adjacent close/DOCTYPE lexes
     # as bogus text, so it must not pop the stack here
@@ -525,6 +530,8 @@ def _html_cut_scan(
         name = m.group("name").lower()
         prolog_done = True
         if m.group("close"):
+            if name == "head":
+                in_head = False
             do_close(name)
             continue
         if name == "meta":
@@ -567,11 +574,15 @@ def _html_cut_scan(
         # bump_word=True (known block element, or br/img) — cutting
         # before an inline tag could split a token the single pass
         # glues across the tag (parser.c:399-424 inline no-bump rule)
+        if name in _PRE_BODY_TAGS:
+            if name != "html":
+                in_head = True
         bumps = name in ("br", "img") or (
             name in KNOWN_TAGS and name not in INLINE_TAGS
         )
         if (
             bumps
+            and not (in_head and name in TABLE_INTERNAL)
             and ignore == 0
             and m.start() - seg_start >= seg_chars
             and all(t in ("html", "body") for t in stack[:peek])

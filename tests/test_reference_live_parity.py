@@ -396,3 +396,47 @@ def test_charset_declaration_parity_matches_compiled_reference(tmp_path):
         if (_norm(rb[0]), _norm(rb[1])) != (_norm(ob[0]), _norm(ob[1])):
             failures.append(f"{name} buffers diverge")
     assert not failures, "charset parity divergence:\n" + "\n".join(failures)
+
+
+def test_implied_head_stickiness_matches_compiled_reference(tmp_path):
+    """After a head element (meta/title/script/link/base) opens the
+    implied <head>, a table-internal or UNKNOWN tag NESTS in the head
+    instead of forcing the head→body transition — its content never
+    reaches body's swishdescription alias — while any known body tag
+    (p/div/h1/table/…) closes the head and opens body. Nesting keeps
+    the stickiness ('<meta …><td>w<p>x' stays in head); an explicitly
+    closed </head> exits head context."""
+    CASES = {
+        "a": '<meta charset="utf-8"><td>word here</td>',
+        "d": '<meta name="x" content="y"><td>word here</td>',
+        "e": "<head></head><td>word here</td>",
+        "g": "<title>t</title><td>word here</td>",
+        "h": '<meta charset="utf-8"><td>w</td><p>later</p>',
+        "i": "<html><td>word</td></html>",
+        "j": "<script>x=1</script><td>word</td>",
+        "k": '<meta name="m" content="c"><custom>in</custom><p>later</p>',
+        "l": '<meta name="m" content="c"><td>w<p>inner</p></td>',
+        "m": '<base href="x"><td>word</td>',
+        "n": "<html><head><p>word</p></html>",
+        "q": "<td>word</td>",
+        "r": '<meta name="m" content="c"><table><td>w</td></table>done',
+    }
+    binary = _binary()
+
+    def _norm(d):
+        return {k: v for k, v in d.items() if v}
+
+    failures = []
+    for name, doc in CASES.items():
+        p = tmp_path / f"{name}.html"
+        p.write_text(doc)
+        rt = _ref_tokens(binary, str(p))
+        ot = _our_tokens(str(p), "HTML")
+        rb = _ref_buffers(binary, str(p))
+        ob = _our_buffers(str(p), "HTML")
+        if rt != ot or (_norm(rb[0]), _norm(rb[1])) != (
+            _norm(ob[0]),
+            _norm(ob[1]),
+        ):
+            failures.append(name)
+    assert not failures, f"implied-head divergence: {failures}"
