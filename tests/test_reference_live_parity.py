@@ -440,3 +440,67 @@ def test_implied_head_stickiness_matches_compiled_reference(tmp_path):
         ):
             failures.append(name)
     assert not failures, f"implied-head divergence: {failures}"
+
+
+def test_charset_variant_fuzz_matches_compiled_reference(tmp_path):
+    """Seeded fuzz docs re-encoded under charset variants: explicit
+    utf-8 meta, UTF-8 BOM, a true latin-1 declaration, and undeclared
+    utf-8 bytes (the latin-1 default). EXCLUDED: a lying utf-8
+    declaration over latin-1 bytes when attrs hold non-ASCII — libxml2
+    half-emits the first recovered char INSIDE ATTRIBUTE VALUES
+    (\\xef indexes as 'Ã', the first byte of its utf-8 re-encoding,
+    while later bad bytes and all body content recover fully) — a
+    reference-side byte glitch we deliberately do not reproduce; the
+    body-content lying-utf8 rule is pinned by the charset battery."""
+    import random
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_reference_live_fuzz_parity import gen_html_doc, gen_xml_doc
+
+    binary = _binary()
+
+    def _norm(d):
+        return {k: v for k, v in d.items() if v}
+
+    rng = random.Random(20260818)
+    failures = []
+    for i in range(25):
+        doc = gen_html_doc(rng)
+        variant = rng.random()
+        if variant < 0.3:
+            raw = ('<meta charset="utf-8">' + doc).encode("utf-8")
+        elif variant < 0.55:
+            raw = b"\xef\xbb\xbf" + doc.encode("utf-8")
+        elif variant < 0.75:
+            try:
+                raw = ('<meta charset="iso-8859-1">' + doc).encode("latin-1")
+            except UnicodeEncodeError:
+                raw = ('<meta charset="iso-8859-1">' + doc).encode("utf-8")
+        else:
+            raw = doc.encode("utf-8")
+        docs = [(f"h{i}.html", "HTML", raw)]
+        xdoc = gen_xml_doc(rng)
+        if not xdoc.lstrip().startswith("<?xml"):
+            try:
+                xraw = (
+                    '<?xml version="1.0" encoding="ISO-8859-1"?>\n' + xdoc
+                ).encode("latin-1")
+            except UnicodeEncodeError:
+                xraw = xdoc.encode("utf-8")
+        else:
+            xraw = xdoc.encode("utf-8")
+        docs.append((f"x{i}.xml", "XML", xraw))
+        for name, parser, raw in docs:
+            p = tmp_path / name
+            p.write_bytes(raw)
+            rt = _ref_tokens(binary, str(p))
+            ot = _our_tokens(str(p), parser)
+            if rt != ot:
+                failures.append(f"{name} tokens")
+                continue
+            rb = _ref_buffers(binary, str(p))
+            ob = _our_buffers(str(p), parser)
+            if (_norm(rb[0]), _norm(rb[1])) != (_norm(ob[0]), _norm(ob[1])):
+                failures.append(f"{name} buffers")
+    assert not failures, "charset fuzz divergence: " + ", ".join(failures)
