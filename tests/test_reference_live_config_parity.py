@@ -304,11 +304,17 @@ def test_fuzz_corpus_config_variant_parity(tmp_path):
     from test_reference_live_fuzz_parity import gen_html_doc, gen_xml_doc
 
     binary = _binary()
-    confs = [
-        os.path.join(TEST_CONFIGS, "undeftags-auto.conf"),
-        os.path.join(TEST_CONFIGS, "undeftags-index.conf"),
-        os.path.join(TEST_CONFIGS, "undeftags-ignore.conf"),
-        PERL_T_CONF,
+    variants = [
+        (None, os.path.join(TEST_CONFIGS, "undeftags-auto.conf")),
+        (None, os.path.join(TEST_CONFIGS, "undeftags-index.conf")),
+        (None, os.path.join(TEST_CONFIGS, "undeftags-ignore.conf")),
+        (None, PERL_T_CONF),
+        (None, os.path.join(TEST_CONFIGS, "dom.conf")),
+        (
+            default_config(cascade_meta_context=True),
+            ("--CascadeMetaContext", "1"),
+        ),
+        (default_config(ignore_xmlns=False), ("--xmlns", "0")),
     ]
     rng = random.Random(20240817)
     failures, checked = [], 0
@@ -319,8 +325,13 @@ def test_fuzz_corpus_config_variant_parity(tmp_path):
         ):
             p = tmp_path / f"cfuzz{i}.{kind}"
             p.write_text(gen(rng))
-            for conf in confs:
-                extra = ("--config", conf)
+            for cfg, conf_or_extra in variants:
+                if cfg is None:
+                    extra = ("--config", conf_or_extra)
+                    cfg_obj = _load_conf(conf_or_extra)
+                else:
+                    extra = conf_or_extra
+                    cfg_obj = cfg
                 r = subprocess.run(
                     [binary, "--tokenize", "1", *extra, "--xinclude", "0", str(p)],
                     capture_output=True,
@@ -328,9 +339,7 @@ def test_fuzz_corpus_config_variant_parity(tmp_path):
                 )
                 if r.returncode != 0:
                     continue  # reference double-free: skip
-                failures += _compare(
-                    binary, str(p), parser, _load_conf(conf), extra
-                )
+                failures += _compare(binary, str(p), parser, cfg_obj, extra)
                 checked += 1
     assert checked >= 50
     assert not failures, "config-variant fuzz divergence:\n" + "\n".join(
