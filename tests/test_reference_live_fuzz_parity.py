@@ -507,3 +507,34 @@ def test_xinclude_fuzz_matches_compiled_reference(tmp_path):
             )
             failures.append(f"parent{i}: {first}")
     assert not failures, "xinclude fuzz divergence:\n" + "\n".join(failures)
+
+
+def test_txt_fuzz_matches_compiled_reference(tmp_path):
+    """Seeded plain-text fuzz through the TXT parser: markup-looking
+    text stays literal, entities stay unexpanded, and the control-char
+    separators (\\x0b/\\x0c/CRLF) tokenize like the binary."""
+    binary = _binary()
+    words = WORDS + ["<not-a-tag>", "a<b", "x&y"]
+    seps = [" ", "  ", "\n", "\t", " \t ", "\r\n", "\x0b", "\x0c"]
+    rng = random.Random(20260819)
+    failures = []
+    for i in range(30):
+        parts = []
+        for _ in range(rng.randint(1, 40)):
+            w = rng.choice(words)
+            if w.startswith(("'", "trailing")):
+                continue  # leading-apostrophe exclusion (module doc)
+            parts.append(w)
+            parts.append(rng.choice(seps))
+        p = tmp_path / f"t{i}.txt"
+        p.write_text("".join(parts))
+        rt = _ref_tokens(binary, str(p))
+        ot = _our_tokens(str(p), "TXT")
+        if rt != ot:
+            failures.append(f"t{i} tokens")
+            continue
+        rb = _ref_buffers(binary, str(p))
+        ob = _our_buffers(str(p), "TXT")
+        if (_norm(rb[0]), _norm(rb[1])) != (_norm(ob[0]), _norm(ob[1])):
+            failures.append(f"t{i} buffers")
+    assert not failures, "txt fuzz divergence: " + ", ".join(failures)
