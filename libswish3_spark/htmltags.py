@@ -46,6 +46,17 @@ RAWTEXT_TAGS = frozenset(("script", "style"))
 END_PRIORITY = {
     "div": 150,
     "td": 160,
+    # th/tr at td's level and the table sections just above — derived
+    # from a 30-pair empirical ignore/pop matrix vs the binary (each
+    # pair first checked against AUTO_CLOSE so the intermediate really
+    # was on the stack): '</caption>' cannot pop an open <th>,
+    # '</td>' cannot pop a <thead>, '</tbody>' cannot pop a <table>,
+    # while '</tr>' pops a <th> and '</tbody>' pops a <thead>.
+    "th": 160,
+    "tr": 160,
+    "tbody": 165,
+    "thead": 165,
+    "tfoot": 165,
     "table": 170,
     "head": 180,
     "body": 190,

@@ -58,6 +58,7 @@ from libswish3_spark.events import (
     xml_unescape,
 )
 from libswish3_spark.htmltags import INLINE_TAGS, KNOWN_TAGS
+from libswish3_spark.charclasses import word_run_re
 from libswish3_spark.tokenizer import resolve_tokenizer, split_tokens
 
 _BUMPER = TOKENPOS_BUMPER
@@ -182,42 +183,77 @@ class DocState:
         buffer, with media markers resolved to ``kind='media'`` spans at
         the position gap their bump creates.
         """
-        blob: list[str] = []
-        ordered: list[tuple[str, str]] = []  # ('t', text-blob) | ('m', ref)
+        # ONE continuous blob with media markers pinned to their char
+        # offsets: a marker between two text pieces must NOT split a
+        # token the reference fuses — an inline tag after <img> cancels
+        # the img's bump, so 'y<img src=x><b>co' indexes ONE word 'yco'
+        # (probed vs the compiled binary). Markers at a piece boundary
+        # keep their old emission point; one inside a fused token emits
+        # right after it.
+        parts: list[str] = []
+        medias: list[tuple[int, str]] = []  # (blob char offset, ref)
+        off = 0
         for kind, val in self.meta_pieces:
             if kind == "t":
-                blob.append(val)
+                parts.append(val)
+                off += len(val)
             else:
-                if blob:
-                    ordered.append(("t", "".join(blob)))
-                    blob = []
-                ordered.append(("m", val))
-        if blob:
-            ordered.append(("t", "".join(blob)))
+                medias.append((off, val))
+        blob = "".join(parts)
 
         spans = self.spans
-        for kind, val in ordered:
-            if kind == "m":
-                spans.append(("media", "", val, self.pos + 1))
-                continue
-            segments = val.split(_BUMPER)
-            last = len(segments) - 1
-            for i, seg in enumerate(segments):
-                if seg:
-                    toks = self.split_tokens(seg)
-                    if toks:
-                        base = self.pos
-                        spans.extend(
-                            [("word", t, "", base + j + 1) for j, t in enumerate(toks)]
-                        )
-                        if self.keep_token_meta:
-                            self.token_meta.extend(
-                                [(meta, context)] * len(toks)
-                            )
-                        self.pos = base + len(toks)
-                        self.nwords += len(toks)
-                if i != last:
-                    self.pos += 1  # bumper gap (tokenizer.c:693-697)
+
+        def _emit_tokens(seg: str) -> None:
+            toks = self.split_tokens(seg)
+            if toks:
+                base = self.pos
+                spans.extend(
+                    [("word", t, "", base + j + 1) for j, t in enumerate(toks)]
+                )
+                if self.keep_token_meta:
+                    self.token_meta.extend([(meta, context)] * len(toks))
+                self.pos = base + len(toks)
+                self.nwords += len(toks)
+
+        mi = 0
+        nm = len(medias)
+        seg_start = 0
+        segments = blob.split(_BUMPER)
+        last = len(segments) - 1
+        for i, seg in enumerate(segments):
+            while mi < nm and medias[mi][0] <= seg_start:
+                spans.append(("media", "", medias[mi][1], self.pos + 1))
+                mi += 1
+            seg_end = seg_start + len(seg)
+            if seg:
+                cur = 0
+                while mi < nm and medias[mi][0] < seg_end:
+                    cut = medias[mi][0] - seg_start
+                    if cut < cur:
+                        cut = cur
+                    elif 0 < cut < len(seg):
+                        wr = word_run_re()
+                        if wr.match(seg, cut) and wr.match(seg, cut - 1):
+                            # the marker splits a token the reference
+                            # fuses: finish the word run first, then
+                            # emit the media span right after it
+                            cut = wr.match(seg, cut).end()
+                    if cut > cur:
+                        _emit_tokens(seg[cur:cut])
+                        cur = cut
+                    spans.append(("media", "", medias[mi][1], self.pos + 1))
+                    mi += 1
+                if cur < len(seg):
+                    _emit_tokens(seg[cur:])
+            while mi < nm and medias[mi][0] <= seg_end:
+                spans.append(("media", "", medias[mi][1], self.pos + 1))
+                mi += 1
+            if i != last:
+                self.pos += 1  # bumper gap (tokenizer.c:693-697)
+                seg_start = seg_end + 1
+        while mi < nm:
+            spans.append(("media", "", medias[mi][1], self.pos + 1))
+            mi += 1
 
     # -- flush (reference: parser.c:756-808) ---------------------------------
     def flush_buffer(self, metaname: str, context: str) -> None:

@@ -59,7 +59,8 @@ WORDS = [
 ]
 HTML_TAGS = [
     "p", "b", "i", "div", "span", "h1", "li", "table", "td", "pre",
-    "custom",
+    "custom", "th", "tr", "tbody", "thead", "caption", "form",
+    "select", "option", "label", "fieldset", "ul", "iframe",
 ]
 
 
@@ -181,7 +182,17 @@ def _html(rng, depth=0):
             )
         elif r < 0.56:
             out.append(
-                rng.choice(["<br>", "<br/>", '<img src="x.gif">', "<hr>"])
+                rng.choice(
+                    [
+                        "<br>", "<br/>", '<img src="x.gif">', "<hr>",
+                        # no-separator img + inline tag: the canceled
+                        # img bump FUSES the surrounding token
+                        # ('y<img><b>co' indexes ONE word 'yco') — the
+                        # media span must not split it
+                        'fuse<img src="m.png"><b>joined</b>',
+                        'pre<img src="m.png"><label>lab</label>',
+                    ]
+                )
             )
         elif r < 0.60:
             # rawtext: scan stops at `</`+letter; non-matching closes
