@@ -314,7 +314,10 @@ def segment_text_docs(
     whitespace boundaries) — JVM array formulations re-evaluate the
     word split per segment, which is quadratic on mega-documents.
     """
-    return docs.select("doc_id", "spans").mapInArrow(
+    from libswish3_spark.pipeline import ensure_parallelism
+
+    pruned = ensure_parallelism(docs.select("doc_id", "spans"))
+    return pruned.mapInArrow(
         _router_kernel("txt", seg_chars, config), schema=_ROUTER_SCHEMA
     )
 
@@ -345,7 +348,7 @@ def extract_txt_segmented_rows(
     # reads the doc_id tail for TXTSEG), so orders arrive global already.
     # The three kernel-appended fields are parsed from the RIGHT so a
     # doc_id that itself contains the separator stays intact.
-    seg_out = extract(seg, config=config)
+    seg_out = extract(seg, config=config, spread=False)
     parts = F.split("doc_id", _SEG_SEP)
     return seg_out.select(
         F.array_join(F.slice(parts, 1, F.size(parts) - 3), _SEG_SEP).alias("orig_id"),
@@ -656,7 +659,10 @@ def segment_html_docs(
     (continuation segments re-open html/body and carry the pending-bumper
     seed in the doc_id tail), plus one whole-doc HTMLW row per
     non-segmentable document (see _router_kernel)."""
-    return docs.select("doc_id", "spans").mapInArrow(
+    from libswish3_spark.pipeline import ensure_parallelism
+
+    pruned = ensure_parallelism(docs.select("doc_id", "spans"))
+    return pruned.mapInArrow(
         _router_kernel("html", seg_chars, config), schema=_ROUTER_SCHEMA
     )
 
@@ -684,7 +690,7 @@ def _markup_segmented_rows(
 
     sc = seg.sparkSession.sparkContext
     seg = seg.repartition(num_partitions or sc.defaultParallelism * 2, "doc_id")
-    seg_out = extract(seg, config=config)
+    seg_out = extract(seg, config=config, spread=False)
     parts = F.split("doc_id", _SEG_SEP)
     rows = seg_out.select(
         F.array_join(F.slice(parts, 1, F.size(parts) - 3), _SEG_SEP).alias("orig_id"),
@@ -1100,7 +1106,10 @@ def segment_xml_docs(
     _router_kernel). Exotic configs (attr metanames, DOM-path aliases,
     UndefinedMetaTags != index, …) route EVERY doc whole — see
     config_supports_segmentation."""
-    return docs.select("doc_id", "spans").mapInArrow(
+    from libswish3_spark.pipeline import ensure_parallelism
+
+    pruned = ensure_parallelism(docs.select("doc_id", "spans"))
+    return pruned.mapInArrow(
         _router_kernel("xml", seg_chars, config), schema=_ROUTER_SCHEMA
     )
 

@@ -79,6 +79,38 @@ class _Tag:
         self.context = context
 
 
+# per-config fast-path eligibility + shared simple-bake memo, keyed by
+# id(config) (the config outlives the batch closure that holds it —
+# same convention as pipeline._PARSER_GUESS_CACHE); size-capped so a
+# pathological tag corpus cannot grow executor memory unboundedly
+_FASTPATH_CACHE: dict[int, tuple[bool, dict, object]] = {}
+
+
+def _config_fastpath(cfg: SwishConfig) -> tuple[bool, dict]:
+    got = _FASTPATH_CACHE.get(id(cfg))
+    if got is not None:
+        return got[0], got[1]
+    eligible = (
+        cfg.undef_metas not in (UNDEF_AUTO, UNDEF_AUTOALL)
+        and cfg.undef_attrs not in (UNDEF_AUTO, UNDEF_AUTOALL)
+        and not any("." in k for k in cfg.tag_aliases)
+        and not any("." in k for k in cfg.metanames)
+        and not any("." in k for k in cfg.properties)
+    )
+    if len(_FASTPATH_CACHE) < 64:
+        # the cfg rides in the entry so its id cannot be recycled by a
+        # later config while the memo is alive
+        _FASTPATH_CACHE[id(cfg)] = (eligible, {}, cfg)
+        return _FASTPATH_CACHE[id(cfg)][:2]
+    return eligible, {}
+
+
+# shared immutable stack roots (never mutated; _pop_on_match keeps the
+# last member, so these are common to every document)
+_META_ROOT = _Tag(DEFAULT_METANAME, DEFAULT_METANAME, DEFAULT_METANAME)
+_PROP_ROOT = _Tag(DOM_STR, DOM_STR, DOM_STR)
+
+
 def _all_ws(s: str) -> bool:
     # reference: string.c:570-589 (byte-wise C isspace; \x03 is NOT ws)
     return s.strip(_WS) == ""
@@ -98,20 +130,33 @@ class DocState:
         self.extra_properties: dict[str, Property] = {}
         # buffers: meta_buf is a piece list so media markers can be
         # interleaved without perturbing the text-emptiness checks
-        self.meta_pieces: list[tuple[str, str]] = []  # ('t', text)|('m', ref)
+        # text pieces as a plain string list; media markers pinned to
+        # their blob char offset at add time (media is rare — the O(n)
+        # offset sum at add matches the old piece-walk computation,
+        # including the HTMLSEG meta_len priming which contributes no
+        # chars)
+        self.meta_buf: list[str] = []
+        self.media_marks: list[tuple[int, str]] = []
         self.meta_len = 0
         self.prop_parts: list[str] = []
         self.prop_len = 0
         # stacks (reference: init_parser_data parser.c:1594-1614)
-        self.metastack = [_Tag(DEFAULT_METANAME, DEFAULT_METANAME, DEFAULT_METANAME)]
-        self.propstack = [_Tag(DOM_STR, DOM_STR, DOM_STR)]
-        self.domstack: list[_Tag] = []
+        self.metastack = [_META_ROOT]
+        self.propstack = [_PROP_ROOT]
+        self.domstack: list = []
         self.bump_word = True
         self.ignore_content = 0
         # outputs
         self.metanames: dict[str, str] = {}
         self.properties: dict[str, str] = {}
-        self.spans: list[tuple[str, str, str, int]] = []  # kind,text,ref,order
+        # spans as four parallel columns (kind, text, ref, order): the
+        # Arrow kernel consumes them columnar (pipeline.extract_batch_fn),
+        # so the hot word-emission path never allocates a per-token
+        # tuple; the ``spans`` property below zips rows for cold callers
+        self.s_kind: list[str] = []
+        self.s_text: list[str] = []
+        self.s_ref: list[str] = []
+        self.s_ord: list[int] = []
         # optional per-token (metaname, context) postings for index sinks
         # (S9 contract: swish_xapian.cpp:416-561 needs value+meta+pos)
         self.keep_token_meta = False
@@ -120,10 +165,24 @@ class DocState:
         # bake_tag fast path: dotted-DOM-path alias keys are rare; when
         # none exist the per-tag domstack join can never match
         self._dom_aliases = any("." in k for k in config.tag_aliases)
+        # simple-bake fast path (per-config memo, see _bake_simple):
+        # eligible when tag baking is a PURE function of (tag, prefix) —
+        # no dotted defined names (a flattened DOM path could then match
+        # a definition), no dotted aliases, and no auto/autoall undef
+        # policy (those mint per-doc overlay definitions mid-parse,
+        # which would invalidate both the memo and the skipped dom-path
+        # checks). True for the reference default config; exotic configs
+        # take the unmemoized path unchanged.
+        self._fast_ctx, self._bake_memo = _config_fastpath(config)
         self.token_meta: list[tuple[str, str]] = []
         self.pos = 0
         self.nwords = 0
         self.error: str | None = None
+
+    @property
+    def spans(self) -> list[tuple[str, str, str, int]]:
+        """Row view of the parallel span columns (cold paths only)."""
+        return list(zip(self.s_kind, self.s_text, self.s_ref, self.s_ord))
 
     # -- config lookups with per-doc overlay --------------------------------
     def meta_defined(self, name: str) -> bool:
@@ -159,13 +218,13 @@ class DocState:
         # \x03 in the enclosing buffer and eats the pending bump
         if self.bump_word:
             if self.meta_len:
-                self.meta_pieces.append(("t", _BUMPER))
+                self.meta_buf.append(_BUMPER)
                 self.meta_len += 1
             if self.prop_len:
                 self.prop_parts.append(_BUMPER)
                 self.prop_len += 1
         if text:
-            self.meta_pieces.append(("t", text))
+            self.meta_buf.append(text)
             self.meta_len += len(text)
             self.prop_parts.append(text)
             self.prop_len += len(text)
@@ -173,11 +232,11 @@ class DocState:
 
     def add_media(self, ref: str) -> None:
         """Interleave a media marker at the current buffer point."""
-        self.meta_pieces.append(("m", ref))
+        self.media_marks.append((sum(map(len, self.meta_buf)), ref))
 
     # -- tokenize + span emission -------------------------------------------
-    def _tokenize_pieces(self, meta: str, context: str) -> None:
-        """Walk buffered pieces emitting word + media spans in order.
+    def _tokenize_pieces(self, meta: str, context: str, blob: str) -> None:
+        """Walk the flushed buffer emitting word + media spans in order.
 
         Equivalent to ``tokenize`` (parser.c:2761-2788) over the flushed
         buffer, with media markers resolved to ``kind='media'`` spans at
@@ -189,31 +248,35 @@ class DocState:
         # the img's bump, so 'y<img src=x><b>co' indexes ONE word 'yco'
         # (probed vs the compiled binary). Markers at a piece boundary
         # keep their old emission point; one inside a fused token emits
-        # right after it.
-        parts: list[str] = []
-        medias: list[tuple[int, str]] = []  # (blob char offset, ref)
-        off = 0
-        for kind, val in self.meta_pieces:
-            if kind == "t":
-                parts.append(val)
-                off += len(val)
-            else:
-                medias.append((off, val))
-        blob = "".join(parts)
+        # right after it. Offsets were pinned at add_media time.
+        medias = self.media_marks
 
-        spans = self.spans
+        s_kind = self.s_kind
+        s_text = self.s_text
+        s_ref = self.s_ref
+        s_ord = self.s_ord
+        split_tokens = self.split_tokens
+        keep_meta = self.keep_token_meta
 
         def _emit_tokens(seg: str) -> None:
-            toks = self.split_tokens(seg)
+            toks = split_tokens(seg)
             if toks:
+                n = len(toks)
                 base = self.pos
-                spans.extend(
-                    [("word", t, "", base + j + 1) for j, t in enumerate(toks)]
-                )
-                if self.keep_token_meta:
-                    self.token_meta.extend([(meta, context)] * len(toks))
-                self.pos = base + len(toks)
-                self.nwords += len(toks)
+                s_kind.extend(("word",) * n)
+                s_text.extend(toks)
+                s_ref.extend(("",) * n)
+                s_ord.extend(range(base + 1, base + n + 1))
+                if keep_meta:
+                    self.token_meta.extend([(meta, context)] * n)
+                self.pos = base + n
+                self.nwords += n
+
+        def _emit_media(ref: str) -> None:
+            s_kind.append("media")
+            s_text.append("")
+            s_ref.append(ref)
+            s_ord.append(self.pos + 1)
 
         mi = 0
         nm = len(medias)
@@ -222,7 +285,7 @@ class DocState:
         last = len(segments) - 1
         for i, seg in enumerate(segments):
             while mi < nm and medias[mi][0] <= seg_start:
-                spans.append(("media", "", medias[mi][1], self.pos + 1))
+                _emit_media(medias[mi][1])
                 mi += 1
             seg_end = seg_start + len(seg)
             if seg:
@@ -241,48 +304,57 @@ class DocState:
                     if cut > cur:
                         _emit_tokens(seg[cur:cut])
                         cur = cut
-                    spans.append(("media", "", medias[mi][1], self.pos + 1))
+                    _emit_media(medias[mi][1])
                     mi += 1
                 if cur < len(seg):
                     _emit_tokens(seg[cur:])
             while mi < nm and medias[mi][0] <= seg_end:
-                spans.append(("media", "", medias[mi][1], self.pos + 1))
+                _emit_media(medias[mi][1])
                 mi += 1
             if i != last:
                 self.pos += 1  # bumper gap (tokenizer.c:693-697)
                 seg_start = seg_end + 1
         while mi < nm:
-            spans.append(("media", "", medias[mi][1], self.pos + 1))
+            _emit_media(medias[mi][1])
             mi += 1
 
     # -- flush (reference: parser.c:756-808) ---------------------------------
     def flush_buffer(self, metaname: str, context: str) -> None:
-        if not self.meta_pieces:
+        if not self.meta_buf and not self.media_marks:
             # empty buffer: _nb_add would no-op on "" and tokenize has
             # nothing to walk — skip the lookups (hot on meta-tag opens)
             self.meta_len = 0
             return
         meta = self.meta_def(metaname)
         stored = meta.alias_for if (meta and meta.alias_for) else metaname
-        buf_text = "".join(v for k, v in self.meta_pieces if k == "t")
+        buf = self.meta_buf
+        blob = buf[0] if len(buf) == 1 else "".join(buf)
         # metanames NamedBuffer: raw append, autovivify (namedbuffer.c:165-177)
-        self._nb_add(self.metanames, stored, buf_text, cleanwsp=False)
+        self._nb_add(self.metanames, stored, blob, cleanwsp=False)
         if self.config.cascade_meta_context:
             for t in self.metastack:
                 if t.baked != stored:
-                    self._nb_add(self.metanames, t.baked, buf_text, cleanwsp=False)
+                    self._nb_add(self.metanames, t.baked, blob, cleanwsp=False)
         if self.config.tokenize:
-            self._tokenize_pieces(stored, context)
+            self._tokenize_pieces(stored, context, blob)
         else:
             # still surface media markers even when not tokenizing
-            for kind, val in self.meta_pieces:
-                if kind == "m":
-                    self.spans.append(("media", "", val, self.pos + 1))
-        self.meta_pieces = []
+            for _, val in self.media_marks:
+                self.s_kind.append("media")
+                self.s_text.append("")
+                self.s_ref.append(val)
+                self.s_ord.append(self.pos + 1)
+        self.meta_buf = []
+        self.media_marks = []
         self.meta_len = 0
 
     # -- properties (reference: parser.c:2868-2916) --------------------------
     def add_stack_to_prop_buf(self, baked: str | None) -> None:
+        if not self.prop_parts:
+            # empty buffer: every _nb_add below would no-op and the
+            # stored values are already max-truncated — skip the joins
+            # and dict probes (hot on prop-tag opens)
+            return
         s = "".join(self.prop_parts)
         cleanwsp = True
         if baked is not None:
@@ -329,21 +401,71 @@ class DocState:
         ctx = (stack[-1].context + joiner + baked) if stack else baked
         stack.append(_Tag(raw, baked, ctx))
 
-    @staticmethod
-    def _pop_on_match(stack: list[_Tag], raw: str) -> _Tag | None:
-        if stack and stack[-1].raw == raw and len(stack) > 1:
-            return stack.pop()
-        if stack and stack[-1].raw == raw and len(stack) == 1:
-            return None  # reference keeps the last member (parser.c:3075-3080)
-        return None
-
     # -- bake_tag (reference: parser.c:323-754) -------------------------------
+    def _bake_simple(self, tag: str, prefix: str | None) -> str:
+        """Memoized attr-less bake (fast-ctx configs only): replicates
+        the slow path below for ``attrs in (None, [])`` exactly —
+        lowercase + optional prefix join, bump rule, XML undef policy
+        (index/ignore/error; auto* is excluded by the eligibility gate),
+        bare-tag alias rewrite. The entry is a pure function of
+        (tag, prefix) under the gate; the state-dependent policy effect
+        is replayed from the action code on every call, as the slow
+        path would."""
+        cfg = self.config
+        t = tag.lower()
+        if prefix is not None and not cfg.ignore_xmlns:
+            t = prefix.lower() + ":" + t
+        bump: bool | None = None
+        code = 0
+        if self.is_html:
+            if t in ("br", "img"):
+                bump = True  # attr-less img: no src, no media span
+            elif t in KNOWN_TAGS:
+                bump = t not in INLINE_TAGS
+        else:
+            bump = True  # parser.c:543-549: every XML tag bumps
+            if t not in cfg.metanames and t not in cfg.tag_aliases:
+                pol = cfg.undef_metas
+                if pol == UNDEF_ERROR:
+                    code = 3
+                elif pol == UNDEF_IGNORE:
+                    code = 2
+                elif pol == UNDEF_INDEX:
+                    code = 1
+        entry = (cfg.tag_aliases.get(t, t), bump, code, t)
+        if len(self._bake_memo) < 4096:
+            self._bake_memo[(tag, prefix)] = entry
+        self._apply_simple_bake(entry)
+        return entry[0]
+
+    def _apply_simple_bake(self, entry) -> None:
+        baked, bump, code, t = entry
+        if bump is not None:
+            self.bump_word = bump
+        if code:
+            if code == 1:  # UNDEF_INDEX on an XML tag resets ignore
+                if self.ignore_content:
+                    self.ignore_content = 0
+            elif code == 2:  # UNDEF_IGNORE
+                self.ignore_content += 1
+            else:  # UNDEF_ERROR
+                raise ValueError(
+                    f"tag '{t}' is not a defined MetaName and "
+                    "UndefinedMetaTags == error"
+                )
+
     def bake_tag(
         self,
         tag: str,
         attrs: list[tuple[str, str]] | None,
         prefix: str | None,
     ) -> str | None:
+        if not attrs and self._fast_ctx:
+            entry = self._bake_memo.get((tag, prefix))
+            if entry is None:
+                return self._bake_simple(tag, prefix)
+            self._apply_simple_bake(entry)
+            return entry[0]
         cfg = self.config
         t = tag.lower()
         if prefix is not None and not cfg.ignore_xmlns:
@@ -457,7 +579,27 @@ class DocState:
         if baked is None:
             # HTML <meta name content> handled recursively; raw tag still
             # tracked on domstack (parser.c:1132-1134)
-            self._push(self.domstack, tag, tag, ".")
+            if self._fast_ctx:
+                self.domstack.append(tag)
+            else:
+                self._push(self.domstack, tag, tag, ".")
+            return
+        if self._fast_ctx:
+            # no dotted definition/alias can exist (eligibility gate):
+            # the flattened DOM path can never match, so skip building
+            # its context string and the four dom_ctx dict probes; the
+            # per-doc overlays are provably empty here (no auto policy),
+            # so probe the config dicts directly
+            cfg = self.config
+            self.domstack.append(tag)
+            if baked in cfg.properties:
+                self.add_stack_to_prop_buf(None)
+                self._clear_prop_buf()
+                self._push(self.propstack, tag, baked, "/")
+            if baked in cfg.metanames:
+                head = self.metastack[-1]
+                self.flush_buffer(head.baked, head.context)
+                self._push(self.metastack, tag, baked, "/")
             return
         self._push(self.domstack, tag, baked, ".")
         dom_ctx = self.domstack[-1].context
@@ -480,12 +622,16 @@ class DocState:
         baked = self.bake_tag(tag, None, prefix)
         if baked is None:
             return
-        st = self._pop_on_match(self.propstack, tag)
-        if st is not None:
+        # inlined _pop_on_match (hot: every end tag; the roots are kept,
+        # reference parser.c:3075-3080)
+        ps = self.propstack
+        if ps[-1].raw == tag and len(ps) > 1:
+            st = ps.pop()
             self.add_stack_to_prop_buf(st.baked)
             self._clear_prop_buf()
-        st = self._pop_on_match(self.metastack, tag)
-        if st is not None:
+        ms = self.metastack
+        if ms[-1].raw == tag and len(ms) > 1:
+            st = ms.pop()
             self.flush_buffer(st.baked, st.context)
         if self.domstack:
             self.domstack.pop()
@@ -579,7 +725,9 @@ def parse_document(
         "doc_id": doc_id,
         "spans": [
             {"kind": k, "text": t, "media_ref": r, "order": o}
-            for (k, t, r, o) in state.spans
+            for (k, t, r, o) in zip(
+                state.s_kind, state.s_text, state.s_ref, state.s_ord
+            )
         ],
         "metanames": state.metanames,
         "properties": state.properties,
@@ -1009,16 +1157,22 @@ def _process_xinclude(state: DocState, attrs, include_resolver) -> None:
     # title-from-path tokens stay under swishtitle in the parent's
     # postings (verified live: SWISH_DEBUG=4 over xinclude.xml).
     mi = 0
-    for sp in child.spans:
-        if sp[0] == "word":
+    for kind, text, ref in zip(child.s_kind, child.s_text, child.s_ref):
+        if kind == "word":
             state.pos += 1
             state.nwords += 1
-            state.spans.append(("word", sp[1], "", state.pos))
+            state.s_kind.append("word")
+            state.s_text.append(text)
+            state.s_ref.append("")
+            state.s_ord.append(state.pos)
             if state.keep_token_meta:
                 state.token_meta.append(child.token_meta[mi])
                 mi += 1
         else:
-            state.spans.append(("media", "", sp[2], state.pos + 1))
+            state.s_kind.append("media")
+            state.s_text.append("")
+            state.s_ref.append(ref)
+            state.s_ord.append(state.pos + 1)
     for name, val in child.metanames.items():
         if state.meta_defined(name):
             state._nb_add(state.metanames, name, val, cleanwsp=False)
@@ -1055,6 +1209,11 @@ def make_include_resolver(include_map: dict):
 
 
 def _span_fields(sp) -> tuple[str, str, str]:
+    if type(sp) is tuple and len(sp) == 3:
+        # the Arrow kernel's row_spans yields exact (kind, text, ref)
+        # tuples — skip the attribute probing (hot: once per span)
+        kind, text, ref = sp
+        return kind or "text", text or "", ref or ""
     if isinstance(sp, dict):
         return sp.get("kind") or "text", sp.get("text") or "", sp.get("media_ref") or ""
     # pyspark Row / tuple

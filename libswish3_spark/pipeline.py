@@ -215,18 +215,16 @@ def extract_batch_fn(config: SwishConfig, include_map: dict | None = None):
                             off = int(doc_ids[i].rsplit("\x02", 2)[1])
                         except (ValueError, IndexError):
                             off = 0
-                    sp = st.spans
-                    if sp:
-                        # one C-level transpose instead of 4 python
-                        # comprehensions over the same tuple list
-                        k_, t_, r_, o_ = zip(*sp)
-                        s_kind.extend(k_)
-                        s_text.extend(t_)
-                        s_ref.extend(r_)
+                    if st.s_kind:
+                        # the parser keeps spans columnar already — no
+                        # row materialization or transpose needed
+                        s_kind.extend(st.s_kind)
+                        s_text.extend(st.s_text)
+                        s_ref.extend(st.s_ref)
                         if off:
-                            s_ord.extend([x + off for x in o_])
+                            s_ord.extend([x + off for x in st.s_ord])
                         else:
-                            s_ord.extend(o_)
+                            s_ord.extend(st.s_ord)
                     m_keys.extend(st.metanames.keys())
                     m_vals.extend(st.metanames.values())
                     p_keys.extend(st.properties.keys())
@@ -296,20 +294,35 @@ def extract(
     config: SwishConfig | None = None,
     include_map: dict | None = None,
     salt_partitions: int | None = None,
+    spread: bool = True,
 ) -> DataFrame:
     """The extraction pipeline: ``docs`` → ``extracted``.
 
-    Narrow by construction — no shuffle unless ``salt_partitions`` is
-    set, in which case documents are redistributed by
-    ``hash(doc_id) + size-salt`` so mega-documents (the skew unit, cf.
-    the reference's 100 MB guard libswish3.h:177) spread across tasks
-    instead of pinning one executor.
+    Narrow at scale — the per-document kernel adds no shuffle of its
+    own. Two input redistributions exist, both bounded to the *input*
+    side (the heavy extracted output never shuffles here):
+
+    * ``salt_partitions``: documents redistributed by
+      ``hash(doc_id) + size-salt`` so mega-documents (the skew unit,
+      cf. the reference's 100 MB guard libswish3.h:177) spread across
+      tasks instead of pinning one executor.
+    * ``spread`` (default): when the scan yields fewer splits than the
+      cluster has slots — the single-file / single-row-group input case
+      (guide §2.5 "one huge unsplittable file") — the pruned input is
+      round-robin repartitioned once so the Python kernel runs on every
+      core instead of one. ``ensure_parallelism`` is a no-op whenever
+      the input already has >= defaultParallelism files, i.e. always at
+      real scale; callers that repartition the input themselves
+      (megadoc segment spreads) pass ``spread=False``. Streaming inputs
+      are never touched.
     """
     cfg = config or default_config()
     cols = [c for c in _EXTRACT_COLS if c in docs.columns]
     pruned = docs.select(*cols)  # column pruning reaches the scan
     if salt_partitions:
         pruned = salt_by_size(pruned, salt_partitions)
+    elif spread and not docs.isStreaming:
+        pruned = ensure_parallelism(pruned)
     return pruned.mapInArrow(
         extract_batch_fn(cfg, include_map), schema=EXTRACTED_SCHEMA
     )
@@ -322,8 +335,8 @@ def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame
     true at scale, where inputs arrive as many files/row-groups — so it
     costs nothing on a real cluster. On a small or single-row-group
     input (local test/bench corpora) it buys full parallelism for one
-    tiny shuffle. Do NOT use before extract() itself: extraction's
-    narrowness is a plan invariant (test_plan_quality); this is for the
+    tiny shuffle. Used by extract() itself (guarded: batch inputs only,
+    and a no-op whenever the scan is already split) and by the
     JVM-hash-heavy pipelines (minhash, jaccard) whose per-row cost
     dwarfs a row's shuffle weight.
     """

@@ -46,8 +46,18 @@ def test_schema_stable(extracted):
 def test_plan_is_narrow(spark):
     docs = spark.createDataFrame(fx.load_fixture_rows(), schema=DOCS_FULL_SCHEMA)
     plan = lsw.extract(docs)._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan  # extraction must not shuffle
+    # the guarded input spread (local-relation input: no file splits)
+    # may round-robin BELOW the kernel; the heavy extracted output must
+    # never shuffle, and with spread=False the plan is exchange-free
+    assert "Exchange" not in plan.split("MapInArrow")[0]
     assert "MapInArrow" in plan
+    plan2 = (
+        lsw.extract(docs, spread=False)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan2
 
 
 def test_metrics(extracted):

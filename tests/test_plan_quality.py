@@ -67,11 +67,34 @@ def test_column_pruning_reaches_scan(spark, tmp_path):
     assert "junk" not in plan.split("ReadSchema")[1][:400]
 
 
-def test_extraction_has_no_exchange(spark):
+def test_extraction_exchange_policy(spark, tmp_path):
+    """extract() stays narrow at scale; the only below-MapInArrow
+    Exchange ever allowed is the guarded single-file input spread.
+
+    The local sf tables are one parquet file with one row group, so a
+    narrow extraction would run its whole Python kernel on ONE core
+    (guide §2.5 "one huge unsplittable file"): extract() round-robins
+    the pruned input once in that case. On an input that already has
+    >= defaultParallelism files — the always-true case at scale — the
+    spread must be a no-op and the plan shuffle-free."""
     plan = _plan(QUERIES["extract_html"][0](spark, SF))
-    # one narrow map over the scan; aggregations downstream may shuffle,
-    # but the extraction query itself must not
-    assert "Exchange" not in plan.split("MapInArrow")[0]
+    # plan text is top-down: [0] = above the kernel (output side),
+    # [1] = below it (input side)
+    above, below = plan.split("MapInArrow")[:2]
+    # the input spread is the ONLY exchange, and it is round-robin
+    assert below.count("Exchange") == 1
+    assert "RoundRobinPartitioning" in below
+    # nothing above the kernel shuffles the heavy extracted output
+    assert "Exchange" not in above
+
+    # at-scale shape: many-file input → no Exchange anywhere
+    from libswish3_spark.operators.queries import _docs, _html_wrap
+
+    path = str(tmp_path / "many_files")
+    target = spark.sparkContext.defaultParallelism
+    _html_wrap(_docs(spark, SF)).repartition(target).write.parquet(path)
+    plan2 = _plan(lsw.extract(spark.read.parquet(path)))
+    assert "Exchange" not in plan2
 
 
 def test_dedup_exact_partial_agg(spark):
