@@ -489,6 +489,19 @@ def resolve_clusters(
     Keeper sets here are what actually lets dedup DROP rows:
     ``docs.join(resolve_clusters(...), on=id, 'left_anti' for non-
     keepers)`` is the final filter of the pipeline.
+
+    Hybrid execution (guide §1.2: the distributed algorithm is where
+    the orders of magnitude live — and below a size floor the
+    distributed algorithm IS the overhead): each doubling round costs
+    3+ job launches regardless of data size, so a small edge set pays
+    seconds of pure scheduling. When the materialized edge table holds
+    at most ``spark.libswish3.cc.localEdgeLimit`` edges (default 2M ≈
+    tens of MB on the driver — same order as a broadcast side), the
+    components are resolved by a driver-side min-id union-find, which
+    is definitionally the same labeling (keeper = component minimum).
+    Larger edge sets take the distributed doubling loop unchanged —
+    the 100 TB path. The count that makes the decision runs on the
+    already-checkpointed edges, not the candidate pipeline.
     """
     edges = (
         pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
@@ -498,6 +511,15 @@ def resolve_clusters(
         # this the whole candidate+verify pipeline would re-run per round
         .localCheckpoint(eager=True)
     )
+    spark = pairs.sparkSession
+    try:
+        local_limit = int(
+            spark.conf.get("spark.libswish3.cc.localEdgeLimit", "2000000")
+        )
+    except ValueError:
+        local_limit = 2_000_000
+    if local_limit > 0 and edges.count() <= local_limit:
+        return _resolve_clusters_local(spark, edges)
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
         "label", F.col("id")
     )
@@ -553,6 +575,47 @@ def resolve_clusters(
 
         warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("keeper"))
+
+
+def _resolve_clusters_local(spark, edges: DataFrame) -> DataFrame:
+    """Driver-side min-id union-find over a SIZE-GATED edge collect
+    (see resolve_clusters): every node labeled with its component's
+    minimum id — exactly the fixpoint the doubling loop converges to.
+    Output schema matches the distributed branch (same id type)."""
+    from pyspark.sql.types import StructField, StructType
+
+    rows = edges.collect()
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in rows:
+        a, b = row[0], row[1]
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # min-id representative: the union root is the smaller id
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    out = [(n, find(n)) for n in parent]
+    id_type = edges.schema[0].dataType
+    schema = StructType(
+        [
+            StructField("doc_id", id_type, True),
+            StructField("keeper", id_type, True),
+        ]
+    )
+    return spark.createDataFrame(out, schema=schema)
 
 
 def _hexval(ch: Column) -> Column:

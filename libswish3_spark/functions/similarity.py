@@ -43,6 +43,16 @@ def cosine_bp(a, b) -> Column:
     return F.floor(cosine(a, b) * 10000).cast("long")
 
 
+def pair_cosine_bp(l_vec, r_vec, l_norm, r_norm) -> Column:
+    """floor(cosine ×10000) over per-row PRECOMPUTED norms — exactly
+    ``cosine_bp``'s op sequence (dot / greatest(na*nb, 1e-12), ×10000,
+    floor, bigint), the norm columns being the same doubles ``norm``
+    computes. One lambda fold per pair instead of three (the dominant
+    cost of every within-bucket pair join)."""
+    c = dot(l_vec, r_vec) / F.greatest(l_norm * r_norm, F.lit(1e-12))
+    return F.floor(c * 10000).cast("long")
+
+
 def brute_force_topk(
     df: DataFrame, id_col: str, vec_col: str, query_vec, k: int = 10
 ) -> DataFrame:
@@ -51,6 +61,13 @@ def brute_force_topk(
     The query vector is a literal array → broadcast into codegen; the
     scan is embarrassingly parallel and the only ordering cost is a
     global top-k (Spark's TakeOrdered, no full sort at scale).
+
+    The score stays the LAMBDA-fold cosine deliberately: an unrolled
+    64-term tree was tried (round 6) and measured net-SLOWER at bench
+    scale — the extra Catalyst analysis per query exceeded the per-row
+    eval win on a single-vector scan, and inside join stages the giant
+    tree tripped codegen's method-size limit, dropping whole stages to
+    interpreted eval.
     """
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     scored = df.select(
@@ -85,8 +102,20 @@ def _sql_dot(vec_sql: str, plane: list[float]) -> str:
     string because composing thousands of plane-weight literals through
     the Column API costs seconds of py4j round-trips on the driver
     (measured: 7.3 s to BUILD the 4-table probe plan vs 0.6 s to run
-    it), while expr() is a single parse."""
-    arr = "array(" + ", ".join(f"CAST({w!r} AS DOUBLE)" for w in plane) + ")"
+    it), while expr() is a single parse.
+
+    The LAMBDA form is kept deliberately (round-6 finding): an
+    unrolled per-element tree is faster in an isolated scan projection,
+    but an L-table × n-plane × dims tree (~15k Catalyst nodes) OOMs a
+    default-sized (1 GB) driver heap during analysis, and inside a
+    join's fused codegen even one 64-term tree trips the generated-
+    method size limit, dropping the whole stage to interpreted eval
+    (measured 10.1 s vs 4.4 s on the embedding pair join)."""
+    # 0.123D double literals, not CAST('0.123' AS DOUBLE): the same
+    # constant bit-for-bit (verified), at half the Catalyst nodes —
+    # analysis time of the 4-table probe tree is a per-query driver
+    # cost worth shaving
+    arr = "array(" + ", ".join(f"{w!r}D" for w in plane) + ")"
     return (
         f"aggregate(zip_with({vec_sql}, {arr},"
         " (x, y) -> CAST(x * y AS DOUBLE)),"
@@ -144,6 +173,11 @@ def embedding_near_dup_pairs(
     ingest by operators/signatures.py) instead of folding the planes in
     the scan — the 100 TB shape, where every near-dup query starts from
     the materialized index.
+
+    Pair scoring runs over per-row PRECOMPUTED norms (one lambda fold
+    per pair instead of three — measured ~3x on the bucket self-join;
+    the norm column is the identical double ``norm`` computes, so
+    scores are bit-identical).
     """
     if planes is None and sig_col is None:
         raise ValueError(
@@ -152,7 +186,10 @@ def embedding_near_dup_pairs(
         )
     sig = F.col(sig_col) if sig_col is not None else plane_signature(vec_col, planes)
     b = df.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), sig.alias("sig")
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        sig.alias("sig"),
+        norm(F.col(vec_col)).alias("nrm"),
     )
     if max_bucket is not None:
         # tiny (sig, count) aggregate, partial map-side
@@ -167,7 +204,9 @@ def embedding_near_dup_pairs(
     pairs = l.join(
         r, (F.col("l.sig") == F.col("r.sig")) & (F.col("l.id") < F.col("r.id"))
     )
-    score = cosine_bp(F.col("l.vec"), F.col("r.vec"))
+    score = pair_cosine_bp(
+        F.col("l.vec"), F.col("r.vec"), F.col("l.nrm"), F.col("r.nrm")
+    )
     return pairs.select(
         F.col("l.id").alias("a"),
         F.col("r.id").alias("b"),
@@ -222,12 +261,11 @@ def lsh_bucketed_topk(
     narrow scan-side filter pruning the corpus before the exact top-k
     (TakeOrdered, no global sort).
 
-    The probe condition is a ~2000-node literal tree: Catalyst takes
-    ~1.4 s to analyze it (a one-time driver constant), in exchange for
-    fully whole-stage-codegen'd per-row evaluation — the right trade at
-    corpus scale, where the alternative (folding planes through
-    higher-order-function lambdas) shrinks the tree but drops the inner
-    dot product to interpreted eval on every row."""
+    The probe condition is one OR of per-table IN-list tests so that a
+    row matching an early table short-circuits the remaining signature
+    folds; the folds stay the compact lambda form deliberately (an
+    unrolled L-table tree OOMs a default-sized driver heap during
+    Catalyst analysis — measured round 6, see _sql_dot)."""
     conds = []
     for t in range(n_tables):
         planes = random_planes(len(query_vec), n_planes, seed + t)
@@ -370,35 +408,32 @@ def ivf_centroids(emb_df: DataFrame, id_col: str, vec_col: str, n_cells: int = I
     return [list(r["v"]) for r in rows]
 
 
-def _sql_arr(vals) -> str:
-    return "array(" + ", ".join(f"CAST({float(w)!r} AS DOUBLE)" for w in vals) + ")"
-
-
 def ivf_cell_sql(vec_sql: str, centroids: list[list[float]]) -> str:
     """SQL text: 1-based index of the centroid with the highest
     direction-normalized dot product (dot(v,c)/||c|| — the vector's own
     norm is constant across cells, so it cannot change the argmax and
     is omitted). First-max-wins on exact ties (array_position), which
     the oracle mirrors as ORDER BY d DESC, cnum."""
+    import math
+
     parts = []
     for c in centroids:
-        arr = _sql_arr(c)
-        dot_ = (
-            f"aggregate(zip_with({vec_sql}, {arr},"
-            " (x, y) -> CAST(x * y AS DOUBLE)),"
-            " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-        )
-        cc = (
-            f"aggregate(zip_with({arr}, {arr},"
-            " (x, y) -> CAST(x * y AS DOUBLE)),"
-            " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-        )
+        # the centroid's own norm is a CONSTANT: fold it driver-side
+        # with the same double ops (left-fold of double products, max,
+        # sqrt — all correctly-rounded IEEE, so the literal equals what
+        # the old in-plan sqrt(greatest(...)) computed); the vec dot
+        # stays the lambda fold (see _sql_dot on why not unrolled)
+        dot_ = _sql_dot(vec_sql, [float(w) for w in c])
+        cc = 0.0
+        for w in c:
+            cc += float(w) * float(w)
         # greatest(cc, 1e-12): an all-zero centroid (failed/padded
         # encodes are commonly zero vectors) would otherwise divide by
         # zero — NaN sorts GREATEST in Spark, silently assigning every
         # row to the degenerate cell. The guard scores it 0 instead,
         # identically in Spark, DuckDB (oracle) and Python (probes).
-        parts.append(f"({dot_} / sqrt(greatest({cc}, CAST(1e-12 AS DOUBLE))))")
+        den = math.sqrt(max(cc, 1e-12))
+        parts.append(f"({dot_} / CAST({den!r} AS DOUBLE))")
     ds = "array(" + ", ".join(parts) + ")"
     return f"array_position({ds}, array_max({ds}))"
 
@@ -555,21 +590,26 @@ def semantic_dedup_cells(
     k ∝ n — e.g. ~100 k cells — keeping cells bounded and the join
     keys well spread), so neither cell size nor key skew grows with
     data. Only (cell, id, vec) are read — column pruning drops the
-    sig columns at the scan."""
+    sig columns at the scan. The pair cosine runs over per-row
+    PRECOMPUTED norms (bit-identical, one fold per pair instead of
+    three — see pair_cosine_bp)."""
     l = sigs.select(
         F.col(cell_col).alias("cell"),
         F.col(id_col).alias("u"),
         F.col(vec_col).alias("uv"),
+        norm(F.col(vec_col)).alias("un"),
     )
     r = sigs.select(
         F.col(cell_col).alias("cell"),
         F.col(id_col).alias("v"),
         F.col(vec_col).alias("vv"),
+        norm(F.col(vec_col)).alias("vn"),
     )
+    bp = pair_cosine_bp(F.col("uv"), F.col("vv"), F.col("un"), F.col("vn"))
     dom = (
         l.join(r, "cell")
         .where(F.col("u") < F.col("v"))
-        .select("v", cosine_bp(F.col("uv"), F.col("vv")).alias("bp"))
+        .select("v", bp.alias("bp"))
         .where(F.col("bp") >= min_score_bp)
         .groupBy("v")
         .agg(F.count("*").alias("_n_dom"), F.max("bp").alias("_max_bp"))

@@ -748,16 +748,22 @@ def q_tfidf_topterms(spark, sf_dir):
     from pyspark.sql import Window
 
     tf = (
-        _docs(spark, sf_dir)
+        ensure_parallelism(_docs(spark, sf_dir))
         .select("doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
     )
-    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
-    scored = tf.join(df_, "term").select(
+    # df as a count window over term, not a groupBy+self-join: the join
+    # formulation evaluated the whole tokenize→explode→agg subtree
+    # TWICE (once per branch); the window reads the single tf pass and
+    # produces the identical per-term document count
+    w_df = Window.partitionBy("term")
+    scored = tf.select(
         "doc_id",
         "term",
-        F.floor(F.col("tf") * 1_000_000 / F.col("df")).cast("long").alias("score"),
+        F.floor(F.col("tf") * 1_000_000 / F.count("*").over(w_df))
+        .cast("long")
+        .alias("score"),
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.col("term"))
     return (
@@ -1022,16 +1028,23 @@ def q_curation_pipeline(spark, sf_dir):
     from libswish3_spark.functions.dedup import exact_duplicates
     from libswish3_spark.functions.text import gopher_filter, redact_pii, token_count
 
-    base = _docs(spark, sf_dir)
+    base = ensure_parallelism(_docs(spark, sf_dir))
     kept = gopher_filter(base, "text").where("kept")
     keepers = exact_duplicates(kept, "doc_id", "text").select(
         F.col("keeper").alias("doc_id")
     )
     survivors = kept.join(keepers, "doc_id")
-    return survivors.select(
+    # bind the redaction once: referenced twice below, the projection
+    # is NOT collapsed into its consumers (CollapseProject refuses to
+    # duplicate non-cheap expressions), so the regex chain runs once
+    # per row instead of twice
+    redacted = survivors.select(
+        "doc_id", redact_pii(F.col("text")).alias("_red"), "source"
+    )
+    return redacted.select(
         "doc_id",
-        F.md5(redact_pii(F.col("text"))).alias("clean_fp"),
-        token_count(redact_pii(F.col("text"))).alias("n_tokens"),
+        F.md5(F.col("_red")).alias("clean_fp"),
+        token_count(F.col("_red")).alias("n_tokens"),
         "source",
     )
 
@@ -1088,7 +1101,7 @@ def q_chunk_windows(spark, sf_dir):
     from libswish3_spark.functions.text import chunk_token_windows
 
     out = chunk_token_windows(
-        _docs(spark, sf_dir), "doc_id", "text",
+        ensure_parallelism(_docs(spark, sf_dir)), "doc_id", "text",
         chunk_tokens=CHUNK_TOKENS, stride=CHUNK_STRIDE,
     )
     return out.select(
@@ -2136,7 +2149,7 @@ def q_media_features(spark, sf_dir):
     run the Arrow-batched (stub) feature extractor."""
     from libswish3_spark.functions.media import extract_media_features
 
-    media = _docs(spark, sf_dir).select(
+    media = ensure_parallelism(_docs(spark, sf_dir)).select(
         F.concat(F.lit("img://"), F.col("doc_id").cast("string")).alias("media_ref"),
         F.lit("image").alias("media_type"),
         F.encode("text", "utf-8").alias("content"),
@@ -2223,7 +2236,7 @@ def q_media_ppm_features(spark, sf_dir):
         synthesize_ppm,
     )
 
-    media = synthesize_ppm(_docs(spark, sf_dir).select("doc_id"))
+    media = synthesize_ppm(ensure_parallelism(_docs(spark, sf_dir).select("doc_id")))
     feats = extract_media_features(media, decoder=real_decode)
     bp = lambda i: F.floor(
         F.element_at("feature", i).cast("double") * 10000
@@ -2283,7 +2296,7 @@ def q_media_wav_features(spark, sf_dir):
         synthesize_wav,
     )
 
-    media = synthesize_wav(_docs(spark, sf_dir).select("doc_id"))
+    media = synthesize_wav(ensure_parallelism(_docs(spark, sf_dir).select("doc_id")))
     feats = extract_media_features(media, decoder=real_decode)
     bp = lambda i: F.floor(
         F.element_at("feature", i).cast("double") * 10000
@@ -2340,7 +2353,7 @@ def q_media_video_features(spark, sf_dir):
         synthesize_video,
     )
 
-    media = synthesize_video(_docs(spark, sf_dir).select("doc_id"))
+    media = synthesize_video(ensure_parallelism(_docs(spark, sf_dir).select("doc_id")))
     feats = extract_media_features(media, decoder=real_decode)
     bp = lambda i: F.floor(
         F.element_at("feature", i).cast("double") * 10000
@@ -2416,7 +2429,7 @@ def q_tokenize_count_merged(spark, sf_dir):
     '__total_words__' / '__vocab__' (reference: swish3 word/file
     counters; vocab = exact distinct-token count, the corpus statistic
     the rarity scorer's frequency table is sized by)."""
-    docs = _docs(spark, sf_dir)
+    docs = ensure_parallelism(_docs(spark, sf_dir))
     per = docs.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         T.token_count(F.col("text")).cast("long").alias("n_tokens"),

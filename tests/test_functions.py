@@ -102,6 +102,32 @@ def test_resolve_clusters_long_chain_converges(spark):
     assert got == {i: 0 for i in range(12)}
 
 
+def test_resolve_clusters_local_and_distributed_agree(spark):
+    """The size-gated driver union-find and the doubling loop must
+    produce identical labels (string ids included: Spark compares
+    UTF8 bytes, Python code points — identical order by UTF-8's
+    order-preserving property)."""
+    pairs = spark.createDataFrame(
+        [("d2", "d5"), ("d5", "d1"), ("x9", "x3"), ("a", "é"), ("zz", "a")],
+        ["a", "b"],
+    )
+    local = {r["doc_id"]: r["keeper"] for r in D.resolve_clusters(pairs).collect()}
+    old = spark.conf.get("spark.libswish3.cc.localEdgeLimit", None)
+    spark.conf.set("spark.libswish3.cc.localEdgeLimit", "0")
+    try:
+        dist = {
+            r["doc_id"]: r["keeper"] for r in D.resolve_clusters(pairs).collect()
+        }
+    finally:
+        if old is None:
+            spark.conf.unset("spark.libswish3.cc.localEdgeLimit")
+        else:
+            spark.conf.set("spark.libswish3.cc.localEdgeLimit", old)
+    assert local == dist
+    assert local["d1"] == "d1" and local["d2"] == "d1" and local["d5"] == "d1"
+    assert local["a"] == "a" and local["é"] == "a" and local["zz"] == "a"
+
+
 def test_simhash_identical_for_dups(spark, docs):
     sh = {
         r["doc_id"]: r["s"]
@@ -568,12 +594,18 @@ def test_resolve_clusters_nonconvergence_is_signaled(spark):
     pairs = spark.createDataFrame(
         [(f"c{i:02d}", f"c{i + 1:02d}") for i in range(30)], ["a", "b"]
     )
-    with warnings.catch_warnings(record=True) as caught:
-        warnings.simplefilter("always")
-        D.resolve_clusters(pairs, max_rounds=1)
-    assert any("fixpoint" in str(w.message) for w in caught)
-    with pytest.raises(ValueError, match="fixpoint"):
-        D.resolve_clusters(pairs, max_rounds=1, require_converged=True)
+    # force the distributed loop — the size-gated driver union-find
+    # needs no rounds and cannot fail to converge
+    spark.conf.set("spark.libswish3.cc.localEdgeLimit", "0")
+    try:
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            D.resolve_clusters(pairs, max_rounds=1)
+        assert any("fixpoint" in str(w.message) for w in caught)
+        with pytest.raises(ValueError, match="fixpoint"):
+            D.resolve_clusters(pairs, max_rounds=1, require_converged=True)
+    finally:
+        spark.conf.unset("spark.libswish3.cc.localEdgeLimit")
 
 
 def test_drop_frequent_paragraphs(spark):
