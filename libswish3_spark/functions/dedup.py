@@ -253,15 +253,20 @@ def candidate_pairs_from_buckets(
     if pairs not in ("all", "star"):
         raise ValueError(f"pairs must be 'all' or 'star', got {pairs!r}")
     if max_bucket is not None:
-        # tiny (bucket, count) aggregate — partial map-side, rows are
-        # bands-per-doc, orders of magnitude smaller than the corpus
-        keep = (
-            exploded.groupBy("bucket")
-            .agg(F.count("*").alias("_n"))
+        # cap filter as a COUNT WINDOW over the bucket, not a
+        # groupBy+join: one shuffle of the (id, bucket) table instead
+        # of an aggregate plus a join against it, and the window's
+        # hash-partitioning on bucket is exactly what the pair
+        # self-join below needs — the exchange is planned once and
+        # reused for both join sides (same rows kept either way)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("bucket")
+        exploded = (
+            exploded.withColumn("_n", F.count("*").over(w))
             .where(F.col("_n") <= max_bucket)
-            .select("bucket")
+            .drop("_n")
         )
-        exploded = exploded.join(keep, "bucket")
     if pairs == "star":
         # one aggregate for the per-bucket min, one join: edges
         # (min, member) for member != min — linear in bucket size

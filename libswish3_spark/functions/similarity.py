@@ -192,7 +192,12 @@ def embedding_near_dup_pairs(
         norm(F.col(vec_col)).alias("nrm"),
     )
     if max_bucket is not None:
-        # tiny (sig, count) aggregate, partial map-side
+        # tiny (sig, count) aggregate, partial map-side, broadcast back.
+        # NOT the count-window form candidate_pairs_from_buckets uses:
+        # sign signatures have few, fat key groups (2^n_planes buckets)
+        # where WindowExec's per-group sort loses (A/B at sf1.0: 2.9 s
+        # window vs 1.8 s join), while minhash bucket keys are
+        # near-unique and the window wins there
         keep = (
             b.groupBy("sig")
             .agg(F.count("*").alias("_n"))
