@@ -1415,8 +1415,8 @@ def q_minhash_bucket_index(spark, sf_dir):
     per-doc minhash band buckets (id, bucket) exactly as stored."""
     from libswish3_spark.operators.signatures import build_minhash_bucket_index
 
-    docs = ensure_parallelism(_docs(spark, sf_dir))
-    return build_minhash_bucket_index(docs, "doc_id", "text")
+    # the build spreads its own input (operators/signatures.py)
+    return build_minhash_bucket_index(_docs(spark, sf_dir), "doc_id", "text")
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
@@ -1698,7 +1698,7 @@ def _query_vec(spark, sf_dir):
 
 
 def q_ann_cosine_topk(spark, sf_dir):
-    emb = _read(spark, sf_dir, "embeddings")
+    emb = ensure_parallelism(_read(spark, sf_dir, "embeddings"))
     return S.brute_force_topk(emb, "vec_id", "embedding", _query_vec(spark, sf_dir))
 
 
@@ -1723,9 +1723,28 @@ ANN_SEED = 42
 
 
 def q_ann_lsh_topk(spark, sf_dir):
-    emb = _read(spark, sf_dir, "embeddings")
-    return S.lsh_bucketed_topk(
-        emb,
+    """Index-free LSH ANN: signatures computed IN-FLIGHT (no stored
+    table — every run folds them from the parquet input) through the
+    same Arrow kernel the ingest build uses, then the stored-path probe
+    filter + exact cosine. Identical result set to the expression-form
+    lsh_bucketed_topk by construction — same planes, same probes, same
+    kernel the stored index is built with (pinned identical to the
+    expression fold by test_signatures) — but the per-row signature
+    fold runs as one matmul per batch instead of 32 interpreted
+    lambda folds per row, and parallelizes with the input spread
+    (the expression filter was pushed below the repartition onto the
+    single-file scan, pinning it to one core: 2.7 s of the old 3.1 s
+    query)."""
+    from libswish3_spark.operators.signatures import (
+        build_embedding_signature_index,
+    )
+
+    emb = ensure_parallelism(_read(spark, sf_dir, "embeddings"))
+    sigs = build_embedding_signature_index(
+        emb, centroids=_ivf_centroids(spark, sf_dir)
+    )
+    return S.ann_topk_from_signatures(
+        sigs,
         "vec_id",
         "embedding",
         _query_vec(spark, sf_dir),

@@ -69,6 +69,9 @@ def build_minhash_bucket_index(
     "#" seed / "|" band key construction as minhash_signature /
     band_buckets — which remain the literal form the DuckDB oracles
     mirror. Docs with < 3 tokens emit no rows in both forms."""
+    from libswish3_spark.pipeline import ensure_parallelism
+
+    docs = ensure_parallelism(docs)
     if vectorized:
         return _build_minhash_buckets_vectorized(docs, id_col, text_col)
     return D.doc_band_buckets(docs, id_col, text_col)
@@ -164,6 +167,9 @@ def build_embedding_signature_index(
     plane weights with NULL → aggregate → NULL → every CASE scores 0),
     while the query side derives its planes from len(query_vec) — the
     buckets would never line up and top-k would quietly collapse."""
+    from libswish3_spark.pipeline import ensure_parallelism
+
+    emb = ensure_parallelism(emb)
     if dims is None:
         row = emb.select(F.size(F.col(vec_col)).alias("d")).first()
         dims = int(row["d"]) if row is not None and row["d"] is not None else ANN_DIMS
