@@ -88,8 +88,10 @@ ATTR_RE = re.compile(
 # under an effective UTF-8 encoding is FATAL to a libxml2 XML parse —
 # text before the byte delivers, the rest of that text run DROPS, and
 # the parse wounds (probed m4/m5/t1: '<root>na\xefve <b>rest</b> more'
-# indexes 'narest', 'more'). The marker is a private-use char scrubbed
-# from the decoded payload, so it cannot occur naturally.
+# indexes 'narest', 'more'). The marker is a private-use char; a
+# NATURAL U+E000 in the source (legal XML) is mapped to a space by
+# sources.files._scrub_sentinel on every XML decode path before the
+# marker can be injected, so an occurrence here is always the wound.
 WOUND_SENTINEL = "\ue000"
 
 _XML_ENT = {"amp": "&", "lt": "<", "gt": ">", "quot": '"', "apos": "'"}

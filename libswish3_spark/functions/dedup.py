@@ -213,10 +213,17 @@ def doc_band_buckets(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+# "auto" edge mode: all-pairs below this many members, star above —
+# small buckets keep full verify-stage precision, big (clone-family)
+# buckets collapse from O(size²) to O(size) edges
+STAR_THRESHOLD = 32
+
+
 def candidate_pairs_from_buckets(
     exploded: DataFrame,
     max_bucket: int | None = 1000,
     pairs: str = "all",
+    star_threshold: int = STAR_THRESHOLD,
 ) -> DataFrame:
     """(id, bucket) table → candidate pairs (a < b) sharing a bucket.
 
@@ -249,9 +256,33 @@ def candidate_pairs_from_buckets(
       clone-family workloads (exact-dup-heavy web crawls) where the
       family structure dominates, keep ``"all"`` when verify-stage
       precision shapes the clusters.
+    * ``"auto"`` — per-bucket dispatch: all-pairs for buckets with at
+      most ``star_threshold`` members, star above. The scale-safe
+      default for production dedup recipes (submit_extract wires it):
+      ordinary buckets keep all-pairs precision, and the clone-family
+      buckets that would go quadratic (the r5 scale probe measured
+      222 M all-pairs edges vs 2.2 M star edges on a clone-heavy
+      1.28 M-doc corpus, identical resolved clusters) emit O(size)
+      edges. The oracle queries keep explicit ``"all"``.
     """
-    if pairs not in ("all", "star"):
-        raise ValueError(f"pairs must be 'all' or 'star', got {pairs!r}")
+    if pairs not in ("all", "star", "auto"):
+        raise ValueError(f"pairs must be 'all', 'star' or 'auto', got {pairs!r}")
+    if pairs == "auto":
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("bucket")
+        sized = exploded.withColumn("_n", F.count("*").over(w))
+        if max_bucket is not None:
+            sized = sized.where(F.col("_n") <= max_bucket)
+        small = sized.where(F.col("_n") <= star_threshold).drop("_n")
+        big = sized.where(F.col("_n") > star_threshold).drop("_n")
+        return (
+            candidate_pairs_from_buckets(small, max_bucket=None, pairs="all")
+            .unionByName(
+                candidate_pairs_from_buckets(big, max_bucket=None, pairs="star")
+            )
+            .distinct()
+        )
     if max_bucket is not None:
         # cap filter as a COUNT WINDOW over the bucket, not a
         # groupBy+join: one shuffle of the (id, bucket) table instead

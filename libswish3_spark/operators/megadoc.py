@@ -1065,6 +1065,14 @@ def _xml_cut_scan(
                 root_raw = m.group(0)
             names.append(name)
             depth += 1
+        elif depth == 0 and root_raw is None:
+            # a SELF-CLOSING element at depth 0 is the root too: any
+            # later depth-0 start tag must hit the extra-content
+            # refusal above, exactly as the whole-doc parse applies
+            # libxml2's "Extra content at the end of the document"
+            # rule ('<root/><x>…</x>' previously adopted <x> as root
+            # and segmented, diverging from the unsegmented result)
+            root_raw = m.group(0)
     return cuts, seeds, root_raw
 
 

@@ -157,6 +157,22 @@ def _utf8_then_latin1(data: bytes) -> str:
         )
 
 
+def _scrub_sentinel(text: str) -> str:
+    """Map a NATURAL U+E000 (a legal XML private-use char) to a space
+    before the text reaches the XML parser: WOUND_SENTINEL is an
+    in-band marker, so an unscrubbed occurrence would spuriously wound
+    the parse (parser._consume_markup drops everything after it — the
+    reference delivers all the text). A space, like U+E000 itself, is
+    a token boundary to the reference tokenizer (iswpunct), so
+    tokenization is unchanged in every adjacency case (a plain delete
+    would fuse 'a\\ue000b' into one token); the one-char substitution
+    in stored property text is the cost of in-band wound marking.
+    Applied only on XML decode paths — HTML/TXT never read the marker."""
+    if WOUND_SENTINEL in text:
+        return text.replace(WOUND_SENTINEL, " ")
+    return text
+
+
 def _decode(
     data: bytes, parser: str, declared: str | None, cfg: SwishConfig
 ) -> tuple[str, str, str | None]:
@@ -176,11 +192,11 @@ def _decode(
             return data.decode("latin-1"), LATIN1_ENCODING, None
         if enc:
             try:
-                return data.decode(enc), enc.upper(), None
+                return _scrub_sentinel(data.decode(enc)), enc.upper(), None
             except (LookupError, UnicodeDecodeError):
                 pass
         if _valid_utf8(data):
-            return data.decode("utf-8"), "UTF-8", None
+            return _scrub_sentinel(data.decode("utf-8")), "UTF-8", None
         # invalid byte under an effective UTF-8 encoding: FATAL to a
         # libxml2 XML parse — text before the byte delivers, the rest
         # of that run drops, and the parse wounds (probes m4/m5/t1:
@@ -192,9 +208,9 @@ def _decode(
             data.decode("utf-8")
         except UnicodeDecodeError as e:
             text = (
-                data[: e.start].decode("utf-8")
+                _scrub_sentinel(data[: e.start].decode("utf-8"))
                 + WOUND_SENTINEL
-                + data[e.start :].decode("latin-1").replace(WOUND_SENTINEL, "")
+                + data[e.start :].decode("latin-1").replace(WOUND_SENTINEL, " ")
             )
             return text, "UTF-8", None
 

@@ -43,6 +43,14 @@ def main(argv=None) -> int:
         "checked against it must bucket through near_dup_stream("
         "extracted=True) so both sides shingle the same text",
     )
+    p.add_argument(
+        "--neardup-candidates",
+        help="also write near-dup candidate pairs here, derived from the "
+        "minhash index with pairs='auto' (all-pairs for ordinary buckets, "
+        "star edges for clone-family buckets above the size threshold — "
+        "the scale-safe default; the O(size²) all-pairs edge set stays "
+        "an explicit opt-in of the library API). Requires --minhash-index",
+    )
     p.add_argument("--streaming", action="store_true")
     p.add_argument("--checkpoint", help="streaming checkpoint location")
     p.add_argument("--run-id", default="run0")
@@ -124,6 +132,18 @@ def main(argv=None) -> int:
         build_minhash_bucket_index(corpus).write.mode("overwrite").parquet(
             args.minhash_index
         )
+    if args.neardup_candidates:
+        if not args.minhash_index:
+            p.error("--neardup-candidates requires --minhash-index")
+        if _fresh_or_missing(args.neardup_candidates):
+            from libswish3_spark.functions.dedup import (
+                candidate_pairs_from_buckets,
+            )
+
+            idx = spark.read.parquet(args.minhash_index)
+            candidate_pairs_from_buckets(idx, pairs="auto").write.mode(
+                "overwrite"
+            ).parquet(args.neardup_candidates)
     print(
         f"processed buckets: {len(result['processed'])}, "
         f"resumed past: {len(result['skipped'])}"

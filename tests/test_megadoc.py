@@ -909,3 +909,18 @@ def test_segmentation_fuzz_parity_live_generator_constructs(spark):
                 sc,
                 [k for k in plain if seg.get(k) != plain[k]][:3],
             )
+
+
+def test_xml_self_closing_root_refuses_segmentation():
+    """ADVICE r5: '<root/><x>…</x>' has extra top-level content — the
+    whole-doc parse indexes nothing (libxml2 extra-content rule), so
+    the cut scan must refuse to segment it (a segmented replay would
+    index <x>'s content and diverge)."""
+    from libswish3_spark.operators.megadoc import _xml_cut_scan
+
+    body = "<root/><x>" + "<p>word word word</p>" * 8 + "</x>"
+    cuts, seeds, root = _xml_cut_scan(body, 20)
+    assert (cuts, seeds, root) == ([], [], None)
+    # a lone self-closing root still yields the whole-doc single pass
+    cuts2, seeds2, root2 = _xml_cut_scan("<root/>" + " " * 64, 20)
+    assert cuts2 == []

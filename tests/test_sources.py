@@ -225,3 +225,26 @@ def test_parse_directory_skips_unreadable(tmp_path):
     assert len(rows) == 1 and rows[0]["doc_id"].endswith("good.txt")
     assert rows[0]["nwords"] >= 3
     assert any("dangling" in str(x.message) for x in w)
+
+
+def test_natural_private_use_char_does_not_wound_xml():
+    """ADVICE r5: U+E000 is a legal XML char; a document containing it
+    must index ALL its text (the reference delivers everything — the
+    char is just a token boundary), not stop at the first occurrence
+    by tripping the in-band wound marker."""
+    from libswish3_spark.parser import parse_document
+    from libswish3_spark.sources.files import ingest_bytes
+
+    xml = "<root>alpha \ue000 beta gamma</root>".encode("utf-8")
+    row = ingest_bytes(xml, "pua.xml")
+    assert row["error"] is None
+    out = parse_document(
+        row["doc_id"], row["spans"], parser=row["parser"]
+    )
+    toks = [s["text"] for s in out["spans"] if s["kind"] == "word"]
+    assert toks == ["alpha", "beta", "gamma"]
+    # adjacency: U+E000 is a boundary, so scrubbing must not fuse
+    xml2 = "<root>a\ue000b</root>".encode("utf-8")
+    row2 = ingest_bytes(xml2, "pua2.xml")
+    out2 = parse_document(row2["doc_id"], row2["spans"], parser=row2["parser"])
+    assert [s["text"] for s in out2["spans"] if s["kind"] == "word"] == ["a", "b"]
