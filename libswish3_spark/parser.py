@@ -30,6 +30,11 @@ the media reference without disturbing reference token positions.
 from __future__ import annotations
 
 import re
+from array import array as _array
+
+
+def _int_array():
+    return _array("i")
 
 from libswish3_spark.config import (
     CLASS_ATTRIBUTES,
@@ -153,10 +158,12 @@ class DocState:
         # Arrow kernel consumes them columnar (pipeline.extract_batch_fn),
         # so the hot word-emission path never allocates a per-token
         # tuple; the ``spans`` property below zips rows for cold callers
-        self.s_kind: list[str] = []
+        self.s_kindc = bytearray()  # span kind codes: 0 word, 1 media
         self.s_text: list[str] = []
-        self.s_ref: list[str] = []
-        self.s_ord: list[int] = []
+        # media refs are SPARSE: (span index, ref) pairs only — the
+        # dense all-"" ref column is synthesized at Arrow build time
+        self.s_refs: list[tuple[int, str]] = []
+        self.s_ord = _int_array()
         # optional per-token (metaname, context) postings for index sinks
         # (S9 contract: swish_xapian.cpp:416-561 needs value+meta+pos)
         self.keep_token_meta = False
@@ -182,7 +189,13 @@ class DocState:
     @property
     def spans(self) -> list[tuple[str, str, str, int]]:
         """Row view of the parallel span columns (cold paths only)."""
-        return list(zip(self.s_kind, self.s_text, self.s_ref, self.s_ord))
+        refs = dict(self.s_refs)
+        return [
+            ("media" if k else "word", t, refs.get(i, ""), o)
+            for i, (k, t, o) in enumerate(
+                zip(self.s_kindc, self.s_text, self.s_ord)
+            )
+        ]
 
     # -- config lookups with per-doc overlay --------------------------------
     def meta_defined(self, name: str) -> bool:
@@ -251,9 +264,9 @@ class DocState:
         # right after it. Offsets were pinned at add_media time.
         medias = self.media_marks
 
-        s_kind = self.s_kind
+        s_kindc = self.s_kindc
         s_text = self.s_text
-        s_ref = self.s_ref
+        s_refs = self.s_refs
         s_ord = self.s_ord
         split_tokens = self.split_tokens
         keep_meta = self.keep_token_meta
@@ -263,9 +276,8 @@ class DocState:
             if toks:
                 n = len(toks)
                 base = self.pos
-                s_kind.extend(("word",) * n)
+                s_kindc.extend(bytes(n))  # n zero codes
                 s_text.extend(toks)
-                s_ref.extend(("",) * n)
                 s_ord.extend(range(base + 1, base + n + 1))
                 if keep_meta:
                     self.token_meta.extend([(meta, context)] * n)
@@ -273,9 +285,9 @@ class DocState:
                 self.nwords += n
 
         def _emit_media(ref: str) -> None:
-            s_kind.append("media")
+            s_refs.append((len(s_kindc), ref))
+            s_kindc.append(1)
             s_text.append("")
-            s_ref.append(ref)
             s_ord.append(self.pos + 1)
 
         mi = 0
@@ -340,9 +352,9 @@ class DocState:
         else:
             # still surface media markers even when not tokenizing
             for _, val in self.media_marks:
-                self.s_kind.append("media")
+                self.s_refs.append((len(self.s_kindc), val))
+                self.s_kindc.append(1)
                 self.s_text.append("")
-                self.s_ref.append(val)
                 self.s_ord.append(self.pos + 1)
         self.meta_buf = []
         self.media_marks = []
@@ -725,9 +737,7 @@ def parse_document(
         "doc_id": doc_id,
         "spans": [
             {"kind": k, "text": t, "media_ref": r, "order": o}
-            for (k, t, r, o) in zip(
-                state.s_kind, state.s_text, state.s_ref, state.s_ord
-            )
+            for (k, t, r, o) in state.spans
         ],
         "metanames": state.metanames,
         "properties": state.properties,
@@ -1157,21 +1167,21 @@ def _process_xinclude(state: DocState, attrs, include_resolver) -> None:
     # title-from-path tokens stay under swishtitle in the parent's
     # postings (verified live: SWISH_DEBUG=4 over xinclude.xml).
     mi = 0
-    for kind, text, ref in zip(child.s_kind, child.s_text, child.s_ref):
-        if kind == "word":
+    child_refs = dict(child.s_refs)
+    for ci, (kind, text) in enumerate(zip(child.s_kindc, child.s_text)):
+        if not kind:  # word
             state.pos += 1
             state.nwords += 1
-            state.s_kind.append("word")
+            state.s_kindc.append(0)
             state.s_text.append(text)
-            state.s_ref.append("")
             state.s_ord.append(state.pos)
             if state.keep_token_meta:
                 state.token_meta.append(child.token_meta[mi])
                 mi += 1
         else:
-            state.s_kind.append("media")
+            state.s_refs.append((len(state.s_kindc), child_refs.get(ci, "")))
+            state.s_kindc.append(1)
             state.s_text.append("")
-            state.s_ref.append(ref)
             state.s_ord.append(state.pos + 1)
     for name, val in child.metanames.items():
         if state.meta_defined(name):

@@ -17,6 +17,8 @@ the memory bound (``spark.sql.execution.arrow.maxRecordsPerBatch``).
 
 from __future__ import annotations
 
+from array import array as _array
+
 from typing import Iterator
 
 from pyspark.sql import DataFrame, functions as F
@@ -168,11 +170,12 @@ def extract_batch_fn(config: SwishConfig, include_map: dict | None = None):
                 batch.column("includes").to_pylist() if "includes" in names else [None] * n
             )
 
-            s_kind: list[str] = []
+            s_kindc = bytearray()  # 0 word / 1 media codes (see parser)
             s_text: list[str] = []
-            s_ref: list[str] = []
-            s_ord: list[int] = []
-            s_off = [0]
+            s_refs: list[tuple[int, str]] = []  # sparse (span idx, ref)
+            s_ord = _array("i")
+            s_off = _array("i")
+            s_off.append(0)
             m_keys: list[str] = []
             m_vals: list[str] = []
             m_off = [0]
@@ -215,12 +218,17 @@ def extract_batch_fn(config: SwishConfig, include_map: dict | None = None):
                             off = int(doc_ids[i].rsplit("\x02", 2)[1])
                         except (ValueError, IndexError):
                             off = 0
-                    if st.s_kind:
+                    if st.s_kindc:
                         # the parser keeps spans columnar already — no
-                        # row materialization or transpose needed
-                        s_kind.extend(st.s_kind)
+                        # row materialization or transpose needed; kind
+                        # codes and orders extend as C buffers
+                        if st.s_refs:
+                            base = len(s_kindc)
+                            s_refs.extend(
+                                (base + j, r) for j, r in st.s_refs
+                            )
+                        s_kindc.extend(st.s_kindc)
                         s_text.extend(st.s_text)
-                        s_ref.extend(st.s_ref)
                         if off:
                             s_ord.extend([x + off for x in st.s_ord])
                         else:
@@ -232,23 +240,45 @@ def extract_batch_fn(config: SwishConfig, include_map: dict | None = None):
                     nwords.append(st.nwords)
                     out_parser.append(parser)
                     out_error.append(st.error)
-                s_off.append(len(s_kind))
+                s_off.append(len(s_kindc))
                 m_off.append(len(m_keys))
                 p_off.append(len(p_keys))
 
+            import numpy as np
+
+            # kind: dictionary-index cast (C-built string column — ~6x
+            # cheaper than pa.array over 10^5 repeated python strings)
+            kind_idx = np.frombuffer(bytes(s_kindc), dtype=np.int8)
+            kind_arr = pa.DictionaryArray.from_arrays(
+                pa.array(kind_idx), pa.array(["word", "media"])
+            ).cast(pa.string())
+            # media_ref: dense all-"" unless media present in the batch
+            if s_refs:
+                ref_list = [""] * len(s_kindc)
+                for j, r in s_refs:
+                    ref_list[j] = r
+                ref_arr = pa.array(ref_list, pa.string())
+            else:
+                ref_arr = pa.DictionaryArray.from_arrays(
+                    pa.array(np.zeros(len(s_kindc), dtype=np.int8)),
+                    pa.array([""]),
+                ).cast(pa.string())
             span_struct = pa.StructArray.from_arrays(
                 [
-                    pa.array(s_kind, pa.string()),
+                    kind_arr,
                     pa.array(s_text, pa.string()),
-                    pa.array(s_ref, pa.string()),
-                    pa.array(s_ord, pa.int32()),
+                    ref_arr,
+                    pa.array(np.frombuffer(s_ord, dtype=np.int32), pa.int32()),
                 ],
                 names=["kind", "text", "media_ref", "order"],
             )
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(doc_ids, pa.string()),
-                    pa.ListArray.from_arrays(pa.array(s_off, pa.int32()), span_struct),
+                    pa.ListArray.from_arrays(
+                        pa.array(np.frombuffer(s_off, dtype=np.int32), pa.int32()),
+                        span_struct,
+                    ),
                     pa.MapArray.from_arrays(
                         pa.array(m_off, pa.int32()),
                         pa.array(m_keys, pa.string()),
