@@ -530,32 +530,37 @@ def resolve_clusters(
     the orders of magnitude live — and below a size floor the
     distributed algorithm IS the overhead): each doubling round costs
     3+ job launches regardless of data size, so a small edge set pays
-    seconds of pure scheduling. When the materialized edge table holds
-    at most ``spark.libswish3.cc.localEdgeLimit`` edges (default 2M ≈
-    tens of MB on the driver — same order as a broadcast side), the
-    components are resolved by a driver-side min-id union-find, which
-    is definitionally the same labeling (keeper = component minimum).
-    Larger edge sets take the distributed doubling loop unchanged —
-    the 100 TB path. The count that makes the decision runs on the
-    already-checkpointed edges, not the candidate pipeline.
+    seconds of pure scheduling. When the materialized pair table holds
+    at most ``spark.libswish3.cc.localEdgeLimit`` directed edges
+    (default 2M ≈ tens of MB on the driver — same order as a broadcast
+    side), the components are resolved by a driver-side min-id
+    union-find, which is definitionally the same labeling (keeper =
+    component minimum; union-find is direction- and duplicate-
+    agnostic, so it reads the RAW pairs and skips the edge
+    symmetrization/distinct shuffles entirely). Larger sets build the
+    symmetric edge table and take the distributed doubling loop
+    unchanged — the 100 TB path. The count that makes the decision
+    runs on the already-checkpointed pairs, not the candidate
+    pipeline.
     """
-    edges = (
-        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-        .union(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-        .distinct()
-        # materialized once: every round joins against edges, and without
-        # this the whole candidate+verify pipeline would re-run per round
-        .localCheckpoint(eager=True)
-    )
     spark = pairs.sparkSession
+    # materialized once: the local gate counts it, and every doubling
+    # round otherwise re-runs the whole candidate+verify pipeline
+    raw = pairs.select("a", "b").localCheckpoint(eager=True)
     try:
         local_limit = int(
             spark.conf.get("spark.libswish3.cc.localEdgeLimit", "2000000")
         )
     except ValueError:
         local_limit = 2_000_000
-    if local_limit > 0 and edges.count() <= local_limit:
-        return _resolve_clusters_local(spark, edges)
+    if local_limit > 0 and 2 * raw.count() <= local_limit:
+        return _resolve_clusters_local(spark, raw)
+    edges = (
+        raw.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .union(raw.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
         "label", F.col("id")
     )
@@ -614,9 +619,10 @@ def resolve_clusters(
 
 
 def _resolve_clusters_local(spark, edges: DataFrame) -> DataFrame:
-    """Driver-side min-id union-find over a SIZE-GATED edge collect
+    """Driver-side min-id union-find over a SIZE-GATED pair collect
     (see resolve_clusters): every node labeled with its component's
-    minimum id — exactly the fixpoint the doubling loop converges to.
+    minimum id — exactly the fixpoint the doubling loop converges to
+    (edge direction and duplicates are irrelevant to union-find).
     Output schema matches the distributed branch (same id type)."""
     from pyspark.sql.types import StructField, StructType
 

@@ -167,9 +167,12 @@ def build_embedding_signature_index(
     plane weights with NULL → aggregate → NULL → every CASE scores 0),
     while the query side derives its planes from len(query_vec) — the
     buckets would never line up and top-k would quietly collapse."""
-    from libswish3_spark.pipeline import ensure_parallelism
-
-    emb = ensure_parallelism(emb)
+    # deliberately NO input spread here (unlike the minhash build): the
+    # numpy kernel is milliseconds even single-core at bench scale, and
+    # a spread input multiplies the partitionBy(ivf_cell) write of the
+    # stored index into input_partitions x cells tiny files (measured
+    # +1.1 s on the index-build bench entry); callers that want the
+    # kernel parallel pass an already-spread DataFrame (q_ann_lsh_topk)
     if dims is None:
         row = emb.select(F.size(F.col(vec_col)).alias("d")).first()
         dims = int(row["d"]) if row is not None and row["d"] is not None else ANN_DIMS
