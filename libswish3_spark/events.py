@@ -622,15 +622,35 @@ def html_events(text: str):
                 yield ("text", html_unescape(text[last : m.start()]))
             else:
                 yield from _deliver(text[last : m.start()])
-        comment, doctype, pi, close, name, rawattrs, selfclose = m.group(
-            "comment", "doctype", "pi", "close", "name", "attrs", "selfclose"
-        )
-        if (close or doctype is not None) and m.start() == bogus_at:
-            # immediately after a misplaced DOCTYPE, a close tag or
-            # another DOCTYPE lexes as bogus text: '<' delivers now
-            # (pre-tree if body isn't open) and scanning resumes at
-            # the next byte — the construct's body lands in the next
-            # text slice
+        # hot path first: a real tag match needs only 4 of the 7 groups
+        # (one C-level multi-group call per branch instead of all 7)
+        name = m.group("name")
+        if name is None:
+            comment, doctype, pi = m.group("comment", "doctype", "pi")
+            if doctype is not None and m.start() == bogus_at:
+                # immediately after a misplaced DOCTYPE, another DOCTYPE
+                # lexes as bogus text: '<' delivers now and scanning
+                # resumes at the next byte
+                bogus_at = -1
+                prolog_done = True
+                yield ("text", "<")
+                last = m.start() + 1
+                continue
+            bogus_at = -1
+            last = m.end()
+            if comment is not None:
+                yield ("comment", comment)
+            elif doctype is not None:
+                if prolog_done:
+                    bogus_at = m.end()
+            # pi: skipped; unterminated tag at EOF (`<p>a<title`):
+            # libxml2 drops it entirely — the element never opens
+            # (probes q1-q5)
+            continue
+        close, rawattrs, selfclose = m.group("close", "attrs", "selfclose")
+        if close and m.start() == bogus_at:
+            # a close tag immediately after a misplaced DOCTYPE lexes
+            # as bogus text (see above)
             bogus_at = -1
             prolog_done = True
             yield ("text", "<")
@@ -638,19 +658,6 @@ def html_events(text: str):
             continue
         bogus_at = -1
         last = m.end()
-        if comment is not None:
-            yield ("comment", comment)
-            continue
-        if doctype is not None:
-            if prolog_done:
-                bogus_at = m.end()
-            continue
-        if pi is not None:
-            continue
-        if name is None:
-            # unterminated tag at EOF (`<p>a<title`): libxml2 drops it
-            # entirely — the element never opens (probes q1-q5)
-            continue
         name = name.lower()
         prolog_done = True
         if close:

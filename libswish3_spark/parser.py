@@ -68,7 +68,10 @@ from libswish3_spark.tokenizer import resolve_tokenizer, split_tokens
 
 _BUMPER = TOKENPOS_BUMPER
 _WS = " \t\n\r\f\v"
-_CTRL_TO_WS = {i: 0x20 for i in range(32)}  # reference: string.c:593-607
+# reference: string.c:593-607 (ctrl bytes -> space). Applied to ASCII
+# strings only, so the bytes-level translate (C table lookup, ~5x the
+# per-char dict translate) is exact.
+_CTRL_TO_WS = bytes.maketrans(bytes(range(32)), b" " * 32)
 
 # reserved metanames key carrying a mega-doc segment's end position
 # through the fixed extraction schema (stripped at reassembly)
@@ -216,7 +219,8 @@ class DocState:
             return
         if cleanwsp:
             if s.isascii():
-                s = s.translate(_CTRL_TO_WS)  # ctrl → space (ascii only)
+                # ctrl → space (ascii only)
+                s = s.encode("ascii").translate(_CTRL_TO_WS).decode("ascii")
             s = s.strip(_WS)
         cur = nb.get(name)
         nb[name] = (cur + _BUMPER + s) if cur else s

@@ -91,9 +91,11 @@ def split_tokens(segment: str) -> list[str]:
     # fast path (vast majority of text): nothing to edge-strip and no run
     # long enough to hit the 256-byte cap — the runs ARE the tokens
     if "'" not in low and "_" not in low:
-        if len(low) <= MAX_WORD_LEN // 4 or max(map(len, runs)) <= MAX_WORD_LEN // (
-            1 if is_ascii else 4
-        ):
+        # char limit under which no run can exceed the 256-BYTE cap:
+        # ascii is 1 byte/char, non-ascii at most 4 — checking the whole
+        # segment length first skips the per-run max() on typical text
+        lim = MAX_WORD_LEN if is_ascii else MAX_WORD_LEN // 4
+        if len(low) <= lim or max(map(len, runs)) <= lim:
             return runs
     out: list[str] = []
     for run in runs:
