@@ -293,7 +293,9 @@ def _split_prefix(name: str) -> tuple[str | None, str]:
 
 
 def xml_events(text: str):
-    """Literal SAX-like event stream for XML (recovering).
+    """Literal SAX-like event LIST for XML (recovering) — returns a
+    list for the same reason html_events does (generator suspend/resume
+    overhead on the parse kernel); every consumer just iterates.
 
     Text events carry a third slot: the RAW slice for markup text
     (same object as the unescaped string when it holds no entity, so
@@ -302,13 +304,15 @@ def xml_events(text: str):
     needs both: libxml2 then delivers literal bytes with entity/charref
     expansions REMOVED and drops CDATA blocks entirely.
     """
+    out: list = []
+    append = out.append
     pos = 0
     for m in MARKUP_RE.finditer(text):
         if m.start() < pos:
             continue  # inside a fatal comment's extended consumption
         if m.start() > pos:
             raw = text[pos : m.start()]
-            yield ("text", xml_unescape(raw), raw)
+            append(("text", xml_unescape(raw), raw))
         pos = m.end()
         # one C-level call for all groups beats 4-8 named lookups
         comment, cdata, doctype, decl, pi, close, name, rawattrs, selfclose = (
@@ -332,11 +336,11 @@ def xml_events(text: str):
                 bad_abs = cstart + (q if q >= 0 else len(comment) - 1)
                 nxt = text.find("-->", bad_abs + 2)
                 pos = nxt + 3 if nxt >= 0 else len(text)
-                yield ("wound",)
+                append(("wound",))
                 continue
-            yield ("comment", comment)
+            append(("comment", comment))
         elif cdata is not None:
-            yield ("text", cdata, None)  # None raw: CDATA (see above)
+            append(("text", cdata, None))  # None raw: CDATA (see above)
         elif doctype is not None:
             # DOCTYPE has its own bracket-aware alternative so an
             # internal subset's `>`s don't truncate the lex (the old
@@ -348,13 +352,13 @@ def xml_events(text: str):
             # unloadable DTD might define them, so no wound (probes
             # r1-r8, s1-s13 vs the compiled reference)
             if _EXTERNAL_ID_RE.match(doctype):
-                yield ("dtd",)
+                append(("dtd",))
         elif decl is not None or pi is not None:
             continue
         else:
             prefix, local = _split_prefix(name)
             if close:
-                yield ("end", local, prefix)
+                append(("end", local, prefix))
             else:
                 # namespace declarations are NOT attributes: libxml2's
                 # SAX2 layer consumes xmlns/xmlns:* before the callbacks,
@@ -406,20 +410,21 @@ def xml_events(text: str):
                             break
                         attrs.append((k, v))
                 if badattr:
-                    yield (
+                    append((
                         "start", local, attrs, prefix,
                         bool(selfclose), nsdecls, badattr,
-                    )
+                    ))
                 else:
-                    yield (
+                    append((
                         "start", local, attrs, prefix,
                         bool(selfclose), nsdecls,
-                    )
+                    ))
                 if selfclose:
-                    yield ("end", local, prefix)
+                    append(("end", local, prefix))
     if pos < len(text):
         raw = text[pos:]
-        yield ("text", xml_unescape(raw), raw)
+        append(("text", xml_unescape(raw), raw))
+    return out
 
 
 _RAWTEXT_STOP = re.compile(r"</[A-Za-z]")
@@ -475,12 +480,19 @@ _PRE_BODY_TAGS = frozenset(
 
 
 def html_events(text: str):
-    """Lenient HTML event stream (libxml2 htmlParser equivalents).
+    """Lenient HTML event list (libxml2 htmlParser equivalents).
 
     Single finditer pass; rawtext (script/style) content is consumed by
     advancing ``last`` past it, and finditer matches inside the consumed
     region are skipped.
+
+    Returns a LIST (not a generator): the ~1 microsecond suspend/resume
+    per yielded event was ~25 % of scan+consume on the parse kernel —
+    building the list and iterating it is measurably faster, and every
+    consumer just iterates.
     """
+    out: list = []
+    append = out.append
     stack: list[str] = []
     last = 0
     n = len(text)
@@ -507,7 +519,7 @@ def html_events(text: str):
         stack.append("body")
         return ("start", "body", [], None, False)
 
-    def _do_close(name):
+    def _do_close(name):  # appends end events (no generator round-trip)
         # libxml2 htmlAutoCloseOnClose: an end tag may pop the
         # elements above its (topmost) match ONLY when none of them
         # has a HIGHER end priority (htmlEndPriority: div 150 < td
@@ -528,7 +540,7 @@ def html_events(text: str):
         # pop everything above, then the element itself
         while stack:
             top = stack.pop()
-            yield ("end", top, None)
+            append(("end", top, None))
             if top == name:
                 break
 
@@ -537,9 +549,9 @@ def html_events(text: str):
         # alone opens html/body/p; a later </p> or block tag really
         # pops it — probe y4's `</p>` bumps only with the p open).
         # Tag-triggered implication opens body only.
-        yield _imply_body()
+        append(_imply_body())
         stack.append("p")
-        yield ("start", "p", [], None, False)
+        append(("start", "p", [], None, False))
 
     def _deliver(raw):
         # text delivery with the implied-body dance. Literal '<'s from
@@ -557,13 +569,13 @@ def html_events(text: str):
         ):
             pre = len(raw) - len(raw.lstrip("<"))
             prolog_done = True
-            yield ("text", raw[:pre])
+            append(("text", raw[:pre]))
             rest = raw[pre:]
             if rest:
                 if rest.strip():
                     body_seen = True
-                    yield from _imply_body_p()
-                yield ("text", html_unescape(rest))
+                    _imply_body_p()
+                append(("text", html_unescape(rest)))
             return
         if raw and not prolog_done and not stack and not body_seen:
             # pre-tree text: libxml2 splits the LEADING blank run into
@@ -587,9 +599,9 @@ def html_events(text: str):
             and (not stack or stack == ["html"])
         ):
             body_seen = True
-            yield from _imply_body_p()
+            _imply_body_p()
         prolog_done = True
-        yield ("text", chunk)
+        append(("text", chunk))
 
     for m in HTML_MARKUP_RE.finditer(text):
         if m.start() < last:
@@ -604,11 +616,11 @@ def html_events(text: str):
             while rawtext_until is not None:
                 run, cname, last = _rawtext_step(text, last, n)
                 if run:
-                    yield ("text", run)
+                    append(("text", run))
                 if cname is None:
                     rawtext_until = None
                 else:
-                    yield from _do_close(cname)
+                    _do_close(cname)
                     if rawtext_until not in stack:
                         rawtext_until = None
             if m.start() < last:
@@ -619,9 +631,9 @@ def html_events(text: str):
             # generator round-trip measurably slows the parse kernel)
             if body_seen:
                 prolog_done = True
-                yield ("text", html_unescape(text[last : m.start()]))
+                append(("text", html_unescape(text[last : m.start()])))
             else:
-                yield from _deliver(text[last : m.start()])
+                _deliver(text[last : m.start()])
         # hot path first: a real tag match needs only 4 of the 7 groups
         # (one C-level multi-group call per branch instead of all 7)
         name = m.group("name")
@@ -633,13 +645,13 @@ def html_events(text: str):
                 # resumes at the next byte
                 bogus_at = -1
                 prolog_done = True
-                yield ("text", "<")
+                append(("text", "<"))
                 last = m.start() + 1
                 continue
             bogus_at = -1
             last = m.end()
             if comment is not None:
-                yield ("comment", comment)
+                append(("comment", comment))
             elif doctype is not None:
                 if prolog_done:
                     bogus_at = m.end()
@@ -653,7 +665,7 @@ def html_events(text: str):
             # as bogus text (see above)
             bogus_at = -1
             prolog_done = True
-            yield ("text", "<")
+            append(("text", "<"))
             last = m.start() + 1
             continue
         bogus_at = -1
@@ -669,9 +681,9 @@ def html_events(text: str):
             # auto-close/priority logic — keep it inline
             if stack and stack[-1] == name:
                 stack.pop()
-                yield ("end", name, None)
+                append(("end", name, None))
             else:
-                yield from _do_close(name)
+                _do_close(name)
             continue
         if name == "body":
             body_seen = True
@@ -690,12 +702,12 @@ def html_events(text: str):
                 pass  # nests inside the (implied) head
             else:
                 body_seen = True
-                yield _imply_body()
+                append(_imply_body())
         # implied end tags
         closers = AUTO_CLOSE.get(name)
         if closers:
             while stack and stack[-1] in closers:
-                yield ("end", stack.pop(), None)
+                append(("end", stack.pop(), None))
         # libxml2's HTML parser lowercases attribute NAMES (values keep
         # case): without this, <META NAME=... CONTENT=...> never hits
         # bake_tag's case-sensitive k == "name" meta path and the
@@ -708,9 +720,9 @@ def html_events(text: str):
         else:
             attrs = []
         void = name in VOID_TAGS
-        yield ("start", name, attrs, None, void)
+        append(("start", name, attrs, None, void))
         if void or selfclose:
-            yield ("end", name, None)
+            append(("end", name, None))
         else:
             stack.append(name)
             if name in RAWTEXT_TAGS:
@@ -718,11 +730,11 @@ def html_events(text: str):
     while rawtext_until is not None:
         run, cname, last = _rawtext_step(text, last, n)
         if run:
-            yield ("text", run)
+            append(("text", run))
         if cname is None:
             rawtext_until = None
         else:
-            yield from _do_close(cname)
+            _do_close(cname)
             if rawtext_until not in stack:
                 rawtext_until = None
     if last < n:
@@ -731,8 +743,9 @@ def html_events(text: str):
         # content, so body's swishdescription alias must see it; a
         # whitespace-only tail outside body is ignorable (see above)
         if body_seen:
-            yield ("text", html_unescape(text[last:]))
+            append(("text", html_unescape(text[last:])))
         else:
-            yield from _deliver(text[last:])
+            _deliver(text[last:])
     while stack:
-        yield ("end", stack.pop(), None)
+        append(("end", stack.pop(), None))
+    return out
