@@ -532,8 +532,10 @@ def resolve_clusters(
     3+ job launches regardless of data size, so a small edge set pays
     seconds of pure scheduling. When the materialized pair table holds
     at most ``spark.libswish3.cc.localEdgeLimit`` directed edges
-    (default 2M ≈ tens of MB on the driver — same order as a broadcast
-    side), the components are resolved by a driver-side min-id
+    (default 2M; as collected python Rows plus the union-find dict that
+    is up to a few hundred MB of driver memory with string ids — size
+    the knob to the driver heap, or set 0 to always run distributed),
+    the components are resolved by a driver-side min-id
     union-find, which is definitionally the same labeling (keeper =
     component minimum; union-find is direction- and duplicate-
     agnostic, so it reads the RAW pairs and skips the edge

@@ -91,13 +91,18 @@ class _Tag:
 # id(config) (the config outlives the batch closure that holds it —
 # same convention as pipeline._PARSER_GUESS_CACHE); size-capped so a
 # pathological tag corpus cannot grow executor memory unboundedly
-_FASTPATH_CACHE: dict[int, tuple[bool, dict, object]] = {}
+# value: (eligible, html_memo, xml_memo, cfg) — the bake result depends
+# on the document KIND (HTML bump rules vs XML every-tag bump + undef
+# policy), so HTML and XML parses of the same config must not share
+# entries (a shared memo let an XML <em> poison the HTML inline-tag
+# no-bump rule and vice versa — caught by round-6 review, test pinned)
+_FASTPATH_CACHE: dict[int, tuple[bool, dict, dict, object]] = {}
 
 
-def _config_fastpath(cfg: SwishConfig) -> tuple[bool, dict]:
+def _config_fastpath(cfg: SwishConfig, is_html: bool) -> tuple[bool, dict]:
     got = _FASTPATH_CACHE.get(id(cfg))
     if got is not None:
-        return got[0], got[1]
+        return got[0], got[1] if is_html else got[2]
     eligible = (
         cfg.undef_metas not in (UNDEF_AUTO, UNDEF_AUTOALL)
         and cfg.undef_attrs not in (UNDEF_AUTO, UNDEF_AUTOALL)
@@ -108,8 +113,9 @@ def _config_fastpath(cfg: SwishConfig) -> tuple[bool, dict]:
     if len(_FASTPATH_CACHE) < 64:
         # the cfg rides in the entry so its id cannot be recycled by a
         # later config while the memo is alive
-        _FASTPATH_CACHE[id(cfg)] = (eligible, {}, cfg)
-        return _FASTPATH_CACHE[id(cfg)][:2]
+        _FASTPATH_CACHE[id(cfg)] = (eligible, {}, {}, cfg)
+        got = _FASTPATH_CACHE[id(cfg)]
+        return got[0], got[1] if is_html else got[2]
     return eligible, {}
 
 
@@ -146,6 +152,10 @@ class DocState:
         self.meta_buf: list[str] = []
         self.media_marks: list[tuple[int, str]] = []
         self.meta_len = 0
+        # running char total of meta_buf (== sum(map(len, meta_buf)):
+        # unlike meta_len it is NOT touched by the HTMLSEG priming) —
+        # gives add_media its O(1) marker offset
+        self.buf_chars = 0
         self.prop_parts: list[str] = []
         self.prop_len = 0
         # stacks (reference: init_parser_data parser.c:1594-1614)
@@ -183,7 +193,7 @@ class DocState:
         # which would invalidate both the memo and the skipped dom-path
         # checks). True for the reference default config; exotic configs
         # take the unmemoized path unchanged.
-        self._fast_ctx, self._bake_memo = _config_fastpath(config)
+        self._fast_ctx, self._bake_memo = _config_fastpath(config, is_html)
         self.token_meta: list[tuple[str, str]] = []
         self.pos = 0
         self.nwords = 0
@@ -237,19 +247,22 @@ class DocState:
             if self.meta_len:
                 self.meta_buf.append(_BUMPER)
                 self.meta_len += 1
+                self.buf_chars += 1
             if self.prop_len:
                 self.prop_parts.append(_BUMPER)
                 self.prop_len += 1
         if text:
             self.meta_buf.append(text)
             self.meta_len += len(text)
+            self.buf_chars += len(text)
             self.prop_parts.append(text)
             self.prop_len += len(text)
         self.bump_word = False
 
     def add_media(self, ref: str) -> None:
-        """Interleave a media marker at the current buffer point."""
-        self.media_marks.append((sum(map(len, self.meta_buf)), ref))
+        """Interleave a media marker at the current buffer point
+        (O(1): buf_chars is the running char total of meta_buf)."""
+        self.media_marks.append((self.buf_chars, ref))
 
     # -- tokenize + span emission -------------------------------------------
     def _tokenize_pieces(self, meta: str, context: str, blob: str) -> None:
@@ -363,6 +376,7 @@ class DocState:
         self.meta_buf = []
         self.media_marks = []
         self.meta_len = 0
+        self.buf_chars = 0
 
     # -- properties (reference: parser.c:2868-2916) --------------------------
     def add_stack_to_prop_buf(self, baked: str | None) -> None:

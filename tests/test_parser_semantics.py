@@ -300,3 +300,40 @@ def test_lt_nonname_is_literal_text():
     )
     words = [s["text"] for s in r["spans"] if s["kind"] == "word"]
     assert words == ["i", "3", "you", "forever"], words
+
+
+def test_bake_memo_not_shared_across_parser_kinds():
+    """Round-6 review regression: the per-config bake memo must be
+    keyed by document kind — an XML parse of <em> (every-XML-tag bump)
+    must not poison the HTML inline-tag no-bump rule for the same
+    config object, in either order."""
+    from libswish3_spark.config import default_config
+    from libswish3_spark.parser import parse_to_state
+
+    cfg = default_config()
+
+    def toks(text, parser):
+        st = parse_to_state(
+            "d", [{"kind": "text", "text": text, "media_ref": "", "offset": 0}],
+            parser, cfg,
+        )
+        return [t for k, t in zip(st.s_kindc, st.s_text) if not k]
+
+    # XML first: <em> bakes with bump=True for XML...
+    assert toks("<root>a<em>b</em></root>", "XML") == ["a", "b"]
+    # ...and must NOT leak into HTML, where <em> is inline (no bump):
+    # 'foo<em>bar</em>' fuses to one token
+    assert toks("<body>foo<em>bar</em></body>", "HTML") == ["foobar"]
+    # reverse order on a fresh config: HTML's no-bump entry must not
+    # leak into XML (every XML tag bumps)
+    cfg2 = default_config()
+
+    def toks2(text, parser):
+        st = parse_to_state(
+            "d", [{"kind": "text", "text": text, "media_ref": "", "offset": 0}],
+            parser, cfg2,
+        )
+        return [t for k, t in zip(st.s_kindc, st.s_text) if not k]
+
+    assert toks2("<body>foo<em>bar</em></body>", "HTML") == ["foobar"]
+    assert toks2("<root>a<em>b</em></root>", "XML") == ["a", "b"]
